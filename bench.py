@@ -1,0 +1,64 @@
+"""Benchmark runner.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count); the
+first query's JVM warmup is excluded via an untimed warmup action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from real_time_stream_processing_engine_spark.queries import QUERIES
+    from real_time_stream_processing_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="rs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM/codegen/file-listing, untimed
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.monotonic()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        except Exception as e:  # keep benching; a broken query shows as -1
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

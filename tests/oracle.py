@@ -1,0 +1,85 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL over the same parquet
+tables, then compares row count, column-name set, and an
+order-insensitive value hash (columns sorted by name, floats rounded to
+6 decimals, rows sorted canonically) — the same contract
+CORRECTNESS_r{N}.json is built from.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(v: Any) -> Any:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, int):
+        return v
+    if v is None:
+        return None
+    return str(v)
+
+
+def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
+    result = {
+        "rows_spark": len(s_rows),
+        "rows_oracle": len(d_rows),
+        "cols_spark": sorted(s_cols),
+        "cols_oracle": sorted(d_cols),
+    }
+    result["rows_match"] = result["rows_spark"] == result["rows_oracle"]
+    result["schema_match"] = result["cols_spark"] == result["cols_oracle"]
+    if result["rows_match"] and result["schema_match"]:
+        cs = canonical_rows(s_cols, s_rows)
+        cd = canonical_rows(d_cols, d_rows)
+        result["values_match"] = cs == cd
+        if not result["values_match"]:
+            diff = [(a, b) for a, b in zip(cs, cd) if a != b][:5]
+            result["first_diffs"] = diff
+    else:
+        result["values_match"] = False
+    result["ok"] = result["rows_match"] and result["schema_match"] and result["values_match"]
+    return result
