@@ -1,0 +1,166 @@
+"""Deduplication operators — the large-scale training-data-pipeline
+surface (north star; the reference has nothing comparable).
+
+All hashing is md5-based so a SQL oracle can reproduce results
+bit-for-bit; every operator stays JVM-side (no Python UDFs) and is
+shaped for 100 TB:
+
+- exact dedup        : hash-groupBy on a normalized fingerprint — one
+                       shuffle on the fingerprint, map-side combined.
+- minhash signatures : one pass over shingles, K min-aggregates in a
+                       single hash aggregate (not K passes, not a K-way
+                       explode) — shuffle volume = |docs| x K hashes.
+- LSH candidates     : self-join on (band, signature) buckets — linear
+                       in corpus + bucket sizes, never all-pairs.
+- n-gram jaccard     : exact verify on candidate/blocked pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import normalize_ws, tokenize
+
+N_MINHASH = 8
+SHINGLE = 3
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase
+    text.  Grouping on this column is the 100 TB exact-dedup plan (the
+    fingerprint is 32 bytes regardless of doc size, so the shuffle
+    carries hashes, not documents)."""
+    return df.withColumn(out, F.md5(normalize_ws(text_col)))
+
+
+def exact_dedup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cluster per distinct content: (fingerprint, n_docs, min id)."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE, out: str = "shingle") -> DataFrame:
+    """Word k-shingles (distinct per doc).  Docs with fewer than k
+    tokens produce no shingles (guarded: Spark's ``sequence`` would
+    otherwise run backwards)."""
+    toks = tokenize(text_col)
+    df = df.withColumn("_toks", toks).filter(F.size("_toks") >= k)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+    )
+    return df.withColumn(out, F.explode(F.array_distinct(sh))).drop("_toks")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = N_MINHASH
+) -> DataFrame:
+    """MinHash signatures: for seed s in 0..n-1, ``min(md5('s|'||shingle))``.
+
+    One explode of shingles, then *one* hash aggregate computing all n
+    minima (columns ``m0..m{n-1}``) — a single shuffle keyed on the doc
+    id whose payload is n x 32 bytes per doc.  The md5-per-seed trick
+    keeps it oracle-reproducible; swapping in xxhash64 is a one-line
+    change for production."""
+    sh = shingles(df.select(id_col, text_col), text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(n)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_long(sig: DataFrame, id_col: str = "doc_id", n: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, mh) long form of a signature frame via ``stack``
+    (no shuffle — a generator projection)."""
+    pairs = ", ".join(f"'{s}', m{s}" for s in range(n))
+    return sig.select(id_col, F.expr(f"stack({n}, {pairs}) AS (seed, mh)"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = N_MINHASH,
+    min_bands: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= ``min_bands`` of ``n``
+    single-row bands (collision probability per band = jaccard, so
+    ``n_bands/n`` estimates jaccard).
+
+    The self-join is on (seed, mh) — i.e. bucketed by band signature —
+    so cost is sum of squared bucket sizes, not |corpus|^2.  At 100 TB
+    the guard rails are: salting any mega-bucket (a band value shared by
+    millions of docs is boilerplate text — cap or drop it) and AQE skew
+    join handling, both configuration on this same plan."""
+    long = minhash_long(minhash_signatures(df, id_col, text_col, n), id_col, n)
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+
+    Grams are exploded once; the pair-intersection join is on the gram
+    (plus block), so only docs sharing at least one gram ever meet.
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|).  The blocked form is the scale
+    posture: exact verification is reserved for candidate pairs, never
+    all-pairs."""
+    cols = [id_col] + ([block_col] if block_col else [])
+    g = shingles(df.select(*cols, text_col), text_col, k=k, out="gram")
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,66 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched ``mapInPandas``.
+
+The pattern for image/audio/video at 100 TB: store the payload as a
+``binary`` column (or a pointer column to object storage) next to typed
+metadata; decode/resize/frame-sample runs as a ``mapInPandas`` stage so
+bytes move driver-free, Arrow-batched, one Python worker per core, and
+the output schema is declared up front so everything downstream is
+ordinary columnar Spark.
+
+The decode step itself is STUBBED: real codecs (PIL/ffmpeg/...) are not
+in this container.  ``fake_decode_features`` is a clearly-marked
+deterministic stand-in (md5-derived) so the Spark-side plumbing —
+schema, batching, partitioning — is real and testable; swap the body
+for a real decoder without touching any plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("feat8", T.StringType()),
+    ]
+)
+
+
+def real_decode(payload: bytes) -> dict:
+    """Placeholder for a real media decoder (PIL.Image.open /
+    torchaudio.load / pyav frame sampling).  Not available in this
+    environment."""
+    raise NotImplementedError("media codecs not installed; use fake_decode_features")
+
+
+def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE decoder: byte length + first 8 hex chars of
+    md5(payload).  Stands in for decode->feature-extract so the Arrow
+    batch path and output contract are exercised for real."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "byte_len": payloads.map(len).astype("int64"),
+                "feat8": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()[:8]),
+            }
+        )
+
+
+def extract_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Binary-column feature extraction over documents.
+
+    Builds the binary payload from the text column (the fixture has no
+    media blobs), then runs the Arrow-batched decode stage.  The
+    payload construction is the only fixture-specific line."""
+    with_payload = docs.select("doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(fake_decode_features, FEATURE_SCHEMA)

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k is the exact baseline (a scan-speed map — the
+query vector is a literal in the plan, all math in codegen, the top-k a
+TakeOrdered that never shuffles the scores).  The blocked/IVF variants
+are the sub-linear scale path: restrict the scan to the partitions
+whose centroid is near the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.  Scores are
+    rounded to 6dp before ordering so the result set is deterministic
+    under floating-point reassociation."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = emb
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return (
+        df.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def blocked_neardup_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    The self-join is equi-keyed on the block, so Spark hash-partitions
+    both sides on it — cost is sum over blocks of |block|^2, never
+    |corpus|^2.  At 100 TB the block is an LSH bucket or IVF cell of a
+    few thousand vectors; here the fixture's label plays that role."""
+    a = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > threshold)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest centroid
+    (the inverted file); queries scan only the ``n_probe`` cells whose
+    centroids are closest to the query.
+
+    At scale the assignment is precomputed and the table is
+    partitioned/bucketed by cell id, so a probe prunes partitions at
+    the source and the scan touches n_probe/n_cells of the data.  Here
+    the assignment is computed inline (the fixture has no materialized
+    cell column); the plan shape — filter on cell, then exact rank —
+    is the same."""
+    # rank centroids by cosine to the query, driver-side (codebook is tiny)
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            ((cid, cos(query_vec, c)) for cid, c in centroids),
+            key=lambda t: (-t[1], t[0]),
+        )[:n_probe]
+    ]
+
+    # assign each vector to its nearest centroid with a greatest-of
+    # expression (all codegen; centroids are plan literals)
+    sims = [
+        (cid, cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+        for cid, c in centroids
+    ]
+    best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
+    cell = F.lit(None).cast("int")
+    for cid, s in reversed(sims):  # earlier centroid wins ties
+        cell = F.when(s == best, F.lit(cid)).otherwise(cell)
+
+    df = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe_cells))
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

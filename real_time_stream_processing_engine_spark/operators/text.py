@@ -1,0 +1,102 @@
+"""Text-analysis operators: language ID, quality scoring, token
+statistics (north-star surface; the reference's text handling stops at
+upper/lower/trim/split, ``Operators.java:159-167``).
+
+Everything is built-in-function based (split/regexp/array HOFs) so the
+whole module runs inside whole-stage codegen — tokenizing 100 TB is a
+scan-speed map with no shuffle until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokenize
+
+# Tiny per-language function-word lexicons (public knowledge).  'zh' is
+# charset-detected rather than lexicon-detected, so it has no entry.
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "that"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von", "zu"),
+    "es": ("el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "por", "para"),
+}
+
+#: English stopwords used by quality scoring (matches queries.py q12).
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+#: BPE-ish token pattern: runs of alphanumerics, or single punctuation.
+BPE_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Lexicon-overlap language ID: argmax over languages of
+    function-word hits; ties broken lexicographically; no hits -> 'und'.
+
+    The lexicon lives in the plan as literal arrays (a broadcast by
+    construction); scoring is an array-intersection per row, no shuffle.
+    A char-n-gram profile model drops in behind the same column contract
+    when real corpora replace the synthetic fixture."""
+    toks = tokenize(text_col)
+    scores = [
+        F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))).alias(f"_s_{lang}")
+        for lang, words in sorted(LANG_LEXICON.items())
+    ]
+    # hit-count per language; greatest() then first language reaching it
+    df = df.select("*", *scores)
+    score_cols = [f"_s_{lang}" for lang in sorted(LANG_LEXICON)]
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in sorted(LANG_LEXICON, reverse=True):
+        pred = F.when(F.col(f"_s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn(out, pred).drop(*score_cols)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1]:
+
+    - n_tokens      : whitespace tokens
+    - punct_ratio   : sentence-punctuation chars / total chars
+    - stop_ratio    : stopword tokens / tokens
+    - quality       : length-saturation x (1 - punct) x stopword prior
+    """
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    punct_ratio = n_punct / F.greatest(F.length(text_col), F.lit(1))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS])))
+    # array_intersect dedups; count hits with filter instead for an
+    # honest ratio over token occurrences
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    quality = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        * (1 - punct_ratio)
+        * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_stats_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus token statistics: whitespace tokens and a
+    BPE-ish regex token count (both scan-side maps; one tiny aggregate
+    shuffle keyed on lang)."""
+    ws = F.size(tokenize(text_col))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0))
+    per_doc = df.select("lang", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("sum_ws_tokens"),
+        F.round(F.avg("ws_tokens"), 6).alias("avg_ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+        F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+    )

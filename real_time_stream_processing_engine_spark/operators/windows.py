@@ -1,0 +1,121 @@
+"""Event-time operators: tumbling windows, sessionization, grouped
+top-k, and as-of joins.
+
+The reference has no event time at all (time appears only in its
+failure detector — SURVEY.md §2.5); these are the streaming-native
+generalizations, expressed so batch and Structured Streaming share the
+shapes.  Timestamps are compared in integer epoch units (seconds for
+windows, microseconds for session gaps) for oracle-exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width_sec: int = 3600,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window aggregate keyed on (window_start, key).
+
+    Window assignment is a pure map (no bucketize shuffle); the single
+    exchange is the aggregate's, partial-aggregated map-side.  The
+    streaming twin is ``groupBy(window(ts, ...), key)`` with a watermark
+    — same logical result, checkpointed state."""
+    wstart = (F.floor(F.unix_timestamp(ts_col) / width_sec) * width_sec).cast("long")
+    return (
+        df.select(wstart.alias("window_start"), F.col(key_col), F.col(value_col))
+        .groupBy("window_start", key_col)
+        .agg(F.count("*").alias("cnt"), F.round(F.sum(value_col), 2).alias("sum_value"))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds ``gap_sec``.
+
+    Classic lag + running-sum-of-boundaries; one shuffle on the user
+    key, per-user sort inside partitions.  Skewed power users are the
+    scale hazard — AQE skew handling plus a per-user daily pre-split
+    are the mitigations, not a different algorithm.  Gaps are compared
+    in whole microseconds (``unix_micros``) so an oracle agrees exactly."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    new_sess = F.when(
+        (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_sec * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = df.select(
+        F.col(user_col), F.col(ts_col), F.col("event_id"), us.alias("_us"), new_sess.alias("_new")
+    ).withColumn("session_id", F.sum("_new").over(w).cast("long"))
+    return sess.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("session_start_us"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    key_col: str = "event_type",
+    order_col: str = "value",
+    tiebreak_col: str = "event_id",
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic grouped top-k via row_number (desc value, asc
+    tiebreak).  Spark runs this as a partial top-k inside each map task
+    (WindowGroupLimit pushes rank<=k below the shuffle) so the exchange
+    carries k rows per key per partition, not the whole input."""
+    w = Window.partitionBy(key_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(key_col, tiebreak_col, order_col, "rk")
+    )
+
+
+def asof_join_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the most recent order (by orderdate)
+    of customer ``user_id + 1`` at-or-before the event timestamp.
+
+    Implemented as the scalable union-sort-carry pattern: tag both
+    sides, union, one shuffle on the join key, per-key sort by time,
+    then ``last(..., ignorenulls)`` carries the latest order value onto
+    each event row.  Cost is a single exchange of |events|+|orders| —
+    no range join, no per-event probe, no correlated subquery.  This is
+    the 100 TB shape; a broadcast variant applies when one side is tiny."""
+    o = orders.select(
+        (F.col("o_custkey") - 1).alias("user_id"),
+        F.col("o_orderdate").alias("_t"),
+        F.unix_timestamp("o_orderdate").alias("_order_epoch"),
+        F.lit(1).alias("_is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = events.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(None).cast("long").alias("_order_epoch"),
+        F.lit(0).alias("_is_order"),
+        "event_id",
+    )
+    u = o.unionByName(e)
+    # at equal timestamps the order row sorts first => "at-or-before"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("last_order_epoch", F.last("_order_epoch", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_order") == 0).select(
+        "event_id", "user_id", "last_order_epoch"
+    )

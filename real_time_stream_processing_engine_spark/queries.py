@@ -352,5 +352,349 @@ def q14_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared oracle-SQL fragments (tokenization contract of functions/textfn.py)
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_SQL_SHINGLE3 = (
+    "SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks)-1), "
+    "i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS shingle "
+    f"FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t WHERE len(toks) >= 3"
+)
+
+
+@register(
+    "q15_minhash_signatures",
+    f"""
+    WITH sh AS ({_SQL_SHINGLE3})
+    SELECT doc_id,
+           MIN(md5('0|' || shingle)) AS m0, MIN(md5('1|' || shingle)) AS m1,
+           MIN(md5('2|' || shingle)) AS m2, MIN(md5('3|' || shingle)) AS m3,
+           MIN(md5('4|' || shingle)) AS m4, MIN(md5('5|' || shingle)) AS m5,
+           MIN(md5('6|' || shingle)) AS m6, MIN(md5('7|' || shingle)) AS m7
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over word 3-shingles (dedup scale path): one
+    shingle explode, one hash aggregate computing all 8 minima."""
+    from .operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+@register(
+    "q16_lsh_candidates",
+    f"""
+    WITH sh AS ({_SQL_SHINGLE3}),
+    seeds AS (SELECT unnest(['0','1','2','3','4','5','6','7']) AS seed),
+    sig AS (SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q16_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs: self-join on band buckets
+    (n_bands/8 estimates jaccard); never all-pairs."""
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs)
+
+
+@register(
+    "q17_ngram_jaccard",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+             i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+      FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents) t WHERE len(toks) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+    WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+    """,
+)
+def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs, blocked by lang
+    (exact verification reserved for blocked pairs, never all-pairs)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "q18_embedding_neardup",
+    """
+    WITH terms AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             SUM(CAST(a.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE)) AS dp,
+             SUM(CAST(a.embedding[s.i] AS DOUBLE) * CAST(a.embedding[s.i] AS DOUBLE)) AS na2,
+             SUM(CAST(b.embedding[s.i] AS DOUBLE) * CAST(b.embedding[s.i] AS DOUBLE)) AS nb2
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY 1, 2)
+    SELECT va AS vec_a, vb AS vec_b, ROUND(dp / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+    FROM terms WHERE ROUND(dp / (sqrt(na2) * sqrt(nb2)), 6) > 0.4
+    """,
+)
+def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the label
+    plays the LSH-bucket/IVF-cell role the real pipeline would use)."""
+    from .operators.similarity import blocked_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_neardup_pairs(emb, threshold=0.4)
+
+
+def _lex_values() -> str:
+    from .operators.text import LANG_LEXICON
+
+    rows = [
+        f"('{w}', '{lang}')" for lang, words in sorted(LANG_LEXICON.items()) for w in words
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "q19_lang_id",
+    f"""
+    WITH lex AS (SELECT * FROM (VALUES {_lex_values()}) AS t(w, lg)),
+    tok AS (SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS w FROM documents),
+    hits AS (SELECT t.doc_id, l.lg, COUNT(*) AS c FROM tok t JOIN lex l ON t.w = l.w GROUP BY 1, 2),
+    best AS (SELECT doc_id, lg, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lg ASC) AS rn
+             FROM hits)
+    SELECT d.doc_id, COALESCE(b.lg, 'und') AS lang_pred
+    FROM documents d LEFT JOIN (SELECT doc_id, lg FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def q19_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID (argmax of function-word hits, ties
+    lexicographic, no hits -> 'und')."""
+    from .operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+@register(
+    "q20_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS nt,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / GREATEST(length(text), 1) AS pr,
+             len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','on','for'], x))) * 1.0
+               / GREATEST(len(toks), 1) AS sr
+      FROM t)
+    SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stop_ratio,
+           ROUND(LEAST(1.0, nt / 100.0) * (1 - pr) * (0.5 + 0.5 * sr), 6) AS quality
+    FROM f
+    """,
+)
+def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features + composite score (length saturation,
+    punctuation ratio, stopword prior) — all codegen, no shuffle."""
+    from .operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs)
+
+
+@register(
+    "q21_token_stats",
+    f"""
+    WITH t AS (SELECT lang, len({_SQL_TOKS}) AS ws,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe
+               FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS sum_ws_tokens, ROUND(AVG(ws), 6) AS avg_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS sum_bpe_tokens, ROUND(AVG(bpe), 6) AS avg_bpe_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting, aggregated per lang."""
+    from .operators.text import token_stats_by_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats_by_lang(docs)
+
+
+@register(
+    "q22_fingerprint_clusters",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q22_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup clusters keyed on the md5 content fingerprint (the
+    shuffle carries 32-byte hashes, not documents)."""
+    from .operators.dedup import exact_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_clusters(docs)
+
+
+@register(
+    "q23_tumbling_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate (event-time extension; the
+    reference has no event time, SURVEY.md §2.5)."""
+    from .operators.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev)
+
+
+@register(
+    "q24_sessionization",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    marked AS (SELECT user_id, event_id, us,
+                      CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+               FROM lagd),
+    sess AS (SELECT user_id, us,
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_id
+             FROM marked)
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(us) AS session_start_us, MAX(us) - MIN(us) AS duration_us
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q24_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) via lag + running boundary sum."""
+    from .operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev)
+
+
+@register(
+    "q25_topk_per_group",
+    """
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
+      FROM events) t
+    WHERE rk <= 3
+    """,
+)
+def q25_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (rank pushed below the shuffle via WindowGroupLimit)."""
+    from .operators.windows import topk_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return topk_per_group(ev)
+
+
+@register(
+    "q26_asof_join",
+    """
+    SELECT e.event_id, e.user_id, CAST(epoch(MAX(o.o_orderdate)) AS BIGINT) AS last_order_epoch
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id + 1 AND o.o_orderdate <= e.ts
+    GROUP BY 1, 2
+    """,
+)
+def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent order at-or-before each event) via the
+    union-sort-carry pattern — one exchange, no range join."""
+    from .operators.windows import asof_join_last_order
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join_last_order(ev, orders)
+
+
+@register(
+    "q27_multimodal_features",
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+           substr(md5(text), 1, 8) AS feat8
+    FROM documents
+    """,
+)
+def q27_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: utf-8 payload -> Arrow-batched
+    mapInPandas feature extraction (deterministic fake decoder; real
+    codecs slot into the same schema/batch contract)."""
+    from .operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(docs)
+
+
+@register(
+    "q28_ivf_ann",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vc AS (
+      SELECT v.vec_id, c.cid,
+             SUM(CAST(v.embedding[s.i] AS DOUBLE) * CAST(c.ce[s.i] AS DOUBLE)) AS dp,
+             SUM(CAST(v.embedding[s.i] AS DOUBLE) * CAST(v.embedding[s.i] AS DOUBLE)) AS nv,
+             SUM(CAST(c.ce[s.i] AS DOUBLE) * CAST(c.ce[s.i] AS DOUBLE)) AS nc
+      FROM embeddings v CROSS JOIN c CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cid ASC) AS rn
+      FROM vc),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    qcos AS (
+      SELECT c.cid,
+             SUM(CAST(c.ce[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE))
+               / (sqrt(SUM(CAST(c.ce[s.i] AS DOUBLE) * CAST(c.ce[s.i] AS DOUBLE)))
+                  * sqrt(SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)))) AS qc
+      FROM c CROSS JOIN q CROSS JOIN generate_series(1, 64) s(i) GROUP BY c.cid),
+    probe AS (SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY qc DESC, cid ASC) AS rn FROM qcos) t
+              WHERE rn <= 4),
+    scored AS (
+      SELECT v.vec_id,
+             SUM(CAST(v.embedding[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)) AS dp,
+             SUM(CAST(v.embedding[s.i] AS DOUBLE) * CAST(v.embedding[s.i] AS DOUBLE)) AS nv,
+             SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)) AS nq
+      FROM embeddings v CROSS JOIN q CROSS JOIN generate_series(1, 64) s(i)
+      WHERE v.vec_id <> 0 AND v.vec_id IN (SELECT vec_id FROM cells WHERE cell IN (SELECT cid FROM probe))
+      GROUP BY 1)
+    SELECT vec_id, ROUND(dp / (sqrt(nv) * sqrt(nq)), 6) AS cos_sim
+    FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q28_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16-centroid codebook (vec_id 0..15), probe the 4
+    nearest cells, exact rank inside them — the sub-linear scale path
+    next to q13's exact baseline."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    qvec = next(c for cid, c in cents if cid == 0)
+    return ivf_topk(emb, qvec, cents, k=10, n_probe=4, exclude_id=0)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -35,6 +35,10 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Deterministic timestamp handling for oracle parity.
     "spark.sql.session.timeZone": "UTC",
+    # The driver testdata stores events.ts as TIMESTAMP(NANOS) parquet,
+    # which Spark cannot read as TimestampType; read nanos as long and
+    # convert losslessly in the reader (sources/readers.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -77,9 +77,14 @@ SCHEMAS: dict[str, T.StructType] = {
         ("l_linestatus", T.StringType()),
         ("l_shipdate", T.TimestampType()),
     ),
+    # events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as a nanos
+    # long (spark.sql.legacy.parquet.nanosAsLong) and load_table converts
+    # to TimestampType via integer microseconds — lossless (the fixture
+    # has no sub-microsecond components) and identical to DuckDB's
+    # ns->us truncation.
     "events": _s(
         ("event_id", T.LongType()),
-        ("ts", T.TimestampType()),
+        ("ts", T.LongType()),
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),
@@ -129,6 +134,11 @@ TRAFFIC_SIGNS_SCHEMA = _s(
 )
 
 
+#: columns stored as nanosecond-long that load_table converts back to
+#: TimestampType (integer path: nanos div 1000 -> timestamp_micros)
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-testdata table with its explicit schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -136,7 +146,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    for c in NANO_TS_COLS.get(name, ()):
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -43,7 +43,9 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     reader = spark.readStream.schema(SCHEMAS["events"])
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+    df = reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+    # same nanos->timestamp conversion as load_table
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def run_to_memory_available_now(
