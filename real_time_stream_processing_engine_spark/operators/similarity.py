@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def brute_force_topk(
@@ -25,15 +25,22 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.  Scores are
     rounded to 6dp before ordering so the result set is deterministic
-    under floating-point reassociation."""
+    under floating-point reassociation.  The query norm is a driver-side
+    constant (HOFs over literal arrays are not constant-folded, so
+    leaving it symbolic would re-reduce 64 literals per row)."""
+    import math
+
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     df = emb
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     return (
         df.select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), qlit) / (l2_norm(F.col(vec_col)) * F.lit(qnorm)), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -52,16 +59,26 @@ def blocked_neardup_pairs(
     The self-join is equi-keyed on the block, so Spark hash-partitions
     both sides on it — cost is sum over blocks of |block|^2, never
     |corpus|^2.  At 100 TB the block is an LSH bucket or IVF cell of a
-    few thousand vectors; here the fixture's label plays that role."""
-    a = emb.select(
+    few thousand vectors; here the fixture's label plays that role.
+    Norms are computed once per vector BEFORE the join (|corpus| sqrts
+    instead of 2x|pairs|)."""
+    normed = emb.select(
         F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("_va"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
     )
-    b = emb.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("_vb"),
+    a = normed.select(
+        F.col("_blk"),
+        F.col("_id").alias("vec_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = normed.select(
+        F.col("_blk"),
+        F.col("_id").alias("vec_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, ["_blk"])
@@ -69,7 +86,9 @@ def blocked_neardup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") > threshold)
     )
@@ -94,8 +113,14 @@ def ivf_topk(
     the source and the scan touches n_probe/n_cells of the data.  Here
     the assignment is computed inline (the fixture has no materialized
     cell column); the plan shape — filter on cell, then exact rank —
-    is the same."""
-    # rank centroids by cosine to the query, driver-side (codebook is tiny)
+    is the same.
+
+    The codebook rides into the plan as ONE array-of-structs literal
+    consumed by a single ``aggregate(transform(...))`` argmax — the
+    expression tree is O(1) in the number of centroids (the codebook is
+    data, not repeated sub-expressions), so plan build + codegen stay
+    flat as the codebook grows, and the whole assignment is a map-only
+    pass (no join, no shuffle)."""
     import math
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -104,6 +129,7 @@ def ivf_topk(
         nb = math.sqrt(sum(x * x for x in b))
         return d / (na * nb) if na and nb else 0.0
 
+    # rank centroids by cosine to the query, driver-side (codebook is tiny)
     probe_cells = [
         cid
         for cid, _ in sorted(
@@ -112,25 +138,41 @@ def ivf_topk(
         )[:n_probe]
     ]
 
-    # assign each vector to its nearest centroid with a greatest-of
-    # expression (all codegen; centroids are plan literals)
-    sims = [
-        (cid, cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+    # codebook literal: (cid, centroid, centroid-norm).  The row vector's
+    # own norm is a positive constant across centroids, so ranking by
+    # dot/|c| is the same ordering as full cosine — one less sqrt per row.
+    def vec_sql(v: list[float]) -> str:
+        return "array(" + ",".join(repr(float(x)) + "D" for x in v) + ")"
+
+    cb_sql = "array(" + ",".join(
+        f"struct({int(cid)} AS cid, {vec_sql(c)} AS c, "
+        f"{math.sqrt(sum(float(x) * float(x) for x in c))!r}D AS nrm)"
         for cid, c in centroids
-    ]
-    best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 else sims[0][1]
-    cell = F.lit(None).cast("int")
-    for cid, s in reversed(sims):  # earlier centroid wins ties
-        cell = F.when(s == best, F.lit(cid)).otherwise(cell)
+    ) + ")"
+    cell = F.expr(
+        f"""
+        aggregate(
+          transform({cb_sql}, s -> struct(
+            aggregate(zip_with({vec_col}, s.c, (x, y) -> CAST(x AS DOUBLE) * y),
+                      0D, (a, x) -> a + x) / s.nrm AS sim,
+            s.cid AS cid)),
+          CAST(NULL AS STRUCT<sim: DOUBLE, cid: INT>),
+          (acc, x) -> CASE WHEN acc IS NULL OR x.sim > acc.sim THEN x ELSE acc END
+        ).cid
+        """
+    )
 
     df = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe_cells))
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     return (
         df.select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), qlit) / (l2_norm(F.col(vec_col)) * F.lit(qnorm)), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
