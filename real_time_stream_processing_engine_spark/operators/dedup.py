@@ -121,18 +121,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_col: str | None = "lang",
-    k: int = 2,
+    k: int = SHINGLE,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+    """Exact n-gram Jaccard near-dup pairs via a gram-keyed join.
 
-    Grams are exploded once; the pair-intersection join is on the gram
-    (plus block), so only docs sharing at least one gram ever meet.
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|).  The blocked form is the scale
-    posture: exact verification is reserved for candidate pairs, never
-    all-pairs."""
+    Each doc's distinct k-shingles (same contract as the MinHash path,
+    so q16's LSH candidates and this exact verify agree on the
+    similarity space) are hashed to 64-bit ints and self-joined on
+    (block, gram-hash); intersection sizes fall out of one pair
+    aggregate with map-side combine, union sizes from a per-doc count.
+    Join bucket cost is sum of squared gram frequencies — safe when
+    shingles are high-order (k>=3 word shingles are rare almost
+    everywhere); for corpora where even k-shingles run hot, use
+    ``ngram_jaccard_pairs_blocked`` (bounded blocks) or
+    ``ngram_jaccard_pairs_prefix`` (Zipfian vocab) below.
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|)."""
     cols = [id_col] + ([block_col] if block_col else [])
-    g = shingles(df.select(*cols, text_col), text_col, k=k, out="gram")
+    g = shingles(df.select(*cols, text_col), text_col, k=k).select(
+        *cols, F.xxhash64("shingle").alias("gram")
+    )
     sizes = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col("a.gram") == F.col("b.gram")) & (
@@ -148,8 +156,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
         .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
@@ -161,6 +168,175 @@ def ngram_jaccard_pairs(
                 / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    k: int = 2,
+    threshold: float = 0.5,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+
+    Each doc is reduced to its distinct-gram array ONCE; pairs meet on
+    the block key and are verified with ``array_intersect`` — the gram
+    sets never explode into a gram-keyed self-join.  (A gram self-join
+    is quadratic in gram frequency: one bigram shared by a million docs
+    would alone produce 5e11 join rows.  When gram frequencies are
+    Zipfian with a long rare tail, ``ngram_jaccard_pairs_prefix`` below
+    generates candidates from rare-gram prefixes instead; with small
+    blocks — LSH buckets, IVF cells, language+length strata — direct
+    blocked verification is cheaper and is the default here.)
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    Three scale levers on the verification join:
+    - gram sets are 64-bit ``xxhash64`` arrays, so each intersection
+      compares longs, not strings (counts are exact absent a 2^-64
+      collision inside one pair's union);
+    - a ``n_salt``-cell grid salt splits each block's pair space across
+      ``n_salt`` tasks (one side replicated n_salt times — the standard
+      replicate-vs-parallelize trade for self-joins on few-valued keys);
+    - the Jaccard length filter (t*|A| <= |B| <= |A|/t) prunes pairs
+      before any intersection is computed."""
+    cols = [id_col] + ([block_col] if block_col else [])
+    docs = _gram_arrays(df, cols, text_col, k)
+    blk = [block_col] if block_col else []
+    a = docs.select(
+        *blk,
+        F.col(id_col).alias("doc_a"),
+        F.col("grams").alias("_ga"),
+        F.col("n_grams").alias("_na"),
+    ).withColumn("_cell", F.pmod(F.xxhash64("doc_a"), F.lit(n_salt)))
+    b = docs.select(
+        *blk,
+        F.col(id_col).alias("doc_b"),
+        F.col("grams").alias("_gb"),
+        F.col("n_grams").alias("_nb"),
+    ).withColumn("_cell", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    return (
+        a.join(b, blk + ["_cell"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("_nb") * threshold <= F.col("_na"))
+            & (F.col("_na") * threshold <= F.col("_nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / (F.col("_na") + F.col("_nb") - inter), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _gram_arrays(df: DataFrame, cols: list[str], text_col: str, k: int) -> DataFrame:
+    """Per-doc sorted array of xxhash64'd distinct grams + set size
+    (map-side only; hashing before the pair join makes every downstream
+    comparison a long compare)."""
+    toks = tokenize(text_col)
+    return (
+        df.select(*cols, toks.alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select(
+            *cols,
+            F.array_sort(
+                F.transform(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                            lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+                        )
+                    ),
+                    lambda g: F.xxhash64(g),
+                )
+            ).alias("grams"),
+        )
+        .withColumn("n_grams", F.size("grams"))
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "lang",
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin-style) — the
+    scale path for LARGE-VOCAB corpora where no blocking key bounds pair
+    counts.
+
+    Sort each doc's gram set by (global frequency, gram); for Jaccard >=
+    t a qualifying pair must share at least one gram within the first
+    ``n - ceil(t*n) + 1`` grams of each doc, so candidates are generated
+    only from those rare-gram prefixes and verified exactly with
+    ``array_intersect``.  Join buckets are bounded by rare-gram
+    frequency; hot grams never form buckets.  (On tiny-vocab corpora
+    every doc shares its prefix with most others and this degrades to
+    all-pairs plus overhead — use the blocked form there.)"""
+    cols = [id_col] + ([block_col] if block_col else [])
+    g = shingles(df.select(*cols, text_col), text_col, k=k, out="gram")
+
+    freq = g.groupBy("gram").agg(F.count("*").alias("_f"))
+    docs = (
+        g.join(freq, "gram")
+        .groupBy(*cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_f", "gram"))),
+                lambda s: s["gram"],
+            ).alias("grams")
+        )
+        .withColumn("n_grams", F.size("grams"))
+        .withColumn(
+            "_plen",
+            F.col("n_grams") - F.ceil(F.lit(float(threshold)) * F.col("n_grams")) + 1,
+        )
+    )
+
+    pref = docs.select(
+        *cols, F.explode(F.slice("grams", 1, F.col("_plen").cast("int"))).alias("gram")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    da = docs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("grams").alias("_ga"),
+        F.col("n_grams").alias("_na"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("grams").alias("_gb"),
+        F.col("n_grams").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / (F.col("_na") + F.col("_nb") - inter), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

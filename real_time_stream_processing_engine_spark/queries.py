@@ -407,9 +407,9 @@ def q16_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_ngram_jaccard",
     f"""
     WITH g AS (
-      SELECT DISTINCT doc_id, lang, unnest(list_transform(range(1, len(toks)),
-             i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
-      FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents) t WHERE len(toks) >= 2),
+      SELECT DISTINCT doc_id, lang, unnest(list_transform(range(1, len(toks)-1),
+             i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS gram
+      FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents) t WHERE len(toks) >= 3),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
     inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
               FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
@@ -421,8 +421,9 @@ def q16_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs, blocked by lang
-    (exact verification reserved for blocked pairs, never all-pairs)."""
+    """Exact 3-shingle Jaccard near-dup pairs, blocked by lang — the
+    exact-verify stage over the same shingle space as q15/q16's
+    MinHash-LSH candidates."""
     from .operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
