@@ -697,5 +697,80 @@ def q28_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qvec, cents, k=10, n_probe=4, exclude_id=0)
 
 
+# --------------------------------------------------------------------------
+# Streaming surface beyond q10: event-time windows, redelivery dedup,
+# session windows, custom stateful operators.  Each drains with
+# Trigger.AvailableNow and must equal the batch answer at stream end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q29_stream_tumbling",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q29_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly tumbling windows on the event stream — the
+    event-time/late-data machinery the reference lacks (SURVEY.md §2.5);
+    stream-end output equals the batch tumbling aggregate (q23)."""
+    from .streaming.runner import stream_tumbling_counts
+
+    return stream_tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "q30_stream_dedup",
+    "SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS cnt "
+    "FROM events GROUP BY event_type",
+)
+def q30_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 done right: the source redelivers every tuple twice (the
+    reference's retry path) and streaming ``dropDuplicates`` on the
+    tuple id restores exactly-once counts."""
+    from .streaming.runner import stream_dedup_counts
+
+    return stream_dedup_counts(spark, sf_dir)
+
+
+@register(
+    "q31_stream_sessions",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    marked AS (SELECT user_id, event_id, us,
+                      CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+               FROM lagd),
+    sess AS (SELECT user_id, us,
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_id
+             FROM marked)
+    SELECT user_id, MIN(us) AS session_start_us, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q31_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30 min gap) — the streaming
+    twin of q24's batch sessionization; the oracle recomputes the same
+    gap-based sessions with window functions."""
+    from .streaming.runner import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir)
+
+
+@register("q32_stream_stateful_count", None)
+def q32_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``)
+    reproducing O9's running count with durable, per-key state.  Not
+    SQL-expressible (stateful update-mode semantics) — rows-only check
+    here; tests assert stream-end equality with the batch count."""
+    from .streaming.runner import stream_stateful_running_count
+
+    return stream_stateful_running_count(spark, sf_dir)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -75,3 +75,98 @@ def stream_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_events(spark, sf_dir)
     agg = src.groupBy("event_type").agg(F.count("*").alias("cnt"))
     return run_to_memory_available_now(agg)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-time tumbling windows on the stream, with a
+    watermark bounding state (late rows beyond 2h are dropped — the
+    late-data policy the reference lacks entirely, SURVEY.md §2.5).
+    Output matches the batch tumbling aggregate at stream end."""
+    src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_memory_available_now(agg)
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery emulation + exactly-once dedup (E4 parity).
+
+    The source directory stages the SAME events file twice — every tuple
+    arrives (at least) twice, exactly like the reference's 5 s retry
+    resend path (``Node.java:1547-1564``), whose unused dedup set
+    (``Node.java:117``) lets retries overcount.  ``dropDuplicates`` on
+    the tuple id against streaming state makes redelivery invisible:
+    stream-end counts equal the batch answer over the ONE copy."""
+    src_path = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(
+        tempfile.gettempdir(), "rs_dupdir_" + uuid.uuid5(uuid.NAMESPACE_URL, src_path).hex
+    )
+    os.makedirs(d, exist_ok=True)
+    for copy in ("a", "b"):
+        link = os.path.join(d, f"events_{copy}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src_path, link)
+    src = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    deduped = src.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    return run_to_memory_available_now(agg)
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30 min gap) over the event stream —
+    the streaming form of the batch sessionization (q24); session count
+    and per-session event counts match it at stream end."""
+    src = stream_events(spark, sf_dir)
+    agg = (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    return run_to_memory_available_now(agg)
+
+
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9's literal semantics as a CUSTOM stateful operator:
+    ``applyInPandasWithState`` holds one count per key — the distributed,
+    checkpointed version of the reference's task-local
+    ``Map<String,Integer>`` (``Operators.java:21``, ``:93-100``), which
+    lived in one JVM and died with it.  Emits the running total per key
+    per micro-batch in update mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_count(key, pdfs, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"event_type": [key[0]], "cnt": [running]})
+
+    src = stream_events(spark, sf_dir)
+    out = src.groupBy("event_type").applyInPandasWithState(
+        update_count,
+        outputStructType="event_type string, cnt long",
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    spark_df = run_to_memory_available_now(out, output_mode="update")
+    # update-mode sink appends one row per key per batch; the final
+    # running total per key is the max (counts are monotone).
+    return spark_df.groupBy("event_type").agg(F.max("cnt").alias("cnt"))

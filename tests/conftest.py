@@ -17,10 +17,11 @@ def spark():
 
     # Small local session for tests: fewer threads/partitions = faster
     # startup and per-job overhead; the engine itself is partition-count
-    # agnostic.
+    # agnostic.  maxFailures=2 (the ",2") so fault-injection tests can
+    # exercise task retry, parity with the reference's recovery demo.
     s = get_spark(
         app_name="rs-tests",
-        master=f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '4')}]",
+        master=f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '4')},2]",
         shuffle_partitions=8,
     )
     yield s
