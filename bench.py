@@ -25,8 +25,18 @@ def main() -> None:
     spark = get_spark(app_name="rs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM/codegen/file-listing, untimed
+    # warmup, untimed: JVM/codegen/file-listing + the Python worker pool
+    # (forking Arrow workers is a fixed per-session cost that
+    # spark.python.worker.reuse amortizes across every later Python stage)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    def _noop(batches):
+        yield from batches
+
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers * 4).repartition(n_workers).mapInPandas(
+        _noop, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

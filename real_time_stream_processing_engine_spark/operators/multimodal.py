@@ -56,11 +56,21 @@ def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
-def extract_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_features(
+    docs: DataFrame, text_col: str = "text", min_parallelism: int | None = None
+) -> DataFrame:
     """Binary-column feature extraction over documents.
 
     Builds the binary payload from the text column (the fixture has no
-    media blobs), then runs the Arrow-batched decode stage.  The
-    payload construction is the only fixture-specific line."""
+    media blobs), then runs the Arrow-batched decode stage.  The payload
+    construction is the only fixture-specific line.
+
+    Decode is CPU-bound Python, so partition count caps throughput: a
+    handful of giant input files would otherwise pin the whole decode on
+    a few Python workers.  ``min_parallelism`` round-robins the payloads
+    first when the scan yields fewer partitions than that — the one case
+    where an extra shuffle is cheaper than the idle cores."""
     with_payload = docs.select("doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload"))
+    if min_parallelism and with_payload.rdd.getNumPartitions() < min_parallelism:
+        with_payload = with_payload.repartition(min_parallelism)
     return with_payload.mapInPandas(fake_decode_features, FEATURE_SCHEMA)

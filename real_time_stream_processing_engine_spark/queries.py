@@ -642,7 +642,7 @@ def q27_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(docs)
+    return extract_features(docs, min_parallelism=spark.sparkContext.defaultParallelism)
 
 
 @register(

@@ -1,0 +1,5 @@
+from .writers import (  # noqa: F401
+    stream_to_files,
+    write_results,
+    write_results_with_provenance,
+)

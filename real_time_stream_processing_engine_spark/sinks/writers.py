@@ -1,0 +1,80 @@
+"""Sinks — the reference's output plane (E3), Spark-first.
+
+The reference appends results to ``output/job{N}_results.log`` and a
+tuple-provenance log ``job{N}_tuples.log`` on the leader, over UDP, with
+duplicate appends possible on retry (``Node.java:1162-1187``, remote
+path ``Node.java:1503-1525``, leader write ``RainStorm.java:1338-1354``).
+Here:
+
+- batch writes are parquet/csv/text via the committer protocol — a task
+  writes to a temp attempt path and commits atomically, so retried tasks
+  can never double-append (the failure mode the reference carries);
+- provenance is a column set, not a side file: the same information
+  (input file, line number, tuple id) travels WITH the rows and is
+  written in one pass;
+- streaming writes go through ``foreachBatch``/file sinks with
+  checkpointed batch ids — replayed micro-batches overwrite instead of
+  double-append (exactly-once file output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FORMATS = ("parquet", "csv", "text", "json")
+
+
+def write_results(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Batch result sink (``job{N}_results.log`` parity).  The committer
+    protocol makes this atomic per job: no partial/duplicate output on
+    task retry."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {fmt!r}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+
+
+def write_results_with_provenance(
+    df: DataFrame, results_path: str, provenance_path: str, fmt: str = "parquet"
+) -> None:
+    """Results + tuple-provenance logs (``job{N}_tuples.log`` parity).
+
+    The reference logs ``uniqueId:file,line#,line`` per processed tuple
+    so a demo run can be audited (``Node.java:1162-1187``).  Here the
+    provenance sink captures the same lineage columns if present
+    (``src_file``/``line_id``/``uid`` from
+    :func:`..sources.readers.read_text_lines`) plus a processing
+    timestamp, written once, atomically, alongside the results."""
+    write_results(df, results_path, fmt)
+    prov_cols = [c for c in ("uid", "src_file", "line_id") if c in df.columns]
+    if prov_cols:
+        prov = df.select(*prov_cols).withColumn(
+            "_processed_at", F.current_timestamp()
+        )
+        write_results(prov, provenance_path, fmt)
+
+
+def stream_to_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+):
+    """Streaming file sink with checkpointed exactly-once output.
+
+    Batch ids recorded in the checkpoint make replays idempotent — the
+    strictly-stronger replacement for the reference's append-on-retry
+    results path.  Returns the started StreamingQuery."""
+    writer = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,93 @@
+"""Storage-plane parity (SURVEY.md §2.4) — HyDFS operations mapped onto
+a real filesystem + Spark IO.
+
+The reference hand-rolls a replicated file store: SHA-1-ring placement
+(``RainStorm.java:487-497``), 3-way replication with successor repair
+(``RainStorm.java:770-825``), client-serialized appends with per-node
+version vectors (``RainStorm.java:552-580``), and a 3-way line merge for
+replica convergence (``RainStorm.java:651-768``).  On Spark every one of
+those concerns is the filesystem's job (HDFS/S3 replicate, repair, and
+version); what remains is the thin catalog surface below — the verbs a
+HyDFS user actually typed (create/get/append/ls/merge) expressed as
+Spark IO, each a one-liner because durability is delegated.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """HyDFS ``create`` (``RainStorm.java:468-485``): first write wins;
+    fails if the file already exists (errorifexists mode)."""
+    getattr(df.write.mode("errorifexists"), fmt)(path)
+
+
+def get(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """HyDFS ``get`` (``RainStorm.java:487-527``): read from any replica
+    — replica choice, caching, and consistency are the FS's job."""
+    return getattr(spark.read, fmt)(path)
+
+
+def append(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """HyDFS ``append`` (``RainStorm.java:552-580``): new files in the
+    same directory.  Spark's committer orders nothing ACROSS jobs — like
+    HyDFS, concurrent appends land in arrival order; unlike HyDFS, each
+    append is atomic (no torn lines, no per-node version vectors to
+    merge)."""
+    getattr(df.write.mode("append"), fmt)(path)
+
+
+def ls(spark: SparkSession, path: str) -> list[dict]:
+    """HyDFS ``ls`` (``RainStorm.java:582-614``): file listing with
+    sizes.  Block/replica locations are intentionally NOT surfaced —
+    that is the FS's concern, and plans should never depend on them."""
+    # Hadoop FS API via the JVM gateway so the listing matches exactly
+    # what Spark's scans will see (globbing, hidden-file rules aside).
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        out.append(
+            {
+                "path": st.getPath().toString(),
+                "bytes": st.getLen(),
+                "is_dir": st.isDirectory(),
+                "modified_ms": st.getModificationTime(),
+            }
+        )
+    return sorted(out, key=lambda d: d["path"])
+
+
+def merge(spark: SparkSession, path: str, fmt: str = "parquet", target_files: int | None = None) -> None:
+    """HyDFS ``merge`` (``RainStorm.java:651-768``) re-converged replicas.
+
+    With durability delegated there is nothing to converge; the useful
+    surviving semantic is COMPACTION — many small append files rewritten
+    to few large ones (the small-files problem is the 100 TB analogue of
+    replica sprawl).  Rewrites via a temp dir + atomic rename."""
+    df = get(spark, path, fmt)
+    n = target_files or max(1, df.rdd.getNumPartitions() // 8)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    getattr(df.coalesce(n).write.mode("overwrite"), fmt)(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))

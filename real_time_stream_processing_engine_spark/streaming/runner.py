@@ -23,12 +23,25 @@ from pyspark.sql import functions as F
 from ..sources.readers import SCHEMAS
 
 
+def _scratch_dir() -> str:
+    """Scratch base for checkpoints/staging.  Honors
+    ``SPARK_GRAFT_SCRATCH``; otherwise prefers tmpfs (/dev/shm) — local
+    checkpoints are commit-log fsync-bound, and a dev/bench loop has no
+    durability requirement (a real deployment points this at HDFS/S3)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
 def _as_stream_dir(path: str) -> str:
     """Spark's file stream source requires a directory; the testdata
     tables are single parquet files.  Stage a symlink dir (no copy)."""
     if os.path.isdir(path):
         return path
-    d = os.path.join(tempfile.gettempdir(), "rs_streamdir_" + uuid.uuid5(uuid.NAMESPACE_URL, path).hex)
+    d = os.path.join(_scratch_dir(), "rs_streamdir_" + uuid.uuid5(uuid.NAMESPACE_URL, path).hex)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
     if not os.path.exists(link):
@@ -56,7 +69,7 @@ def run_to_memory_available_now(
     stream-end state must equal the batch answer."""
     spark = agg.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"rs_ckpt_{qname}")
+    ckpt = os.path.join(_scratch_dir(), f"rs_ckpt_{qname}")
     q = (
         agg.writeStream.format("memory")
         .queryName(qname)
@@ -107,7 +120,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-end counts equal the batch answer over the ONE copy."""
     src_path = os.path.join(sf_dir, "events.parquet")
     d = os.path.join(
-        tempfile.gettempdir(), "rs_dupdir_" + uuid.uuid5(uuid.NAMESPACE_URL, src_path).hex
+        _scratch_dir(), "rs_dupdir_" + uuid.uuid5(uuid.NAMESPACE_URL, src_path).hex
     )
     os.makedirs(d, exist_ok=True)
     for copy in ("a", "b"):
