@@ -772,5 +772,162 @@ def q32_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stateful_running_count(spark, sf_dir)
 
 
+# --------------------------------------------------------------------------
+# Relational breadth the reference lacks outright (SURVEY.md §2.5): joins
+# beyond 2 tables, rollup, semi/anti, set ops, percentiles, stream-static
+# enrichment.  All built-in DataFrame ops — Catalyst picks the physical
+# strategy (dimension joins broadcast; facts never shuffle for them).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q33_star_rollup",
+    """
+    SELECT r_name, n_name,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q33_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (orders→customer→nation→region) with ROLLUP subtotals.
+    nation/region broadcast always, customer broadcasts at any SF where
+    it fits — the fact table never shuffles for a dimension."""
+    orders, customer, nation, region = (
+        load_table(spark, sf_dir, t) for t in ("orders", "customer", "nation", "region")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q34_semi_anti_join",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (WHERE has_order) AS BIGINT) AS n_with_orders,
+           CAST(COUNT(*) FILTER (WHERE NOT has_order) AS BIGINT) AS n_without_orders
+    FROM (SELECT c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+          FROM customer) t
+    GROUP BY c_mktsegment
+    """,
+)
+def q34_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (customers with vs without orders),
+    per market segment.  Semi/anti ship only the join key — no payload
+    duplication, no row multiplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+@register(
+    "q35_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``).  At 100 TB swap for
+    ``approx_percentile`` (t-digest sketch, mergeable, one pass) — the
+    exact form here pins the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(name)
+            for name, q in pcts.items()
+        ]
+    )
+
+
+@register(
+    "q36_set_ops",
+    """
+    SELECT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'click'
+    ) t
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+    """,
+)
+def q36_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users with a high-value purchase and a click but
+    no high-value error (INTERSECT + EXCEPT, each a distinct-aggregated
+    join)."""
+    ev = load_table(spark, sf_dir, "events")
+    big_buy = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95)
+    ).select("user_id")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    big_err = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 95)
+    ).select("user_id")
+    return big_buy.intersect(clickers).subtract(big_err)
+
+
+@register(
+    "q37_stream_enrich",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id + 1
+    GROUP BY c_mktsegment
+    """,
+)
+def q37_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension (broadcast — the stream side never shuffles for it), then
+    aggregates per segment; stream-end equals the batch join."""
+    from .streaming.runner import run_to_memory_available_now, stream_events
+
+    customer = load_table(spark, sf_dir, "customer")
+    src = stream_events(spark, sf_dir)
+    enriched = src.join(
+        F.broadcast(customer), customer.c_custkey == src.user_id + 1
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_to_memory_available_now(agg)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
