@@ -340,3 +340,82 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash (Charikar) — the third classic near-dup family alongside
+# MinHash-LSH and n-gram Jaccard.  60-bit fingerprints derived from
+# md5 (oracle-reproducible); everything JVM-side.
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15  # 4 bands; Hamming <= 3 guarantees 1 exact band
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """60-bit SimHash per document: each token hashes to 60 bits (first
+    15 hex chars of md5), every bit votes +1/-1 weighted by term
+    frequency, sign of each vote column becomes the fingerprint bit.
+
+    One token explode then ONE hash aggregate computing all 60 vote
+    sums (map-side combined: the shuffle carries 60 longs per doc, not
+    tokens), then a pure projection packs the fingerprint.  At 100 TB
+    this is a single exchange keyed on doc_id."""
+    tok = df.select(id_col, F.explode(tokenize(text_col)).alias("_tok"))
+    h = F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    # votes as set-bit counts: vote_i = 2*cnt_i - n, so bit_i = 1 iff
+    # 2*cnt_i > n.  Flat sums + one COUNT keep the codegen small (a
+    # 60-deep CASE/Add tree is slow to analyze and compile).
+    votes = tok.withColumn("_h", h).groupBy(id_col).agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_c{i}")
+            for i in range(bits)
+        ],
+    )
+    # pack MSB-first into a binary string, one flat concat, then conv
+    bitchars = [
+        F.when(2 * F.col(f"_c{i}") > F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
+        for i in reversed(range(bits))
+    ]
+    fp = F.conv(F.concat(*bitchars), 2, 10).cast("long")
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by banded SimHash: split the 60-bit fingerprint
+    into 4 x 15-bit bands; pairs agreeing on >= 1 band are candidates
+    (pigeonhole: Hamming <= 3 over 4 bands forces an exact band), then
+    the exact Hamming distance filters.  Linear in corpus + bucket
+    sizes — never an all-pairs product."""
+    sig = simhash_signatures(df, id_col, text_col)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    stack_args = ", ".join(
+        f"{j}, shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {mask}"
+        for j in range(n_bands)
+    )
+    bands = sig.select(
+        id_col, "simhash", F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).cast("long").alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()

@@ -929,5 +929,60 @@ def q37_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_available_now(agg)
 
 
+# --------------------------------------------------------------------------
+# SimHash dedup (the third near-dup family: MinHash-LSH q15/q16,
+# n-gram Jaccard q17, embedding cosine q18, SimHash q38/q39).
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+_SQL_SIMHASH = f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM v
+"""
+
+
+@register("q38_simhash_signatures", _SQL_SIMHASH)
+def q38_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (md5-derived, tf-weighted bit votes):
+    one token explode + one 60-sum hash aggregate; shuffle payload is
+    60 longs per doc, never tokens."""
+    from .operators.dedup import simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+@register(
+    "q39_simhash_neardup",
+    f"""
+    WITH s AS ({_SQL_SIMHASH}),
+    bands AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS band
+              FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             FROM bands a JOIN bands b
+               ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 4 x 15-bit band buckets (pigeonhole:
+    Hamming <= 3 forces one exact band) + exact Hamming verify — linear
+    in corpus + bucket sizes, never all-pairs."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
