@@ -1,0 +1,107 @@
+"""Physical-plan regression tests.
+
+PLANS.md documents the plan shapes each operator family must keep to
+survive a 100x scale-up; these tests pin the load-bearing properties so
+a refactor can't silently regress them.  No data is collected — each
+test only renders ``explain("formatted")``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from real_time_stream_processing_engine_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _count(plan: str, op: str) -> int:
+    return len(re.findall(rf"^\s*\(\d+\) {re.escape(op)}\b", plan, re.M))
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    """q33: customer/nation/region broadcast; the orders fact table is
+    never exchanged for a join — its only shuffle is the rollup agg."""
+    plan = _plan(spark, sf_dir, "q33_star_rollup")
+    assert _count(plan, "BroadcastHashJoin") == 3
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "Exchange") == 1  # the aggregate only
+
+
+def test_grouped_agg_pushes_filter_to_scan(spark, sf_dir):
+    """q08: the shipdate predicate must reach the parquet reader."""
+    plan = _plan(spark, sf_dir, "q08_grouped_agg")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan
+
+
+def test_grouped_agg_partial_aggregation(spark, sf_dir):
+    """q08: map-side combine — HashAggregate below AND above the
+    exchange, so the shuffle carries one row per key per task."""
+    plan = _plan(spark, sf_dir, "q08_grouped_agg")
+    assert _count(plan, "HashAggregate") == 2
+    assert _count(plan, "Exchange") == 1
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q04: a count over one filtered column reads ONLY that column."""
+    plan = _plan(spark, sf_dir, "q04_filter_count")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_comment" not in cols and len(cols) <= 2, cols
+
+
+def test_topk_per_group_limits_below_exchange(spark, sf_dir):
+    """q25: WindowGroupLimit runs map-side, so the shuffle carries at
+    most k rows per group per task instead of every row."""
+    plan = _plan(spark, sf_dir, "q25_topk_per_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_knn_avoids_global_sort(spark, sf_dir):
+    """q13: top-k by score is TakeOrderedAndProject (per-partition
+    heaps merged on the driver), never a full Sort + Limit."""
+    plan = _plan(spark, sf_dir, "q13_knn_cosine")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_simhash_single_aggregate_pass(spark, sf_dir):
+    """q38: one token explode feeding one partial-aggregated exchange —
+    the shuffle payload is vote counters per doc, not tokens."""
+    plan = _plan(spark, sf_dir, "q38_simhash_signatures")
+    assert _count(plan, "Generate") == 1
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "HashAggregate") == 2
+
+
+def test_stream_enrich_broadcasts_dimension(spark, sf_dir):
+    """q37's batch shape (q36 uses the same events scan): dimension
+    joins against a stream must broadcast, never shuffle the stream."""
+    plan = _plan(spark, sf_dir, "q36_set_ops")
+    assert _count(plan, "BroadcastHashJoin") == 2
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_filter_contains", "q06_word_count", "q11_dedup_exact",
+     "q15_minhash_signatures", "q19_lang_id", "q20_quality_score",
+     "q21_token_stats", "q38_simhash_signatures"],
+)
+def test_no_python_udf_in_jvm_operators(spark, sf_dir, name):
+    """Everything except the two declared Python boundaries (q27
+    mapInPandas decode, q32 applyInPandasWithState) stays JVM-side."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
