@@ -393,8 +393,15 @@ def simhash_neardup_pairs(
     """Near-dup pairs by banded SimHash: split the 60-bit fingerprint
     into 4 x 15-bit bands; pairs agreeing on >= 1 band are candidates
     (pigeonhole: Hamming <= 3 over 4 bands forces an exact band), then
-    the exact Hamming distance filters.  Linear in corpus + bucket
-    sizes — never an all-pairs product."""
+    the exact Hamming distance filters.
+
+    Shape: bucket-pairs, not a self-join — a self-join on the signature
+    frame re-executes the whole scan+explode+aggregate pipeline per join
+    side (Spark cannot reuse a shuffle exchange as a broadcast input),
+    whereas grouping by (band_idx, band) computes signatures ONCE and
+    expands the per-bucket pair combinations in a single JVM expression.
+    Cost stays Σ|bucket|², never |corpus|²; at production scale cap or
+    drop degenerate buckets (boilerplate bands) before the expansion."""
     sig = simhash_signatures(df, id_col, text_col)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
@@ -403,19 +410,26 @@ def simhash_neardup_pairs(
         for j in range(n_bands)
     )
     bands = sig.select(
-        id_col, "simhash", F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band)")
+        F.col(id_col).alias("doc_id"),
+        "simhash",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band)"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("doc_a"),
-        F.col(f"b.{id_col}").alias("doc_b"),
-        F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-        ).cast("long").alias("hamming"),
+    buckets = (
+        bands.groupBy("band_idx", "band")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    pair_expr = f"""
+      flatten(transform(ms, (x, i) ->
+        filter(transform(ms, (y, j) ->
+          CASE WHEN j > i THEN named_struct(
+            'doc_a', least(x.doc_id, y.doc_id),
+            'doc_b', greatest(x.doc_id, y.doc_id),
+            'hamming', CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)) END),
+          p -> p IS NOT NULL AND p.hamming <= {int(max_hamming)})))
+    """
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .distinct()
+    )

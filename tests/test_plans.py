@@ -85,6 +85,13 @@ def test_simhash_single_aggregate_pass(spark, sf_dir):
     assert _count(plan, "HashAggregate") == 2
 
 
+def test_simhash_pairs_single_scan(spark, sf_dir):
+    """q39: bucket-pairs shape — the corpus is scanned ONCE (a signature
+    self-join would re-execute the scan+explode+aggregate per side)."""
+    plan = _plan(spark, sf_dir, "q39_simhash_neardup")
+    assert _count(plan, "Scan parquet") == 1
+
+
 def test_stream_enrich_broadcasts_dimension(spark, sf_dir):
     """q37's batch shape (q36 uses the same events scan): dimension
     joins against a stream must broadcast, never shuffle the stream."""
