@@ -92,25 +92,29 @@ def lsh_candidate_pairs(
     single-row bands (collision probability per band = jaccard, so
     ``n_bands/n`` estimates jaccard).
 
-    The self-join is on (seed, mh) — i.e. bucketed by band signature —
-    so cost is sum of squared bucket sizes, not |corpus|^2.  At 100 TB
-    the guard rails are: salting any mega-bucket (a band value shared by
-    millions of docs is boilerplate text — cap or drop it) and AQE skew
-    join handling, both configuration on this same plan."""
+    Shape: bucket-pairs, not a self-join — a (seed, mh) self-join
+    re-executes the whole scan+shingle+minhash pipeline per join side;
+    grouping by (seed, mh) computes signatures ONCE and expands each
+    bucket's pair combinations in one JVM expression.  Cost is sum of
+    squared bucket sizes, not |corpus|^2.  At 100 TB the guard rails
+    are: capping/dropping any mega-bucket (a band value shared by
+    millions of docs is boilerplate text) before the expansion."""
     long = minhash_long(minhash_signatures(df, id_col, text_col, n), id_col, n)
-    a = long.alias("a")
-    b = long.alias("b")
+    buckets = (
+        long.groupBy("seed", "mh")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    # sorted ids + (i < j) expansion keeps doc_a < doc_b by construction
+    pair_expr = """
+      flatten(transform(ds, (x, i) ->
+        filter(transform(ds, (y, j) ->
+          CASE WHEN j > i THEN named_struct('doc_a', x, 'doc_b', y) END),
+          p -> p IS NOT NULL)))
+    """
     return (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
     )
@@ -128,45 +132,56 @@ def ngram_jaccard_pairs(
 
     Each doc's distinct k-shingles (same contract as the MinHash path,
     so q16's LSH candidates and this exact verify agree on the
-    similarity space) are hashed to 64-bit ints and self-joined on
-    (block, gram-hash); intersection sizes fall out of one pair
-    aggregate with map-side combine, union sizes from a per-doc count.
-    Join bucket cost is sum of squared gram frequencies — safe when
-    shingles are high-order (k>=3 word shingles are rare almost
-    everywhere); for corpora where even k-shingles run hot, use
-    ``ngram_jaccard_pairs_blocked`` (bounded blocks) or
+    similarity space) are hashed to 64-bit ints; intersection sizes
+    come from gram-bucket pair expansion, and each doc's gram count
+    rides along inside the bucket structs, so the whole query is ONE
+    corpus scan, three exchanges, and NO joins (the join formulation
+    scanned the corpus four times: twice for the gram self-join, twice
+    for the size lookups).  Bucket cost is sum of squared gram
+    frequencies — safe when shingles are high-order (k>=3 word shingles
+    are rare almost everywhere); for corpora where even k-shingles run
+    hot, use ``ngram_jaccard_pairs_blocked`` (bounded blocks) or
     ``ngram_jaccard_pairs_prefix`` (Zipfian vocab) below.
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|)."""
-    cols = [id_col] + ([block_col] if block_col else [])
-    g = shingles(df.select(*cols, text_col), text_col, k=k).select(
-        *cols, F.xxhash64("shingle").alias("gram")
+    block_cols = [block_col] if block_col else []
+    g = shingles(df.select(id_col, *block_cols, text_col), text_col, k=k).select(
+        id_col, *block_cols, F.xxhash64("shingle").alias("gram")
     )
-    sizes = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    a, b = g.alias("a"), g.alias("b")
-    cond = (F.col("a.gram") == F.col("b.gram")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # per-doc gram list + count in one hash aggregate, then re-explode
+    # with the count attached — no separate sizes table to join back
+    per_doc = g.groupBy(id_col, *block_cols).agg(
+        F.collect_list("gram").alias("_gs")
     )
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    long = per_doc.select(
+        F.col(id_col).alias("doc_id"),
+        *block_cols,
+        F.size("_gs").alias("n"),
+        F.explode("_gs").alias("gram"),
+    )
+    buckets = (
+        long.groupBy(*block_cols, "gram")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_expr = """
+      flatten(transform(ms, (x, i) ->
+        filter(transform(ms, (y, j) ->
+          CASE WHEN j > i THEN named_struct(
+            'doc_a', x.doc_id, 'doc_b', y.doc_id,
+            'na', x.n, 'nb', y.n) END),
+          p -> p IS NOT NULL)))
+    """
     inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .select(
-            "doc_a",
-            "doc_b",
+        inter.select(
+            F.col("doc_a"),
+            F.col("doc_b"),
             F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_inter")),
-                6,
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
