@@ -56,41 +56,44 @@ def blocked_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
-    The self-join is equi-keyed on the block, so Spark hash-partitions
-    both sides on it — cost is sum over blocks of |block|^2, never
-    |corpus|^2.  At 100 TB the block is an LSH bucket or IVF cell of a
-    few thousand vectors; here the fixture's label plays that role.
-    Norms are computed once per vector BEFORE the join (|corpus| sqrts
+    Shape: bucket-pairs, not a self-join — the equi-keyed self-join
+    scans the vector column (the table's dominant bytes) twice; one
+    groupBy(block) + collect_list scans it once and expands each
+    block's pair combinations in a single JVM expression, dot products
+    included.  Cost is sum over blocks of |block|^2, never |corpus|^2.
+    At 100 TB the block is an LSH bucket or IVF cell of a few thousand
+    vectors; here the fixture's label plays that role.  Norms are
+    computed once per vector BEFORE the grouping (|corpus| sqrts
     instead of 2x|pairs|)."""
     normed = emb.select(
         F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("n"),
+        ).alias("_m"),
     )
-    a = normed.select(
-        F.col("_blk"),
-        F.col("_id").alias("vec_a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
+    buckets = (
+        normed.groupBy("_blk")
+        .agg(F.sort_array(F.collect_list("_m")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    b = normed.select(
-        F.col("_blk"),
-        F.col("_id").alias("vec_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    return (
-        a.join(b, ["_blk"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") > threshold)
+    # sorted by id + (i < j) keeps vec_a < vec_b; dot product runs
+    # inside the same codegen'd expression (double-promoted like dot())
+    pair_expr = f"""
+      flatten(transform(ms, (x, i) ->
+        filter(transform(ms, (y, j) ->
+          CASE WHEN j > i THEN named_struct(
+            'vec_a', x.id, 'vec_b', y.id,
+            'cos_sim', round(
+              aggregate(zip_with(x.v, y.v,
+                         (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+                        CAST(0 AS DOUBLE), (acc, z) -> acc + z)
+              / (x.n * y.n), 6)) END),
+          p -> p IS NOT NULL AND p.cos_sim > {float(threshold)})))
+    """
+    return buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.vec_a", "p.vec_b", "p.cos_sim"
     )
 
 

@@ -825,27 +825,24 @@ def q33_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q34_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi + left-anti joins (customers with vs without orders),
-    per market segment.  Semi/anti ship only the join key — no payload
-    duplication, no row multiplication."""
+    """Semi/anti semantics (customers with vs without orders) per market
+    segment in ONE pass: a left-outer join against the distinct order
+    keys flags existence, and a conditional aggregate counts both sides
+    — each table scanned once (separate semi + anti joins scan both
+    tables twice).  Only the key column of orders ships, deduplicated
+    map-side before the broadcast."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    semi = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_with_orders"))
-    )
-    anti = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_without_orders"))
-    )
+    okeys = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
     return (
-        semi.join(anti, "c_mktsegment", "full_outer")
-        .select(
-            "c_mktsegment",
-            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
-            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        customer.join(
+            F.broadcast(okeys), customer.c_custkey == okeys.o_custkey, "left_outer"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.col("o_custkey")).alias("n_with_orders"),
+            F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).alias("n_without_orders"),
         )
     )
 
