@@ -70,15 +70,28 @@ def run_to_memory_available_now(
     spark = agg.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_scratch_dir(), f"rs_ckpt_{qname}")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Per-micro-batch cost scales with the number of state-store
+    # partitions (each one loads, commits, and fsyncs per batch) — for
+    # a single-drain harness over local testdata, 32 stores of a few
+    # keys each is pure overhead (~4 s/query -> ~1.5 s at 8).  The
+    # state partition count is fixed by the checkpoint's first batch,
+    # so this only applies to fresh checkpoints; a production job sizes
+    # it to the keyspace via the same knob.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
