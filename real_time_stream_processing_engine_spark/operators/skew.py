@@ -1,0 +1,77 @@
+"""Skew mitigation — salting utilities for the keys AQE can't save.
+
+AQE's skew-join splitting (on in ``session.py``) handles most runtime
+skew by splitting oversized partitions, but two shapes still need
+explicit salting at 100 TB:
+
+- a *single* mega-key in a shuffle aggregate (AQE cannot split one
+  hash-aggregate key across tasks);
+- a skewed join where the hot key's rows exceed one executor's memory
+  even after AQE splits (the build side must be replicated).
+
+Both utilities are pure DataFrame composition — no custom partitioner,
+no RDDs — so Catalyst still optimizes around them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group-by keys.
+
+    Phase 1 groups on (keys + salt) — the hot key's rows spread over
+    ``n_salt`` tasks — phase 2 re-aggregates the partials on the bare
+    keys (tiny input: n_salt rows per key).  ``aggs`` maps column ->
+    one of sum/count/min/max (the re-aggregable functions; avg callers
+    decompose into sum+count).
+
+    The salt is deterministic (hash of the whole row via xxhash64 over
+    all columns) so re-runs are stable.
+    """
+    supported = {"sum", "count", "min", "max"}
+    bad = {fn for fn in aggs.values() if fn not in supported}
+    if bad:
+        raise ValueError(f"non-reaggregable functions: {bad}")
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt))
+    partial_exprs, final_exprs = [], []
+    for c, fn in aggs.items():
+        p = f"_p_{c}_{fn}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+        else:
+            partial_exprs.append(getattr(F, fn)(c).alias(p))
+        refn = "sum" if fn in ("sum", "count") else fn  # partials re-combine
+        final_exprs.append(getattr(F, refn)(p).alias(f"{fn}_{c}"))
+    partials = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partials.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join a skew-heavy big side against a small side by salting.
+
+    The big side gets a deterministic salt in [0, n_salt); the small
+    side is replicated n_salt times (explode of a literal sequence), so
+    every (key, salt) bucket finds its match.  The hot key's rows land
+    on n_salt different tasks instead of one.  Use when the small side
+    is too big to broadcast but the big side's key histogram is spiky
+    beyond what AQE's split threshold handles.
+    """
+    salt_b = F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)).cast("int")
+    b = big.withColumn("_salt", salt_b)
+    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    joined = b.join(s, [on, "_salt"], how)
+    return joined.drop("_salt")

@@ -91,3 +91,24 @@ def exists(spark: SparkSession, path: str) -> bool:
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(p))
+
+
+def create_bucketed(
+    df: DataFrame, table: str, buckets: int, *cols: str, sort: bool = True
+) -> None:
+    """Write a bucketed (and bucket-sorted) catalog table.
+
+    Bucketing is the 100 TB co-location tool the flat-path verbs above
+    can't give: two tables bucketed on the same key with the same
+    bucket count join with NO exchange and (when sorted) NO sort — the
+    shuffle happens once at write time and is amortized over every
+    subsequent join/aggregate on that key.  The reference's analogue is
+    its consistent-hash chunk placement (``RainStorm.java:487-497``),
+    which co-locates *files*; bucketing co-locates *keys*.
+    """
+    writer = (
+        df.write.format("parquet").mode("overwrite").bucketBy(buckets, *cols)
+    )
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table)
