@@ -1,0 +1,61 @@
+"""Range (interval) join — an operator Spark has no native physical
+strategy for.
+
+A pure range predicate (``right_ts BETWEEN left_ts + lower AND left_ts
++ upper``) with no equi key gives Catalyst nothing to hash on, so the
+naive plan is BroadcastNestedLoopJoin — |left| x |right| comparisons, a
+non-starter at scale.  The classic fix is binning: quantize time into
+buckets at least as wide as the window span, derive an equi key from
+the bucket id, and re-check the exact predicate after the hash join.
+Each left row probes at most TWO buckets (the window spans bucket
+boundaries at most once when bin width >= span), so cost is linear in
+rows + true matches, and the join is an ordinary shuffled/broadcast
+hash join that AQE can skew-split.
+
+The reference has no joins at all (SURVEY.md §2.5); this is north-star
+surface in the same family as the as-of join (operators/windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows where ``right[right_ts]`` falls in
+    ``[left[left_ts] + lower_s, left[left_ts] + upper_s]`` (seconds,
+    inclusive) — via bucket equi-join + exact re-check.
+
+    Bin width = window span, so the left side explodes to at most two
+    probe buckets (deduplicated when they coincide) and the right side
+    computes a single bucket id; both are scan-side projections.
+    """
+    span = int(upper_s) - int(lower_s)
+    if span <= 0:
+        raise ValueError("upper_s must be greater than lower_s")
+
+    def _epoch(df: DataFrame, c: str) -> Column:
+        return F.unix_timestamp(df[c]).cast("long")
+
+    le = _epoch(left, left_ts)
+    probe_bins = F.array_distinct(
+        F.array(
+            F.floor((le + F.lit(int(lower_s))) / F.lit(span)),
+            F.floor((le + F.lit(int(upper_s))) / F.lit(span)),
+        )
+    )
+    l = left.withColumn("_bin", F.explode(probe_bins))
+    r = right.withColumn("_bin", F.floor(_epoch(right, right_ts) / F.lit(span)))
+    re_ = F.unix_timestamp(F.col(right_ts)).cast("long")
+    le_ = F.unix_timestamp(F.col(left_ts)).cast("long")
+    exact = (re_ >= le_ + F.lit(int(lower_s))) & (re_ <= le_ + F.lit(int(upper_s)))
+    return l.join(r, on=["_bin"], how=how).filter(exact).drop("_bin")

@@ -981,5 +981,42 @@ def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(docs)
 
 
+@register(
+    "q40_range_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM orders
+    JOIN lineitem
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 6 DAY
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01' AND TIMESTAMP '1995-03-31'
+    GROUP BY o_orderpriority
+    """,
+)
+def q40_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): shipments within a week of any
+    March-1995 order.  Naively this is a nested-loop cross product;
+    ``binned_range_join`` quantizes time into window-span buckets and
+    hash-joins on the bucket id (each order probes <= 2 buckets), then
+    re-checks the exact predicate — linear in rows + matches."""
+    from .operators.rangejoin import binned_range_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-03-01", "1995-03-31"))
+        .select("o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    pairs = binned_range_join(
+        orders, li, "o_orderdate", "l_shipdate", 0, 6 * 86400
+    )
+    return pairs.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

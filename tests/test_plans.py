@@ -92,6 +92,15 @@ def test_simhash_pairs_single_scan(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
 
 
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """q40: the binned range join must hash-join on the bucket id —
+    never the |L|x|R| BroadcastNestedLoopJoin a raw range predicate
+    lowers to."""
+    plan = _plan(spark, sf_dir, "q40_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
 def test_stream_enrich_broadcasts_dimension(spark, sf_dir):
     """q37's batch shape (q36 uses the same events scan): dimension
     joins against a stream must broadcast, never shuffle the stream."""
