@@ -182,3 +182,36 @@ def read_text_lines(spark: SparkSession, path: str, with_provenance: bool = True
         F.monotonically_increasing_id().alias("line_id"),
         F.expr("uuid()").alias("uid"),
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """JSON-lines ingest with an explicit schema — the de-facto wire
+    format of training-data pipelines.
+
+    Scale posture: the schema is REQUIRED (inference is a full extra
+    pass over 100 TB), and malformed lines land in ``corrupt_col``
+    (PERMISSIVE mode) instead of failing the job — callers split the
+    frame on ``corrupt_col IS NULL`` to route rejects to a quarantine
+    sink.  JSONL splits by newline, so unlike multi-line JSON it
+    parallelizes per-block like text.
+    """
+    # build a NEW StructType — StructType.add mutates the caller's schema
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines egress (one object per line, partition-parallel)."""
+    df.write.mode(mode).json(path)
