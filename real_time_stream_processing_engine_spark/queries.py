@@ -1018,5 +1018,65 @@ def q40_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q41_cube_distinct",
+    """
+    SELECT event_type,
+           CAST(date_part('dow', ts) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(date_part('dow', ts) AS BIGINT))
+    """,
+)
+def q41_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week) with a distinct-count — the
+    full grouping-set lattice the reference has no concept of
+    (SURVEY.md §2.5).  Spark expands the cube BEFORE the partial
+    aggregate, so the shuffle still carries combined partials per
+    grouping set; COUNT(DISTINCT) plans as a two-phase expand-aggregate.
+    At 100 TB swap approx_count_distinct (HLL sketch, mergeable, one
+    pass) — same plan shape, bounded memory."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+    dow = (F.dayofweek("ts") - 1).cast("long")
+    return (
+        ev.select("event_type", dow.alias("dow"), "user_id", "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q42_stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+           CAST(floor(epoch(b.ts)) AS BIGINT) AS purchase_ts,
+           ROUND(b.value, 2) AS purchase_value
+    FROM events c
+    JOIN events b
+      ON b.user_id = c.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= c.ts
+     AND b.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def q42_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x purchases within 1 h per
+    user), watermark-bounded state on both sides; inner matches emit
+    immediately so stream-end equals the batch self-join."""
+    from .streaming.runner import stream_stream_click_purchase_join
+
+    return stream_stream_click_purchase_join(spark, sf_dir)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

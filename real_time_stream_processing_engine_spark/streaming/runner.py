@@ -196,3 +196,48 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
     # update-mode sink appends one row per key per batch; the final
     # running total per key is the max (counts are monotone).
     return spark_df.groupBy("event_type").agg(F.max("cnt").alias("cnt"))
+
+
+def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within the following hour.
+
+    The reference cannot express any join, let alone a stateful
+    streaming one (SURVEY.md §2.5).  Here both sides buffer in the
+    state store; the watermark + time-range condition bound how long a
+    click/purchase is retained (2 h after event time), so state is
+    GC-able and the join runs forever on an unbounded stream.  Inner
+    matches emit immediately — no output is withheld at drain end, so
+    stream-end equals the batch self-join (the oracle)."""
+    src = stream_events(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    buys = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("b_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.unix_timestamp("c_ts").alias("click_ts"),
+        F.unix_timestamp("b_ts").alias("purchase_ts"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return run_to_memory_available_now(joined, output_mode="append")
