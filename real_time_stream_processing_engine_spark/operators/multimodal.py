@@ -74,3 +74,103 @@ def extract_features(
     if min_parallelism and with_payload.rdd.getNumPartitions() < min_parallelism:
         with_payload = with_payload.repartition(min_parallelism)
     return with_payload.mapInPandas(fake_decode_features, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_feat", T.StringType()),
+    ]
+)
+
+THUMB_SIZE = 64
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_len", T.IntegerType()),
+    ]
+)
+
+
+def make_frame_sampler(n_frames: int = 4):
+    """Row-expanding decode: one binary payload -> ``n_frames`` frame
+    rows (the video frame-sampling shape: mapInPandas is a flatMap over
+    Arrow batches, so one input row may yield many output rows).
+
+    DETERMINISTIC FAKE: frames are equal byte-slices of the payload,
+    "featurized" as md5 prefixes.  A real sampler swaps the slice+md5
+    body for pyav keyframe extraction; schema and batching stay put."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    chunk = raw[i * step : (i + 1) * step] or raw[-step:]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    feats.append(hashlib.md5(chunk).hexdigest()[:8])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_feat": feats,
+                }
+            )
+
+    return sample
+
+
+def sample_frames(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_frames: int = 4,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Frame-sampling stage over binary payloads (video posture)."""
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+    if min_parallelism and with_payload.rdd.getNumPartitions() < min_parallelism:
+        with_payload = with_payload.repartition(min_parallelism)
+    return with_payload.mapInPandas(make_frame_sampler(n_frames), FRAME_SCHEMA)
+
+
+def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1:1 binary->binary decode stage (the image-resize shape: output
+    is again an opaque binary column plus typed metadata).
+
+    DETERMINISTIC FAKE: the "thumbnail" is the md5 digest cycled to
+    THUMB_SIZE bytes — fixed-size output like a real WxH thumbnail, and
+    reproducible for tests.  A real impl swaps the body for
+    PIL.Image.open(...).resize(...).tobytes()."""
+    for pdf in batches:
+        thumbs = []
+        for payload in pdf["payload"]:
+            d = hashlib.md5(bytes(payload)).digest()
+            reps = -(-THUMB_SIZE // len(d))
+            thumbs.append((d * reps)[:THUMB_SIZE])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "thumb": thumbs,
+                "thumb_len": pd.Series([THUMB_SIZE] * len(thumbs), dtype="int32"),
+            }
+        )
+
+
+def resize_images(
+    docs: DataFrame, text_col: str = "text", min_parallelism: int | None = None
+) -> DataFrame:
+    """Resize stage over binary payloads (image posture)."""
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+    if min_parallelism and with_payload.rdd.getNumPartitions() < min_parallelism:
+        with_payload = with_payload.repartition(min_parallelism)
+    return with_payload.mapInPandas(fake_resize, THUMB_SCHEMA)
