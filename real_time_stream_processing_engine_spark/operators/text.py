@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfn import tokenize
+from ..functions.textfn import normalize_ws, tokenize
 
 # Tiny per-language function-word lexicons (public knowledge).  'zh' is
 # charset-detected rather than lexicon-detected, so it has no entry.
@@ -99,4 +99,44 @@ def token_stats_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.avg("ws_tokens"), 6).alias("avg_ws_tokens"),
         F.sum("bpe_tokens").cast("long").alias("sum_bpe_tokens"),
         F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every character k-gram, slide a window of w hashes, keep each
+    window's minimum — the classic local-sampling fingerprint whose
+    guarantee is that any match of length >= k + w - 1 shares a
+    fingerprint.
+
+    Everything runs inside ONE scan-side projection built from
+    higher-order functions (no explode, no shuffle): the k-gram hashes,
+    the per-window minima, and the distinct-minima digest are all
+    array expressions in whole-stage codegen.  Output per doc:
+    ``n_fingerprints`` (selected minima count) and ``fp_digest`` (md5
+    over the sorted distinct minima — a stable content signature whose
+    equality means fingerprint-set equality).  md5 stands in for the
+    production rolling hash so the oracle reproduces it; a Rabin
+    polynomial drops in without changing any plan shape."""
+    t = normalize_ws(text_col)
+    grams = f"transform(sequence(1, length(_t) - {k - 1}), i -> md5(substr(_t, i, {k})))"
+    mins = (
+        f"transform(sequence(1, size(_hs) - {w - 1}), j -> array_min(slice(_hs, j, {w})))"
+    )
+    return (
+        df.select(id_col, t.alias("_t"))
+        .filter(F.length("_t") >= k + w - 1)
+        .withColumn("_hs", F.expr(grams))
+        .withColumn("_fps", F.array_sort(F.array_distinct(F.expr(mins))))
+        .select(
+            id_col,
+            F.size("_fps").cast("long").alias("n_fingerprints"),
+            F.md5(F.concat_ws("", "_fps")).alias("fp_digest"),
+        )
     )

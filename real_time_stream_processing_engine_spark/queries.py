@@ -1078,5 +1078,41 @@ def q42_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_click_purchase_join(spark, sf_dir)
 
 
+@register(
+    "q43_winnowing_fingerprints",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - 6),
+                            i -> md5(substr(t, i, 8))) AS hs
+      FROM norm WHERE length(t) >= 11
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(hs) - 2),
+                              j -> list_min(list_slice(hs, j, j + 3))))) AS fps
+      FROM hs
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(list_aggregate(fps, 'string_agg', '')) AS fp_digest
+    FROM fps
+    """,
+)
+def q43_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash local sampling): char
+    8-gram hashes, window-of-4 minima, distinct-minima digest per doc —
+    one scan-side HOF projection, no explode, no shuffle."""
+    from .operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
