@@ -69,7 +69,12 @@ def salted_join(
     on n_salt different tasks instead of one.  Use when the small side
     is too big to broadcast but the big side's key histogram is spiky
     beyond what AQE's split threshold handles.
+
+    Only inner/left joins are sound: a right/full outer join would
+    emit each UNMATCHED small-side row once per replica (n_salt times).
     """
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     salt_b = F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)).cast("int")
     b = big.withColumn("_salt", salt_b)
     s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))

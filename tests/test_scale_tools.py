@@ -127,3 +127,17 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_groups > 1  # the hot key no longer lands on a single task
+
+
+def test_salted_join_rejects_outer_joins(spark, sf_dir):
+    # right/full outer would duplicate unmatched small-side rows per
+    # replica — must be rejected, left/inner accepted
+    ev = load_table(spark, sf_dir, "events").limit(10).withColumnRenamed("user_id", "k")
+    dim = load_table(spark, sf_dir, "customer").limit(10).select(
+        F.col("c_custkey").alias("k")
+    )
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, "k", how="full_outer")
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, "k", how="right")
+    assert salted_join(ev, dim, "k", how="left_outer").count() == 10
