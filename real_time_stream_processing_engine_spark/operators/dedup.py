@@ -25,6 +25,59 @@ from ..functions.textfn import normalize_ws, tokenize
 N_MINHASH = 8
 SHINGLE = 3
 
+# Default mega-bucket cap for every bucket-pair operator below.  A
+# bucket is one band/gram/block value's member list collect_list'd into
+# ONE task; pair expansion is |bucket|^2, so an uncapped boilerplate
+# bucket (one band shared by 10^6 docs at 100 TB) is an executor OOM,
+# not a slowdown.  4096 members = ~8M pairs per bucket, comfortably one
+# task's work; raise it deliberately, not by accident.
+MAX_BUCKET = 4096
+
+
+def _cap_buckets(
+    buckets: DataFrame,
+    arr_col: str,
+    max_bucket: int | None,
+    on_overflow: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Enforce the mega-bucket cap on a (key, collect_list) frame.
+
+    ``on_overflow='drop'`` filters oversized buckets out BUT never
+    silently: the second return value is a one-row lazy stats frame
+    (``overflow_buckets``, ``overflow_members``, ``max_bucket_size``)
+    the caller runs to audit what was dropped — a DataFrame rather than
+    an ``observe`` metric because AQE's empty-relation propagation can
+    erase a mid-plan CollectMetrics node exactly when every bucket was
+    dropped, i.e. when the accounting matters most.  ``'error'`` fails
+    the job with the offending size via ``raise_error`` — the right
+    default posture for a pipeline that must not quietly under-report
+    dups.
+    """
+    if max_bucket is None:
+        return buckets, None
+    if on_overflow not in ("drop", "error"):
+        raise ValueError(f"on_overflow must be 'drop' or 'error', got {on_overflow!r}")
+    size = F.size(arr_col)
+    if on_overflow == "error":
+        chk = F.when(
+            size > max_bucket,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bucket exceeds max_bucket={max_bucket}: size="),
+                    size.cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        return buckets.filter(chk), None
+    stats = buckets.agg(
+        F.count(F.when(size > max_bucket, 1)).alias("overflow_buckets"),
+        F.coalesce(F.sum(F.when(size > max_bucket, size)), F.lit(0)).alias(
+            "overflow_members"
+        ),
+        F.coalesce(F.max(size), F.lit(0)).alias("max_bucket_size"),
+    )
+    return buckets.filter(size <= max_bucket), stats
+
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase
@@ -87,6 +140,8 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     n: int = N_MINHASH,
     min_bands: int = 2,
+    max_bucket: int | None = MAX_BUCKET,
+    on_overflow: str = "drop",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >= ``min_bands`` of ``n``
     single-row bands (collision probability per band = jaccard, so
@@ -96,15 +151,20 @@ def lsh_candidate_pairs(
     re-executes the whole scan+shingle+minhash pipeline per join side;
     grouping by (seed, mh) computes signatures ONCE and expands each
     bucket's pair combinations in one JVM expression.  Cost is sum of
-    squared bucket sizes, not |corpus|^2.  At 100 TB the guard rails
-    are: capping/dropping any mega-bucket (a band value shared by
-    millions of docs is boilerplate text) before the expansion."""
+    squared bucket sizes, not |corpus|^2.  The 100 TB guard rail is
+    ``max_bucket``: a band value shared by millions of docs is
+    boilerplate text, and its |bucket|^2 expansion in one task is an
+    OOM — oversized buckets are dropped with overflow accounting (see
+    :func:`_cap_buckets`; drop counts land on the returned DataFrame's
+    ``bucket_overflow`` stats frame) or, with ``on_overflow='error'``,
+    fail the job loudly."""
     long = minhash_long(minhash_signatures(df, id_col, text_col, n), id_col, n)
     buckets = (
         long.groupBy("seed", "mh")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    buckets, overflow_stats = _cap_buckets(buckets, "ds", max_bucket, on_overflow)
     # sorted ids + (i < j) expansion keeps doc_a < doc_b by construction
     pair_expr = """
       flatten(transform(ds, (x, i) ->
@@ -112,12 +172,14 @@ def lsh_candidate_pairs(
           CASE WHEN j > i THEN named_struct('doc_a', x, 'doc_b', y) END),
           p -> p IS NOT NULL)))
     """
-    return (
+    pairs = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
     )
+    pairs.bucket_overflow = overflow_stats
+    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -127,6 +189,8 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     k: int = SHINGLE,
     threshold: float = 0.5,
+    max_bucket: int | None = MAX_BUCKET,
+    on_overflow: str = "drop",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a gram-keyed join.
 
@@ -142,7 +206,13 @@ def ngram_jaccard_pairs(
     are rare almost everywhere); for corpora where even k-shingles run
     hot, use ``ngram_jaccard_pairs_blocked`` (bounded blocks) or
     ``ngram_jaccard_pairs_prefix`` (Zipfian vocab) below.
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|)."""
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_bucket`` drops (with overflow accounting — the returned
+    DataFrame's ``bucket_overflow`` stats frame) or errors on grams
+    shared by more than ``max_bucket`` docs; dropping a hot gram is the
+    classic stop-gram filter and slightly UNDER-estimates jaccard for
+    pairs that shared it, which is the safe direction for dedup."""
     block_cols = [block_col] if block_col else []
     g = shingles(df.select(id_col, *block_cols, text_col), text_col, k=k).select(
         id_col, *block_cols, F.xxhash64("shingle").alias("gram")
@@ -163,6 +233,7 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
     pair_expr = """
       flatten(transform(ms, (x, i) ->
         filter(transform(ms, (y, j) ->
@@ -176,7 +247,7 @@ def ngram_jaccard_pairs(
         .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count("*").alias("n_inter"))
     )
-    return (
+    pairs = (
         inter.select(
             F.col("doc_a"),
             F.col("doc_b"),
@@ -186,6 +257,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    pairs.bucket_overflow = overflow_stats
+    return pairs
 
 
 def ngram_jaccard_pairs_blocked(
@@ -404,6 +477,8 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+    on_overflow: str = "drop",
 ) -> DataFrame:
     """Near-dup pairs by banded SimHash: split the 60-bit fingerprint
     into 4 x 15-bit bands; pairs agreeing on >= 1 band are candidates
@@ -415,8 +490,10 @@ def simhash_neardup_pairs(
     side (Spark cannot reuse a shuffle exchange as a broadcast input),
     whereas grouping by (band_idx, band) computes signatures ONCE and
     expands the per-bucket pair combinations in a single JVM expression.
-    Cost stays Σ|bucket|², never |corpus|²; at production scale cap or
-    drop degenerate buckets (boilerplate bands) before the expansion."""
+    Cost stays Σ|bucket|², never |corpus|²; ``max_bucket`` enforces the
+    degenerate-bucket (boilerplate band) guard before the expansion,
+    with overflow accounting on the returned DataFrame's
+    ``bucket_overflow`` stats frame (see :func:`_cap_buckets`)."""
     sig = simhash_signatures(df, id_col, text_col)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
@@ -434,6 +511,7 @@ def simhash_neardup_pairs(
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
     pair_expr = f"""
       flatten(transform(ms, (x, i) ->
         filter(transform(ms, (y, j) ->
@@ -443,8 +521,10 @@ def simhash_neardup_pairs(
             'hamming', CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)) END),
           p -> p IS NOT NULL AND p.hamming <= {int(max_hamming)})))
     """
-    return (
+    pairs = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )
+    pairs.bucket_overflow = overflow_stats
+    return pairs

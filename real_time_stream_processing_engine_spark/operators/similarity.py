@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
+from .dedup import MAX_BUCKET, _cap_buckets
 
 
 def brute_force_topk(
@@ -53,6 +54,8 @@ def blocked_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_bucket: int | None = MAX_BUCKET,
+    on_overflow: str = "drop",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -64,7 +67,11 @@ def blocked_neardup_pairs(
     At 100 TB the block is an LSH bucket or IVF cell of a few thousand
     vectors; here the fixture's label plays that role.  Norms are
     computed once per vector BEFORE the grouping (|corpus| sqrts
-    instead of 2x|pairs|)."""
+    instead of 2x|pairs|).  ``max_bucket`` enforces the mega-block
+    guard (a block of 10^6 vectors is a 10^12-dot-product task):
+    oversized blocks drop with overflow accounting on the returned
+    DataFrame's ``bucket_overflow`` stats frame, or fail loudly with
+    ``on_overflow='error'``."""
     normed = emb.select(
         F.col(block_col).alias("_blk"),
         F.struct(
@@ -78,6 +85,7 @@ def blocked_neardup_pairs(
         .agg(F.sort_array(F.collect_list("_m")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
     # sorted by id + (i < j) keeps vec_a < vec_b; dot product runs
     # inside the same codegen'd expression (double-promoted like dot())
     pair_expr = f"""
@@ -92,9 +100,11 @@ def blocked_neardup_pairs(
               / (x.n * y.n), 6)) END),
           p -> p IS NOT NULL AND p.cos_sim > {float(threshold)})))
     """
-    return buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
         "p.vec_a", "p.vec_b", "p.cos_sim"
     )
+    pairs.bucket_overflow = overflow_stats
+    return pairs
 
 
 def ivf_topk(
@@ -147,10 +157,14 @@ def ivf_topk(
     def vec_sql(v: list[float]) -> str:
         return "array(" + ",".join(repr(float(x)) + "D" for x in v) + ")"
 
+    # codebook sorted by cid + explicit lower-cid tie-break in the
+    # argmax: a cosine tie (or a collect()-order difference upstream)
+    # must assign the vector to a deterministic cell, matching the
+    # oracle's cid-ASC tie policy.
     cb_sql = "array(" + ",".join(
         f"struct({int(cid)} AS cid, {vec_sql(c)} AS c, "
         f"{math.sqrt(sum(float(x) * float(x) for x in c))!r}D AS nrm)"
-        for cid, c in centroids
+        for cid, c in sorted(centroids, key=lambda t: int(t[0]))
     ) + ")"
     cell = F.expr(
         f"""
@@ -160,7 +174,9 @@ def ivf_topk(
                       0D, (a, x) -> a + x) / s.nrm AS sim,
             s.cid AS cid)),
           CAST(NULL AS STRUCT<sim: DOUBLE, cid: INT>),
-          (acc, x) -> CASE WHEN acc IS NULL OR x.sim > acc.sim THEN x ELSE acc END
+          (acc, x) -> CASE WHEN acc IS NULL OR x.sim > acc.sim
+                            OR (x.sim = acc.sim AND x.cid < acc.cid)
+                      THEN x ELSE acc END
         ).cid
         """
     )
