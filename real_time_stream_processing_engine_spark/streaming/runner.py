@@ -36,17 +36,42 @@ def _scratch_dir() -> str:
     return tempfile.gettempdir()
 
 
+def _stage_symlink_dir(tag: str, links: dict[str, str]) -> str:
+    """Stage a directory of symlinks under scratch, safely.
+
+    The dir is namespaced per-user (uid) and keyed by the *content* of
+    the requested layout (link names + targets), so a layout change
+    gets a fresh directory instead of silently reusing a stale one.
+    Every pre-existing entry is validated: anything that is not a
+    symlink to the expected target (a foreign file squatted into the
+    shared path, a link left by an older layout) fails loudly rather
+    than silently altering stream input."""
+    key = uuid.uuid5(
+        uuid.NAMESPACE_URL, "|".join(f"{n}->{t}" for n, t in sorted(links.items()))
+    ).hex
+    d = os.path.join(_scratch_dir(), f"rs_{tag}_u{os.getuid()}_{key}")
+    os.makedirs(d, exist_ok=True, mode=0o700)
+    for name, target in links.items():
+        link = os.path.join(d, name)
+        if os.path.islink(link):
+            if os.readlink(link) == target:
+                continue
+            raise RuntimeError(f"stale staging link {link} -> {os.readlink(link)}, expected {target}")
+        if os.path.exists(link):
+            raise RuntimeError(f"foreign non-symlink entry in staging dir: {link}")
+        os.symlink(target, link)
+    extra = set(os.listdir(d)) - set(links)
+    if extra:
+        raise RuntimeError(f"unexpected entries in staging dir {d}: {sorted(extra)}")
+    return d
+
+
 def _as_stream_dir(path: str) -> str:
     """Spark's file stream source requires a directory; the testdata
     tables are single parquet files.  Stage a symlink dir (no copy)."""
     if os.path.isdir(path):
         return path
-    d = os.path.join(_scratch_dir(), "rs_streamdir_" + uuid.uuid5(uuid.NAMESPACE_URL, path).hex)
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    return d
+    return _stage_symlink_dir("streamdir", {os.path.basename(path): path})
 
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -59,6 +84,73 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     df = reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
     # same nanos->timestamp conversion as load_table
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Unbounded rate source: (timestamp, value) tuples generated
+    forever — the no-dependency stand-in for the reference's continuous
+    stage-1 tuple flow (``Node.java:915-981``) when no external feed is
+    wired up.  Use with :func:`run_continuous`."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def stream_socket(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
+    """Unbounded socket text source (one tuple per line) — the direct
+    analogue of the reference's TCP tuple server
+    (``Node.java:1434-1464``): a live producer writes lines to
+    ``host:port`` and they flow through the same operator chain as file
+    batches.  At-most-once on its own (no offset tracking in the TCP
+    protocol) — parity with what the reference's socket actually
+    guarantees before its ACK layer; production feeds use a replayable
+    log source instead."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def run_continuous(
+    df: DataFrame,
+    name: str | None = None,
+    trigger_interval: str = "1 second",
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+):
+    """Start a NAMED long-running streaming query into a memory sink and
+    return the live ``StreamingQuery`` — the operational parity surface
+    for the reference's job lifecycle (start -> stream -> observe ->
+    stop, ``Node.java:1376-1403`` / ``RainStorm.java:842-877``):
+
+    - ``q.status`` / ``q.lastProgress``  — observe
+    - ``spark.table(name)``              — read results so far
+    - ``q.stop()`` / ``q.awaitTermination(t)`` — lifecycle
+
+    Unlike :func:`run_to_memory_available_now` this does NOT drain and
+    stop: the processing-time trigger keeps firing until ``stop()``,
+    which is the reference's continuous posture.  The caller owns the
+    returned query; a checkpoint dir is created under scratch when not
+    supplied."""
+    qname = name or f"rs_live_{uuid.uuid4().hex[:8]}"
+    # memory-sink queries cannot recover from an existing checkpoint, so
+    # the default dir is unique per start (named queries would otherwise
+    # trip over the previous run's offsets)
+    ckpt = checkpoint or os.path.join(
+        _scratch_dir(), f"rs_ckpt_{qname}_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
+    )
+    return (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
 
 
 def run_to_memory_available_now(
@@ -128,24 +220,25 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The source directory stages the SAME events file twice — every tuple
     arrives (at least) twice, exactly like the reference's 5 s retry
     resend path (``Node.java:1547-1564``), whose unused dedup set
-    (``Node.java:117``) lets retries overcount.  ``dropDuplicates`` on
-    the tuple id against streaming state makes redelivery invisible:
-    stream-end counts equal the batch answer over the ONE copy."""
+    (``Node.java:117``) lets retries overcount.
+    ``dropDuplicatesWithinWatermark`` on the tuple id makes redelivery
+    invisible — stream-end counts equal the batch answer over the ONE
+    copy — while keeping the dedup state BOUNDED: ids older than the
+    event-time watermark are evicted, so on an unbounded stream the
+    state store holds one watermark-window of ids, not every id ever
+    seen (a retry storm redelivers within seconds; the 2 h window is
+    generous)."""
     src_path = os.path.join(sf_dir, "events.parquet")
-    d = os.path.join(
-        _scratch_dir(), "rs_dupdir_" + uuid.uuid5(uuid.NAMESPACE_URL, src_path).hex
+    d = _stage_symlink_dir(
+        "dupdir", {f"events_{c}.parquet": src_path for c in ("a", "b")}
     )
-    os.makedirs(d, exist_ok=True)
-    for copy in ("a", "b"):
-        link = os.path.join(d, f"events_{copy}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src_path, link)
     src = (
         spark.readStream.schema(SCHEMAS["events"])
         .parquet(d)
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 hours")
     )
-    deduped = src.dropDuplicates(["event_id"])
+    deduped = src.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("cnt"))
     return run_to_memory_available_now(agg)
 
