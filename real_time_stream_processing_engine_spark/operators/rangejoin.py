@@ -38,7 +38,19 @@ def binned_range_join(
     Bin width = window span, so the left side explodes to at most two
     probe buckets (deduplicated when they coincide) and the right side
     computes a single bucket id; both are scan-side projections.
+
+    Inner joins only: the post-join exact re-check would silently drop
+    the null-extended rows of any outer join (degrading it to inner),
+    and the 2-bucket left explode can duplicate unmatched left rows —
+    the same soundness trap :func:`..skew.salted_join` rejects.
     """
+    if how.replace("_", "").lower() != "inner":
+        raise ValueError(
+            f"binned_range_join supports how='inner' only, got {how!r}: the "
+            "exact-predicate re-check after the bucket join would drop outer "
+            "joins' null-extended rows and the probe-bucket explode can "
+            "duplicate unmatched left rows"
+        )
     span = int(upper_s) - int(lower_s)
     if span <= 0:
         raise ValueError("upper_s must be greater than lower_s")
@@ -55,7 +67,9 @@ def binned_range_join(
     )
     l = left.withColumn("_bin", F.explode(probe_bins))
     r = right.withColumn("_bin", F.floor(_epoch(right, right_ts) / F.lit(span)))
-    re_ = F.unix_timestamp(F.col(right_ts)).cast("long")
-    le_ = F.unix_timestamp(F.col(left_ts)).cast("long")
+    # qualify via the exploded/binned frames' own column refs so the
+    # predicate is unambiguous even when both inputs share the ts name
+    re_ = F.unix_timestamp(r[right_ts]).cast("long")
+    le_ = F.unix_timestamp(l[left_ts]).cast("long")
     exact = (re_ >= le_ + F.lit(int(lower_s))) & (re_ <= le_ + F.lit(int(upper_s)))
-    return l.join(r, on=["_bin"], how=how).filter(exact).drop("_bin")
+    return l.join(r, on=["_bin"], how="inner").filter(exact).drop("_bin")

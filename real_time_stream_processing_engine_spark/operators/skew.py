@@ -31,7 +31,10 @@ def salted_agg(
     ``n_salt`` tasks — phase 2 re-aggregates the partials on the bare
     keys (tiny input: n_salt rows per key).  ``aggs`` maps column ->
     one of sum/count/min/max (the re-aggregable functions; avg callers
-    decompose into sum+count).
+    decompose into sum+count).  ``count`` follows SQL ``count(col)``
+    semantics — nulls in the named column are excluded, exactly like
+    ``groupBy().agg(F.count(col))`` — so the salted result is a drop-in
+    replacement for the unsalted aggregate.
 
     The salt is deterministic (hash of the whole row via xxhash64 over
     all columns) so re-runs are stable.
@@ -44,10 +47,7 @@ def salted_agg(
     partial_exprs, final_exprs = [], []
     for c, fn in aggs.items():
         p = f"_p_{c}_{fn}"
-        if fn == "count":
-            partial_exprs.append(F.count(F.lit(1)).alias(p))
-        else:
-            partial_exprs.append(getattr(F, fn)(c).alias(p))
+        partial_exprs.append(getattr(F, fn)(c).alias(p))
         refn = "sum" if fn in ("sum", "count") else fn  # partials re-combine
         final_exprs.append(getattr(F, refn)(p).alias(f"{fn}_{c}"))
     partials = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)

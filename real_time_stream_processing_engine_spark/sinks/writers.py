@@ -47,7 +47,14 @@ def write_results_with_provenance(
     provenance sink captures the same lineage columns if present
     (``src_file``/``line_id``/``uid`` from
     :func:`..sources.readers.read_text_lines`) plus a processing
-    timestamp, written once, atomically, alongside the results."""
+    timestamp, written once, atomically, alongside the results.
+
+    This runs TWO write jobs over the same plan, so cross-sink uid
+    consistency (the whole point of an audit log) requires every lineage
+    column to be deterministic under re-evaluation — which
+    ``read_text_lines`` guarantees (``uid`` = md5 of src_file:line_id,
+    never ``uuid()``).  Pinned by
+    ``tests/test_sinks_catalog.py::test_provenance_uids_match_results``."""
     write_results(df, results_path, fmt)
     prov_cols = [c for c in ("uid", "src_file", "line_id") if c in df.columns]
     if prov_cols:

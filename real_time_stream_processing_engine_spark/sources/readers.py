@@ -172,15 +172,23 @@ def read_text_lines(spark: SparkSession, path: str, with_provenance: bool = True
     unique and reproducible per file layout, not a dense per-file line
     number — dense numbering would force a global sort; the engine only
     needs uniqueness (dedup on retry) and provenance, never density.
+
+    ``uid`` is DETERMINISTIC — ``md5(src_file:line_id)``, not ``uuid()``
+    — so re-evaluating the plan (a second write job, a retried stage, a
+    downstream audit query) yields the SAME ids: the property that makes
+    a results sink and a provenance sink written from one frame actually
+    cross-reference, and that makes dedup-on-retry idempotent.
     """
     df = spark.read.text(path)
     if not with_provenance:
         return df
-    return df.select(
+    df = df.select(
         F.col("value"),
         F.input_file_name().alias("src_file"),
         F.monotonically_increasing_id().alias("line_id"),
-        F.expr("uuid()").alias("uid"),
+    )
+    return df.withColumn(
+        "uid", F.md5(F.concat_ws(":", F.col("src_file"), F.col("line_id")))
     )
 
 

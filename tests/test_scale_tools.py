@@ -83,12 +83,22 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
     )
     plain = ev.groupBy("event_type").agg(
         F.sum("value").alias("sum_value"),
-        F.count(F.lit(1)).alias("count_event_id"),
+        F.count("event_id").alias("count_event_id"),
         F.max("user_id").alias("max_user_id"),
     )
     s = {tuple(r) for r in salted.withColumn("sum_value", F.round("sum_value", 6)).collect()}
     p = {tuple(r) for r in plain.withColumn("sum_value", F.round("sum_value", 6)).collect()}
     assert s == p
+
+
+def test_salted_agg_count_excludes_nulls(spark):
+    """count(col) semantics: nulls in the named column don't count —
+    drop-in parity with the unsalted groupBy().agg(F.count(col))."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("b", None)], "k string, v int"
+    )
+    got = {r.k: r.count_v for r in salted_agg(df, ["k"], {"v": "count"}).collect()}
+    assert got == {"a": 2, "b": 0}
 
 
 def test_salted_agg_rejects_non_reaggregable(spark, sf_dir):

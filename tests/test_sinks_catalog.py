@@ -40,6 +40,22 @@ def test_provenance_sink_captures_lineage(spark, tmp_path):
     assert prov_df.select("uid").distinct().count() == 2
 
 
+def test_provenance_uids_match_results(spark, tmp_path):
+    """The two sinks come from two jobs over one plan: the audit link
+    holds only because uid is deterministic under re-evaluation."""
+    src = tmp_path / "in2.txt"
+    src.write_text("alpha\nbeta\ngamma\n")
+    lines = read_text_lines(spark, str(src))
+    res, prov = str(tmp_path / "results2"), str(tmp_path / "tuples2")
+    write_results_with_provenance(lines, res, prov)
+    res_uids = {r.uid for r in spark.read.parquet(res).select("uid").collect()}
+    prov_uids = {r.uid for r in spark.read.parquet(prov).select("uid").collect()}
+    assert res_uids == prov_uids and len(res_uids) == 3
+    # and a fresh read of the same file reproduces the same ids
+    again = {r.uid for r in read_text_lines(spark, str(src)).select("uid").collect()}
+    assert again == res_uids
+
+
 def test_streaming_file_sink_exactly_once(spark, tmp_path):
     src_dir = tmp_path / "src"
     src_dir.mkdir()
