@@ -1114,5 +1114,54 @@ def q43_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs)
 
 
+# --------------------------------------------------------------------------
+# Approximate (sketch) variants — the documented 100 TB swaps for q35 and
+# q41, exposed as first-class queries.  Registered WITHOUT oracle SQL by
+# design: a t-digest / HLL estimate cannot hash-match an exact oracle, so
+# the driver applies its rows-only contract; closeness to the exact
+# answer is pinned by tests/test_approx_variants.py instead.
+# --------------------------------------------------------------------------
+
+
+@register("q44_approx_percentiles", None)
+def q44_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q35's scale path: ``approx_percentile`` (t-digest-style sketch).
+    One pass, mergeable partials, bounded memory per group — the exact
+    ``percentile`` holds every value per group in memory, which at
+    100 TB is the difference between a sketch merge and an OOM.
+    accuracy=10000 → rank error ≤ 1/10000."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"approx_percentile(l_extendedprice, {q}, 10000)"), 4
+            ).alias(name)
+            for name, q in pcts.items()
+        ]
+    )
+
+
+@register("q45_approx_distinct", None)
+def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41's scale path: ``approx_count_distinct`` (HyperLogLog++).
+    COUNT(DISTINCT) plans as a two-phase expand + exact de-dup shuffle
+    whose state is the distinct keyspace; the HLL sketch replaces that
+    with a few KB per group and one ordinary partial-aggregated
+    exchange — same cube lattice, bounded memory.  rsd=0.01 → ~1%
+    relative error."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("long")
+    return (
+        ev.select("event_type", dow.alias("dow"), "user_id", "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
