@@ -107,66 +107,27 @@ def blocked_neardup_pairs(
     return pairs
 
 
-def ivf_topk(
-    emb: DataFrame,
-    query_vec: list[float],
-    centroids: list[tuple[int, list[float]]],
-    k: int = 10,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_id: int | None = None,
-) -> DataFrame:
-    """IVF-style ANN: vectors are assigned to their nearest centroid
-    (the inverted file); queries scan only the ``n_probe`` cells whose
-    centroids are closest to the query.
+def _cell_assignment_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
+    """Nearest-centroid cell id as ONE codegen expression.
 
-    At scale the assignment is precomputed and the table is
-    partitioned/bucketed by cell id, so a probe prunes partitions at
-    the source and the scan touches n_probe/n_cells of the data.  Here
-    the assignment is computed inline (the fixture has no materialized
-    cell column); the plan shape — filter on cell, then exact rank —
-    is the same.
-
-    The codebook rides into the plan as ONE array-of-structs literal
-    consumed by a single ``aggregate(transform(...))`` argmax — the
-    expression tree is O(1) in the number of centroids (the codebook is
-    data, not repeated sub-expressions), so plan build + codegen stay
-    flat as the codebook grows, and the whole assignment is a map-only
-    pass (no join, no shuffle)."""
+    The codebook rides into the plan as a single array-of-structs
+    literal consumed by one ``aggregate(transform(...))`` argmax, so the
+    expression tree is O(1) in codebook size and the whole assignment is
+    a map-only pass (no join, no shuffle).  The row vector's own norm is
+    constant across centroids, so ranking by dot/|c| equals full cosine.
+    Codebook sorted by cid + explicit lower-cid tie-break: ties assign
+    deterministically (the oracle's cid-ASC policy)."""
     import math
 
-    def cos(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    # rank centroids by cosine to the query, driver-side (codebook is tiny)
-    probe_cells = [
-        cid
-        for cid, _ in sorted(
-            ((cid, cos(query_vec, c)) for cid, c in centroids),
-            key=lambda t: (-t[1], t[0]),
-        )[:n_probe]
-    ]
-
-    # codebook literal: (cid, centroid, centroid-norm).  The row vector's
-    # own norm is a positive constant across centroids, so ranking by
-    # dot/|c| is the same ordering as full cosine — one less sqrt per row.
     def vec_sql(v: list[float]) -> str:
         return "array(" + ",".join(repr(float(x)) + "D" for x in v) + ")"
 
-    # codebook sorted by cid + explicit lower-cid tie-break in the
-    # argmax: a cosine tie (or a collect()-order difference upstream)
-    # must assign the vector to a deterministic cell, matching the
-    # oracle's cid-ASC tie policy.
     cb_sql = "array(" + ",".join(
         f"struct({int(cid)} AS cid, {vec_sql(c)} AS c, "
         f"{math.sqrt(sum(float(x) * float(x) for x in c))!r}D AS nrm)"
         for cid, c in sorted(centroids, key=lambda t: int(t[0]))
     ) + ")"
-    cell = F.expr(
+    return F.expr(
         f"""
         aggregate(
           transform({cb_sql}, s -> struct(
@@ -181,7 +142,37 @@ def ivf_topk(
         """
     )
 
-    df = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe_cells))
+
+def _probe_cells(
+    query_vec: list[float], centroids: list[tuple[int, list[float]]], n_probe: int
+) -> list[int]:
+    """Driver-side probe set: the n_probe cells whose centroids are
+    cosine-closest to the query (codebook is tiny; ties by cid ASC)."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    return [
+        cid
+        for cid, _ in sorted(
+            ((cid, cos(query_vec, c)) for cid, c in centroids),
+            key=lambda t: (-t[1], t[0]),
+        )[:n_probe]
+    ]
+
+
+def _exact_rank(
+    df: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str,
+    exclude_id: int | None,
+) -> DataFrame:
+    """Exact cosine top-k over an (already pruned) frame — codegen dot
+    product, TakeOrderedAndProject, 6dp rounding for determinism."""
+    import math
+
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -196,3 +187,72 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file: assign every vector its nearest
+    centroid (one map-only pass) and write the table PARTITIONED BY the
+    cell id.
+
+    This turns ivf_topk's inline assignment into the real 100 TB shape:
+    the assignment cost is paid ONCE at index-build time, and every
+    subsequent probe prunes partitions at the source — a query reading
+    ``n_probe`` of ``n_cells`` partitions scans n_probe/n_cells of the
+    bytes, visible as ``PartitionFilters: [cell IN (...)]`` in the plan.
+    Rebuild (or write a delta and compact) when the codebook changes."""
+    emb.withColumn("cell", _cell_assignment_expr(centroids, vec_col)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN over a materialized IVF index (:func:`build_ivf_index`).
+
+    The probe-cell filter is a PARTITION filter on the index layout —
+    pruned before any file is opened — then the exact rank runs only
+    over the probed cells.  Same results as :func:`ivf_topk` with the
+    same codebook (both sides assign by the identical expression)."""
+    cells = _probe_cells(query_vec, centroids, n_probe)
+    df = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return _exact_rank(df, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN with INLINE cell assignment: vectors are assigned
+    to their nearest centroid (the inverted file); queries scan only the
+    ``n_probe`` cells whose centroids are closest to the query.
+
+    This form recomputes the assignment per query (one map-only codegen
+    pass over the scan, see :func:`_cell_assignment_expr`) — right for
+    ad-hoc probes over a table with no materialized cell column.  The
+    production path is :func:`build_ivf_index` +
+    :func:`ivf_topk_indexed`, where the assignment is paid once and the
+    probe prunes PARTITIONS at the source instead of filtering rows."""
+    probe = _probe_cells(query_vec, centroids, n_probe)
+    cell = _cell_assignment_expr(centroids, vec_col)
+    df = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe))
+    return _exact_rank(df, query_vec, k, id_col, vec_col, exclude_id)

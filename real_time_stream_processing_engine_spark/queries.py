@@ -1163,5 +1163,33 @@ def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q46_ivf_indexed", ORACLE["q28_ivf_ann"])
+def q46_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28's production shape: the IVF cell assignment MATERIALIZED —
+    build the index (one pass, written ``partitionBy(cell)``), then
+    probe it with a partition filter that prunes at the source.  Same
+    codebook, same probe set, same exact rank => same oracle as q28;
+    what changes is WHERE the cell filter runs (partition pruning vs a
+    row filter over the full scan)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from .operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    qvec = next(c for cid, c in cents if cid == 0)
+    key = _uuid.uuid5(_uuid.NAMESPACE_URL, os.path.abspath(sf_dir)).hex[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"rs_ivf_index_u{os.getuid()}_{key}"
+    )
+    build_ivf_index(emb, cents, path)
+    return ivf_topk_indexed(spark, path, qvec, cents, k=10, n_probe=4, exclude_id=0)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -1,0 +1,75 @@
+"""Materialized IVF index: build once, probe with partition pruning.
+
+Turns the documented "at scale the assignment is precomputed and the
+table is partitioned by cell id" into pinned behavior: the indexed path
+returns exactly the inline ivf_topk answer, and the probe is a
+partition filter (pruned before any data file is opened), not a row
+filter over the full scan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stream_processing_engine_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_topk,
+    ivf_topk_indexed,
+)
+from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, sf_dir, tmp_path_factory):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(emb, cents, path)
+    return emb, cents, path
+
+
+def test_indexed_topk_equals_inline_topk(spark, ivf):
+    emb, cents, path = ivf
+    qvec = next(c for cid, c in cents if cid == 0)
+    inline = ivf_topk(emb, qvec, cents, k=10, n_probe=4, exclude_id=0).collect()
+    indexed = ivf_topk_indexed(
+        spark, path, qvec, cents, k=10, n_probe=4, exclude_id=0
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in inline] == [
+        (r.vec_id, r.cos_sim) for r in indexed
+    ]
+
+
+def test_index_layout_partitioned_by_cell(spark, ivf):
+    emb, cents, path = ivf
+    import os
+
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    assert len(cells) > 1  # real hive partition dirs, one per populated cell
+    # every vector is in exactly one cell
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_probe_is_partition_filter_not_row_filter(spark, ivf):
+    _, cents, path = ivf
+    qvec = next(c for cid, c in cents if cid == 0)
+    df = ivf_topk_indexed(spark, path, qvec, cents, k=10, n_probe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # and the pruned scan reads only the probed partitions' bytes:
+    # row filter on cell must NOT be needed (no cell filter in PushedFilters)
+    pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pf is None or "cell" not in pf.group(1), plan
