@@ -34,6 +34,24 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _payloads(
+    docs: DataFrame, text_col: str, min_parallelism: int | None
+) -> DataFrame:
+    """(doc_id, payload) projection, repartitioned for the decode stage.
+
+    When ``min_parallelism`` is set the repartition is UNCONDITIONAL:
+    probing the current partition count via ``df.rdd.getNumPartitions()``
+    forces an RDD conversion + plan analysis per call, which costs more
+    than the shuffle it tries to avoid — and before a CPU-bound Python
+    decode the shuffle pays for itself whenever it widens parallelism."""
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+    if min_parallelism:
+        with_payload = with_payload.repartition(min_parallelism)
+    return with_payload
+
+
 def real_decode(payload: bytes) -> dict:
     """Placeholder for a real media decoder (PIL.Image.open /
     torchaudio.load / pyav frame sampling).  Not available in this
@@ -70,9 +88,7 @@ def extract_features(
     a few Python workers.  ``min_parallelism`` round-robins the payloads
     first when the scan yields fewer partitions than that — the one case
     where an extra shuffle is cheaper than the idle cores."""
-    with_payload = docs.select("doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload"))
-    if min_parallelism and with_payload.rdd.getNumPartitions() < min_parallelism:
-        with_payload = with_payload.repartition(min_parallelism)
+    with_payload = _payloads(docs, text_col, min_parallelism)
     return with_payload.mapInPandas(fake_decode_features, FEATURE_SCHEMA)
 
 
@@ -133,11 +149,7 @@ def sample_frames(
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """Frame-sampling stage over binary payloads (video posture)."""
-    with_payload = docs.select(
-        "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
-    )
-    if min_parallelism and with_payload.rdd.getNumPartitions() < min_parallelism:
-        with_payload = with_payload.repartition(min_parallelism)
+    with_payload = _payloads(docs, text_col, min_parallelism)
     return with_payload.mapInPandas(make_frame_sampler(n_frames), FRAME_SCHEMA)
 
 
@@ -168,9 +180,5 @@ def resize_images(
     docs: DataFrame, text_col: str = "text", min_parallelism: int | None = None
 ) -> DataFrame:
     """Resize stage over binary payloads (image posture)."""
-    with_payload = docs.select(
-        "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
-    )
-    if min_parallelism and with_payload.rdd.getNumPartitions() < min_parallelism:
-        with_payload = with_payload.repartition(min_parallelism)
+    with_payload = _payloads(docs, text_col, min_parallelism)
     return with_payload.mapInPandas(fake_resize, THUMB_SCHEMA)

@@ -74,7 +74,11 @@ def merge(spark: SparkSession, path: str, fmt: str = "parquet", target_files: in
     to few large ones (the small-files problem is the 100 TB analogue of
     replica sprawl).  Rewrites via a temp dir + atomic rename."""
     df = get(spark, path, fmt)
-    n = target_files or max(1, df.rdd.getNumPartitions() // 8)
+    # target size from the FILE listing (cheap metadata), not
+    # df.rdd.getNumPartitions() — that forces an RDD conversion + plan
+    # analysis just to count inputs the FS already knows
+    n_files = sum(1 for e in ls(spark, path) if not e["is_dir"])
+    n = target_files or max(1, n_files // 8)
     tmp = path.rstrip("/") + "__compact_tmp"
     getattr(df.coalesce(n).write.mode("overwrite"), fmt)(tmp)
     jvm = spark._jvm
