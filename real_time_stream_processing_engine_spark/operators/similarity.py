@@ -107,6 +107,106 @@ def blocked_neardup_pairs(
     return pairs
 
 
+def _rp_bucket_expr(hyperplanes: list[tuple[int, list[float]]], vec_col: str):
+    """Random-projection LSH bucket id as ONE codegen expression.
+
+    Charikar sign-LSH for cosine: bit j of the bucket is
+    ``dot(v, h_j) > 0``; vectors bucket together iff the query's
+    hyperplane set cannot separate them, with collision probability
+    ``1 - angle/pi`` per bit.  The hyperplane set rides into the plan as
+    a single array-of-structs literal folded by one
+    ``aggregate(transform(...))`` — O(1) expression tree, map-only pass,
+    no join, no shuffle (same plan discipline as
+    :func:`_cell_assignment_expr`)."""
+
+    def vec_sql(v: list[float]) -> str:
+        return "array(" + ",".join(repr(float(x)) + "D" for x in v) + ")"
+
+    hp_sql = "array(" + ",".join(
+        f"struct({int(j)} AS j, {vec_sql(h)} AS h)"
+        for j, h in sorted(hyperplanes, key=lambda t: int(t[0]))
+    ) + ")"
+    return F.expr(
+        f"""
+        aggregate(
+          transform({hp_sql}, s ->
+            CASE WHEN aggregate(zip_with({vec_col}, s.h,
+                                 (x, y) -> CAST(x AS DOUBLE) * y),
+                                0D, (a, x) -> a + x) > 0D
+                 THEN CAST(shiftleft(1, s.j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
+
+
+def rp_lsh_neardup_pairs(
+    emb: DataFrame,
+    bands: list[list[tuple[int, list[float]]]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = MAX_BUCKET,
+    on_overflow: str = "drop",
+) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane (sign) LSH
+    — the data-independent bucketing path next to
+    :func:`blocked_neardup_pairs` (needs a blocking column) and IVF
+    (needs trained centroids).
+
+    ``bands`` is L lists of B hyperplanes each.  One map-only projection
+    computes all L sign-buckets per vector (each an
+    :func:`_rp_bucket_expr` fold); an L-way explode feeds the bucket-pair
+    machinery — candidates collide in >= 1 band, exact cosine verifies
+    inside buckets only, then pairs dedup.  A pair at cosine c collides
+    with probability ``1 - (1 - (1 - acos(c)/pi)^B)^L``: B tunes bucket
+    size, L buys back recall.  Cost is L x corpus through one shuffle
+    plus Σ|bucket|² expansion; the mega-bucket cap is inherited
+    (a zero vector or an all-positive corpus region is the degenerate
+    bucket here)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _rp_bucket_expr(hps, vec_col).alias("bkt"),
+            )
+            for b, hps in enumerate(bands)
+        ]
+    )
+    normed = emb.select(
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("n"),
+        ).alias("_m"),
+        F.explode(band_structs).alias("_bb"),
+    )
+    buckets = (
+        normed.groupBy("_bb.band", "_bb.bkt")
+        .agg(F.sort_array(F.collect_list("_m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
+    pair_expr = f"""
+      flatten(transform(ms, (x, i) ->
+        filter(transform(ms, (y, j) ->
+          CASE WHEN j > i THEN named_struct(
+            'vec_a', x.id, 'vec_b', y.id,
+            'cos_sim', round(
+              aggregate(zip_with(x.v, y.v,
+                         (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+                        CAST(0 AS DOUBLE), (acc, z) -> acc + z)
+              / (x.n * y.n), 6)) END),
+          p -> p IS NOT NULL AND p.cos_sim > {float(threshold)})))
+    """
+    pairs = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cos_sim")
+        .distinct()
+    )
+    pairs.bucket_overflow = overflow_stats
+    return pairs
+
+
 def _cell_assignment_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
     """Nearest-centroid cell id as ONE codegen expression.
 

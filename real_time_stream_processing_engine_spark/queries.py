@@ -1191,5 +1191,58 @@ def q46_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, qvec, cents, k=10, n_probe=4, exclude_id=0)
 
 
+@register(
+    "q47_rp_lsh_neardup",
+    """
+    WITH h AS (
+      SELECT (vec_id - 16) // 4 AS band, (vec_id - 16) % 4 AS j, embedding AS he
+      FROM embeddings WHERE vec_id BETWEEN 16 AND 27),
+    dots AS (
+      SELECT v.vec_id, h.band, h.j,
+             SUM(CAST(v.embedding[s.i] AS DOUBLE) * CAST(h.he[s.i] AS DOUBLE)) AS dp
+      FROM embeddings v CROSS JOIN h CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY 1, 2, 3),
+    buckets AS (
+      SELECT vec_id, band,
+             SUM(CASE WHEN dp > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bkt
+      FROM dots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+    terms AS (
+      SELECT c.va, c.vb,
+             SUM(CAST(x.embedding[s.i] AS DOUBLE) * CAST(y.embedding[s.i] AS DOUBLE)) AS dp,
+             SUM(CAST(x.embedding[s.i] AS DOUBLE) * CAST(x.embedding[s.i] AS DOUBLE)) AS na2,
+             SUM(CAST(y.embedding[s.i] AS DOUBLE) * CAST(y.embedding[s.i] AS DOUBLE)) AS nb2
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.va
+      JOIN embeddings y ON y.vec_id = c.vb
+      CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY 1, 2)
+    SELECT va AS vec_a, vb AS vec_b, ROUND(dp / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+    FROM terms WHERE ROUND(dp / (sqrt(na2) * sqrt(nb2)), 6) > 0.4
+    """,
+)
+def q47_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH (3
+    bands x 4 sign bits; hyperplanes = embeddings 16..27, data-derived
+    so the oracle can reproduce them exactly).  Completes the ANN/dedup
+    family: label-blocked (q18), IVF-celled (q28/q46), and now
+    data-independent sign-LSH — the bucketing that needs no blocking
+    column and no trained codebook."""
+    from .operators.similarity import rp_lsh_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hps = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") <= 27)
+        ).select("vec_id", "embedding").collect()
+    }
+    bands = [[(j, hps[16 + 4 * b + j]) for j in range(4)] for b in range(3)]
+    return rp_lsh_neardup_pairs(emb, bands, threshold=0.4)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -92,6 +92,16 @@ def test_simhash_pairs_single_scan(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
 
 
+def test_rp_lsh_pairs_single_scan_no_join(spark, sf_dir):
+    """q47: banded sign-LSH is one scan + bucket-pairs — the L-band
+    bucketing is a projection + explode, never a self-join, and the
+    cosine verify runs inside the bucket expansion."""
+    plan = _plan(spark, sf_dir, "q47_rp_lsh_neardup")
+    assert _count(plan, "Scan parquet") == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert _count(plan, op) == 0, op
+
+
 def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     """q40: the binned range join must hash-join on the bucket id —
     never the |L|x|R| BroadcastNestedLoopJoin a raw range predicate
