@@ -16,8 +16,11 @@ import time
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from real_time_stream_processing_engine_spark.streaming.runner import (
     run_continuous,
+    stream_kafka,
     stream_rate,
     stream_socket,
     stream_stateful_running_count,
@@ -97,6 +100,26 @@ def test_socket_source_receives_live_tuples(spark):
         q.stop()
         stop.set()
         server.close()
+
+
+def test_kafka_source_gated_with_actionable_error(spark):
+    """Without the connector jar, stream_kafka must fail at CALL time
+    with instructions, not at query start with Spark's opaque
+    'Failed to find data source'.  (With the jar present the source
+    loads and this test is vacuous — detect which world we're in.)"""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        has_kafka = True
+    except Exception:
+        has_kafka = False
+    if has_kafka:
+        df = stream_kafka(spark, "localhost:9092", "t")
+        assert "value" in df.columns
+    else:
+        with pytest.raises(RuntimeError, match="--packages"):
+            stream_kafka(spark, "localhost:9092", "t")
 
 
 def test_q32_stateful_stream_end_equals_batch(spark):
