@@ -84,6 +84,78 @@ def topk_per_group(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_s: int | None = None,
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """General as-of join (pandas ``merge_asof`` semantics, distributed):
+    every left row gets the nearest right row per key — at-or-before its
+    timestamp (``backward``) or at-or-after (``forward``) — optionally
+    only within ``tolerance_s`` seconds; unmatched left rows keep nulls.
+
+    Same union-sort-carry shape as :func:`asof_join_last_order` (ONE
+    exchange of |left|+|right| on the key, per-key sort, window carry —
+    no range join, no per-row probe, the 100 TB plan), generalized:
+
+    - all ``value_cols`` ride in ONE struct so they come from the SAME
+      matched row (per-column ``last(ignorenulls)`` could mix rows);
+    - right-side ties on the timestamp break by the struct's lexical
+      order (ts, then value_cols in the order given) — deterministic,
+      and reproducible by an oracle ranking DESC on the same columns;
+    - tolerance filters AFTER the carry: the carried match is the
+      nearest by construction, so if it misses the window every other
+      candidate does too."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    match = F.struct(
+        F.unix_timestamp(right[right_ts]).cast("long").alias("_mts"),
+        *[right[c].alias(c) for c in value_cols],
+    )
+    r = right.select(
+        right[on].alias(on),
+        F.unix_timestamp(right[right_ts]).cast("long").alias("_aj_t"),
+        match.alias("_aj_m"),
+        F.lit(1).alias("_aj_is_r"),
+    )
+    l = (
+        left.withColumn("_aj_t", F.unix_timestamp(left[left_ts]).cast("long"))
+        .withColumn("_aj_m", F.lit(None).cast(r.schema["_aj_m"].dataType))
+        .withColumn("_aj_is_r", F.lit(0))
+    )
+    u = r.unionByName(l, allowMissingColumns=True)
+    t_order = F.col("_aj_t").asc() if direction == "backward" else F.col("_aj_t").desc()
+    w = (
+        Window.partitionBy(on)
+        # right rows first at equal timestamps ("at-or-..."); equal-ts
+        # right rows ordered by the match struct so last() is the max
+        .orderBy(t_order, F.col("_aj_is_r").desc(), F.col("_aj_m").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_aj_match", F.last("_aj_m", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_aj_is_r") == 0)
+    if tolerance_s is not None:
+        delta = (
+            F.col("_aj_t") - F.col("_aj_match._mts")
+            if direction == "backward"
+            else F.col("_aj_match._mts") - F.col("_aj_t")
+        )
+        out = out.withColumn(
+            "_aj_match", F.when(delta <= int(tolerance_s), F.col("_aj_match"))
+        )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_aj_match._mts").alias(f"{out_prefix}ts"),
+        *[F.col(f"_aj_match.{c}").alias(f"{out_prefix}{c}") for c in value_cols],
+    )
+
+
 def asof_join_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     """As-of join: for each event, the most recent order (by orderdate)
     of customer ``user_id + 1`` at-or-before the event timestamp.

@@ -1244,5 +1244,52 @@ def q47_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_neardup_pairs(emb, bands, threshold=0.4)
 
 
+@register(
+    "q48_asof_tolerance",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderdate, o.o_totalprice, o.o_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_totalprice DESC,
+                                         o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id + 1
+       AND o.o_orderdate <= e.ts
+       AND epoch(e.ts) - epoch(o.o_orderdate) <= 2592000
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(epoch(r.o_orderdate) AS BIGINT) AS asof_ts,
+           r.o_totalprice AS asof_o_totalprice,
+           r.o_orderkey AS asof_o_orderkey
+    FROM events e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+    """,
+)
+def q48_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General as-of join with tolerance: each event carries the price
+    and key of the customer's most recent order at-or-before the event,
+    but only if it is within 30 days — pandas merge_asof semantics at
+    the union-sort-carry scale shape (q26 generalized to carry whole
+    matched rows, bounded by a tolerance window)."""
+    from .operators.windows import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") - 1).alias("user_id"),
+        "o_orderdate",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    return asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_totalprice", "o_orderkey"],
+        direction="backward",
+        tolerance_s=30 * 24 * 3600,
+    ).select("event_id", "user_id", "asof_ts", "asof_o_totalprice", "asof_o_orderkey")
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
