@@ -1,0 +1,79 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` / ``rand()`` are wrong at 100 TB: a retried task
+re-rolls its randomness, so a failed-and-recovered job emits a
+*different* sample (and two runs over the same data never agree).  Both
+operators below derive their randomness from ``md5(seed | row id)`` —
+pure, retry-stable, reproducible across engines (so a SQL oracle can
+verify the exact sample), and rebalance-proof (membership depends only
+on the row, never on partitioning).
+
+The reference has no sampling at all; this is north-star surface for
+corpus curation (down-sample boilerplate languages, fixed-size
+per-domain eval splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 28  # md5 prefix compared; 16^28 granularity is ample
+
+
+def _hash_hex(seed: str, id_col: str):
+    """Uniform hex draw in [0, 16^28) as a STRING — membership tests are
+    lexicographic hex-string compares, identical in any engine with md5
+    (no hex->int parsing, which SQL dialects disagree on)."""
+    return F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, _HEX_DIGITS)
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """Driver-side hex threshold: keep rows whose draw < this string.
+    fraction=1.0 returns 'g' — lexicographically above every hex draw,
+    so the compare stays a fixed-width string comparison at the edge."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(fraction * (16 ** _HEX_DIGITS))
+    if n >= 16 ** _HEX_DIGITS:
+        return "g"
+    return format(n, "x").rjust(_HEX_DIGITS, "0")
+
+def bernoulli_sample(
+    df: DataFrame, fraction: float, id_col: str, seed: str = "s1"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep each row iff
+    ``md5(seed|id) < threshold(fraction)``.
+
+    A scan-side filter — no shuffle, no state, pushes through any plan;
+    E[|out|] = fraction x |in| with binomial concentration.  Changing
+    ``seed`` draws an independent sample; the same (seed, id) always
+    decides the same way, which is what makes incremental re-runs and
+    task retries emit identical corpora."""
+    return df.filter(_hash_hex(seed, id_col) < fraction_threshold_hex(fraction))
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str,
+    seed: str = "s1",
+    out_rank: str | None = None,
+) -> DataFrame:
+    """Exactly-k-per-stratum uniform sample: rank rows inside each
+    stratum by their hash draw and keep the first k.
+
+    The hash order is a uniform random permutation per stratum, so this
+    is sampling WITHOUT replacement, deterministic under retries.  Plan
+    shape: row_number over (strata, hash) — Spark pushes the rank<=k
+    limit below the exchange (WindowGroupLimit), so the shuffle carries
+    at most k rows per stratum per map task; strata with fewer than k
+    rows keep them all (the eval-split semantics you want)."""
+    draw = _hash_hex(seed, id_col)
+    w = Window.partitionBy(*strata_cols).orderBy(draw.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("_sample_rk", F.row_number().over(w))
+    out = ranked.filter(F.col("_sample_rk") <= k)
+    if out_rank:
+        return out.withColumnRenamed("_sample_rk", out_rank)
+    return out.drop("_sample_rk")

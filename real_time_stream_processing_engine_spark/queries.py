@@ -1291,5 +1291,57 @@ def q48_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "asof_ts", "asof_o_totalprice", "asof_o_orderkey")
 
 
+@register(
+    "q49_stratified_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             substr(md5('s1' || '|' || CAST(doc_id AS VARCHAR)), 1, 28) AS draw
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS rk
+      FROM d)
+    SELECT doc_id, lang, rk FROM r WHERE rk <= 40
+    """,
+)
+def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-40-per-language uniform sample of the corpus — the
+    deterministic eval-split / per-domain curation operator.  Hash-order
+    ranking means retries and re-runs emit the identical sample, and
+    WindowGroupLimit keeps the shuffle at <= k rows per stratum per
+    task."""
+    from .operators.sampling import stratified_fixed_k
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_fixed_k(docs, ["lang"], k=40, id_col="doc_id", out_rank="rk")
+    return out.select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+
+
+def _q50_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    thr = fraction_threshold_hex(0.1)
+    return f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE substr(md5('mix1' || '|' || CAST(event_id AS VARCHAR)), 1, 28) < '{thr}'
+    """
+
+
+@register("q50_bernoulli_sample", None)
+def q50_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of the event stream (corpus
+    down-sampling): a scan-side md5-threshold filter — no shuffle, no
+    rand(), membership stable under retries and repartitioning."""
+    from .operators.sampling import bernoulli_sample
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return bernoulli_sample(ev, 0.1, id_col="event_id", seed="mix1")
+
+
+ORACLE["q50_bernoulli_sample"] = _q50_sql()
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

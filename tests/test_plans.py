@@ -92,6 +92,21 @@ def test_simhash_pairs_single_scan(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
 
 
+def test_stratified_sample_limits_below_exchange(spark, sf_dir):
+    """q49: the per-stratum rank<=k must push below the shuffle
+    (WindowGroupLimit), like q25 — the sample never shuffles more than
+    k rows per stratum per task."""
+    plan = _plan(spark, sf_dir, "q49_stratified_sample")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bernoulli_sample_is_scan_side_filter(spark, sf_dir):
+    """q50: membership is a pure filter over the scan — no exchange, no
+    window, nothing stateful."""
+    plan = _plan(spark, sf_dir, "q50_bernoulli_sample")
+    assert _count(plan, "Exchange") == 0, plan
+
+
 def test_rp_lsh_pairs_single_scan_no_join(spark, sf_dir):
     """q47: banded sign-LSH is one scan + bucket-pairs — the L-band
     bucketing is a projection + explode, never a self-join, and the

@@ -1,0 +1,54 @@
+"""Deterministic-sampling invariants (beyond q49/q50's oracle checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_stream_processing_engine_spark.operators.sampling import (
+    bernoulli_sample,
+    fraction_threshold_hex,
+    stratified_fixed_k,
+)
+
+
+def test_bernoulli_membership_stable_under_repartition(spark):
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    a = {r.k for r in bernoulli_sample(df, 0.2, "k").collect()}
+    b = {r.k for r in bernoulli_sample(df.repartition(17), 0.2, "k").collect()}
+    assert a == b  # membership is a row property, not a partition property
+    # and the rate concentrates around the fraction
+    assert 0.15 < len(a) / 5000 < 0.25
+
+
+def test_bernoulli_seeds_draw_independent_samples(spark):
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    a = {r.k for r in bernoulli_sample(df, 0.2, "k", seed="s1").collect()}
+    b = {r.k for r in bernoulli_sample(df, 0.2, "k", seed="s2").collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert a != b and 0.1 < overlap < 0.35  # ~fraction, not 0, not 1
+
+
+def test_fraction_edges(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert bernoulli_sample(df, 0.0, "k").count() == 0
+    assert bernoulli_sample(df, 1.0, "k").count() == 100
+    assert len(fraction_threshold_hex(0.5)) == 28
+
+
+def test_stratified_fixed_k_exact_and_small_strata(spark):
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_fixed_k(df, ["lang"], k=10, id_col="doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "tiny": 3}  # capped at k; small strata whole
+
+
+def test_stratified_sample_is_deterministic(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted(r.doc_id for r in stratified_fixed_k(df, ["lang"], 25, "doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_fixed_k(df.repartition(13), ["lang"], 25, "doc_id").collect()
+    )
+    assert a == b
