@@ -1343,5 +1343,58 @@ def q50_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q50_bernoulli_sample"] = _q50_sql()
 
 
+@register(
+    "q51_decontamination",
+    f"""
+    WITH g AS ({_SQL_SHINGLE3}),
+    corpus AS (SELECT doc_id, shingle FROM g WHERE doc_id >= 20),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+    bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id < 20),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_overlap
+             FROM corpus c JOIN bench b USING (shingle) GROUP BY 1)
+    SELECT h.doc_id, CAST(h.n_overlap AS BIGINT) AS n_overlap,
+           ROUND(h.n_overlap * 1.0 / s.n_grams, 6) AS overlap_ratio
+    FROM hits h JOIN sizes s USING (doc_id)
+    WHERE ROUND(h.n_overlap * 1.0 / s.n_grams, 6) >= 0.2
+    """,
+)
+def q51_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (id >= 20) sharing >= 20%
+    of their 3-gram set with the benchmark docs (id < 20).  The
+    benchmark gram set broadcasts; the corpus is never shuffled for the
+    join — the eval-leakage gate every training pipeline needs."""
+    from .operators.contamination import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    return contamination_overlap(corpus, bench, min_ratio=0.2)
+
+
+@register(
+    "q52_repetition_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+          FROM t WHERE len(toks) >= 2),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS top_gram_count,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS repetition_ratio
+    FROM pg GROUP BY doc_id
+    """,
+)
+def q52_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per doc, the fraction of all
+    bigrams accounted for by the single most frequent bigram (duplicated
+    grams included — repetition IS the signal).  Two partial-aggregated
+    exchanges; boilerplate/looping text scores high."""
+    from .operators.contamination import repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(docs, k=2)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

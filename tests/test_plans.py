@@ -107,6 +107,14 @@ def test_bernoulli_sample_is_scan_side_filter(spark, sf_dir):
     assert _count(plan, "Exchange") == 0, plan
 
 
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """q51: the benchmark gram set must broadcast — the corpus gram
+    stream is never shuffled for the probe join."""
+    plan = _plan(spark, sf_dir, "q51_decontamination")
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
 def test_rp_lsh_pairs_single_scan_no_join(spark, sf_dir):
     """q47: banded sign-LSH is one scan + bucket-pairs — the L-band
     bucketing is a projection + explode, never a self-join, and the
