@@ -1396,5 +1396,73 @@ def q52_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_ratio(docs, k=2)
 
 
+@register(
+    "q53_hopping_window",
+    """
+    WITH x AS (SELECT epoch(ts) AS t, event_type, value FROM events),
+    w AS (
+      SELECT (CAST(floor(t / 1800) AS BIGINT) - u.k) * 1800 AS window_start,
+             event_type, value
+      FROM x CROSS JOIN (SELECT unnest([0, 1]) AS k) u)
+    SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q53_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1 h width, 30 min slide — each event
+    lands in exactly width/slide = 2 overlapping windows.  Spark's
+    ``window(ts, width, slide)`` expands assignments map-side
+    (a Generate, no bucketize shuffle); the single exchange carries
+    partial aggregates per (window, key).  The streaming twin adds only
+    a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q54_pivot",
+    """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           """
+    + ",\n           ".join(
+        f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 2) AS {t}"
+        for t in _PIVOT_TYPES
+    )
+    + """
+    FROM events GROUP BY 1
+    """,
+)
+def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: day-of-week rows x event-type columns, summed value.
+    Spark lowers an explicit-values pivot to ONE pass of conditional
+    aggregates (exactly the oracle's CASE WHEN form) — listing the
+    values avoids the extra distinct-scan job implicit pivots run.
+    DuckDB dayofweek = 0..6 Sun-start; Spark dayofweek is 1..7, so the
+    Spark side shifts by one to agree."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("long")
+    return (
+        ev.select(dow.alias("dow"), "event_type", "value")
+        .groupBy("dow")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
