@@ -1464,5 +1464,15 @@ def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q55_stream_hopping", ORACLE["q53_hopping_window"])
+def q55_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53 as a stream: watermarked hopping windows drained with
+    AvailableNow — stream-end state equals the batch hopping aggregate
+    (same oracle)."""
+    from .streaming.runner import stream_hopping_counts
+
+    return stream_hopping_counts(spark, sf_dir)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -252,6 +252,26 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_available_now(agg)
 
 
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows on the stream: 1 h width,
+    30 min slide, 2 h watermark — q53's streaming twin.  Each event
+    lands in 2 overlapping windows; state holds one aggregate per open
+    (window, key) and the watermark closes windows for GC.  Stream-end
+    equals the batch hopping aggregate."""
+    src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_memory_available_now(agg)
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once delivery emulation + exactly-once dedup (E4 parity).
 

@@ -107,6 +107,23 @@ def test_bernoulli_sample_is_scan_side_filter(spark, sf_dir):
     assert _count(plan, "Exchange") == 0, plan
 
 
+def test_general_asof_single_exchange_no_join(spark, sf_dir):
+    """q48: union-sort-carry — ONE exchange of |left|+|right| on the
+    key, a window carry, and NO join operator of any kind."""
+    plan = _plan(spark, sf_dir, "q48_asof_tolerance")
+    assert _count(plan, "Exchange") == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert _count(plan, op) == 0, op
+
+
+def test_hopping_window_single_partial_aggregated_exchange(spark, sf_dir):
+    """q53: window assignment is map-side; the only exchange carries
+    combined partials per (window, key)."""
+    plan = _plan(spark, sf_dir, "q53_hopping_window")
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "HashAggregate") == 2
+
+
 def test_decontamination_broadcasts_benchmark(spark, sf_dir):
     """q51: the benchmark gram set must broadcast — the corpus gram
     stream is never shuffled for the probe join."""
