@@ -1474,5 +1474,40 @@ def q55_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hopping_counts(spark, sf_dir)
 
 
+@register(
+    "q56_dedup_components",
+    None,  # placeholder; real SQL assigned below (needs q16's SQL inline)
+)
+def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise candidates: connected components
+    over q16's LSH candidate pairs (A~B, B~C collapse into one cluster
+    even when A~C was never emitted) — the iterative-fixpoint pattern
+    (driver loop, localCheckpoint lineage truncation, distributed
+    convergence check).  cluster_id = min reachable doc id, so the
+    result is deterministic and a recursive-CTE oracle reproduces it."""
+    from .operators.dedup import lsh_candidate_pairs
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+ORACLE["q56_dedup_components"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE["q16_lsh_candidates"]}),
+    sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT node, node AS lab FROM (SELECT DISTINCT s AS node FROM sym) t
+      UNION
+      SELECT sym.s AS node, reach.lab FROM sym JOIN reach ON reach.node = sym.d
+    )
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY 1
+    """
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
