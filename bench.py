@@ -47,6 +47,13 @@ def main() -> None:
     spark.range(n_workers * 4).repartition(n_workers).mapInPandas(
         _noop, "id long"
     ).count()
+    # one throwaway query-shaped pass (scan -> string predicate -> count):
+    # the session's FIRST full filter pipeline pays ~1s of one-time
+    # analyzer/codegen warm-up that otherwise lands on whichever query
+    # sorts first (q01 measured 1.4s vs 0.15s for the same shape at q03)
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        "contains(lower(text), 'zzzqqx')"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
