@@ -102,6 +102,48 @@ def test_socket_source_receives_live_tuples(spark):
         server.close()
 
 
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """The backpressure knob the reference lacks: maxFilesPerTrigger=1
+    over a 3-file source must drain in >= 3 micro-batches (offsets log
+    counts them); without the knob the drain is one batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_stream_processing_engine_spark.sources.readers import SCHEMAS
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        _stage_symlink_dir,
+    )
+
+    src_path = "/root/testdata/sf0.001/events.parquet"
+    d = _stage_symlink_dir(
+        "bp_test", {f"events_{i}.parquet": src_path for i in range(3)}
+    )
+
+    def drain(reader, name):
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        q = (
+            reader.parquet(d)
+            .select("event_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return len(os.listdir(os.path.join(ckpt, "offsets")))
+
+    throttled = drain(
+        spark.readStream.schema(SCHEMAS["events"]).option("maxFilesPerTrigger", 1),
+        "bp_throttled",
+    )
+    unthrottled = drain(spark.readStream.schema(SCHEMAS["events"]), "bp_open")
+    assert throttled >= 3 > unthrottled
+    # both drains saw all 3 copies
+    assert spark.table("bp_throttled").count() == spark.table("bp_open").count()
+
+
 def test_kafka_source_gated_with_actionable_error(spark):
     """Without the connector jar, stream_kafka must fail at CALL time
     with instructions, not at query start with Spark's opaque
