@@ -209,8 +209,22 @@ def run_to_memory_available_now(
     # it to the keyspace via the same knob.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    # State-store backend: default HDFS-backed (in-heap, fastest for the
+    # small-keyspace local drains); SPARK_GRAFT_STATE_STORE=rocksdb
+    # switches to RocksDB — the 100 TB posture where state outgrows the
+    # heap (spill-to-disk, changelog checkpointing).  Per-query: the
+    # provider is read at query start, restored after.
+    prev_store = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    want_rocks = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb"
     try:
         spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        if want_rocks:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
         q = (
             agg.writeStream.format("memory")
             .queryName(qname)
@@ -222,6 +236,13 @@ def run_to_memory_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if want_rocks:
+            if prev_store:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_store
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return spark.table(qname)
 
 
@@ -304,7 +325,17 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30 min gap) over the event stream —
     the streaming form of the batch sessionization (q24); session count
-    and per-session event counts match it at stream end."""
+    and per-session event counts match it at stream end.
+
+    Complete mode BY DESIGN for the drain-end oracle: append mode (the
+    bounded-state production posture, a watermark GCing closed
+    sessions) correctly WITHHOLDS sessions inside the final watermark
+    horizon — the event-time watermark is max(ts) - delay and can never
+    pass the last sessions, so a drain under-emits exactly those (the
+    streaming-correct answer, but not the batch answer; measured 943 of
+    946 sessions at sf0.001 with a 2 h watermark).  An unbounded
+    deployment adds ``withWatermark`` + append; the oracle pins the
+    complete-mode equality."""
     src = stream_events(spark, sf_dir)
     agg = (
         src.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -164,6 +164,31 @@ def test_kafka_source_gated_with_actionable_error(spark):
             stream_kafka(spark, "localhost:9092", "t")
 
 
+def test_rocksdb_state_store_opt_in(spark, monkeypatch):
+    """SPARK_GRAFT_STATE_STORE=rocksdb runs the drain on the RocksDB
+    provider (the state-outgrows-the-heap posture) with identical
+    results, and restores the provider conf afterwards."""
+    from pyspark.sql import functions as F
+
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_grouped_counts,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    got = {r.event_type: r.cnt for r in stream_grouped_counts(spark, SF_SMOKE).collect()}
+    batch = {
+        r.event_type: r.cnt
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == batch
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+    )
+
+
 def test_q32_stateful_stream_end_equals_batch(spark):
     """Pins COVERAGE.md's claim: the applyInPandasWithState running
     count per key equals the batch groupBy().count() at stream end."""
