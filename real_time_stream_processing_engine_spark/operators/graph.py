@@ -44,10 +44,12 @@ def connected_components(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
     sym = sym.localCheckpoint()
+    # seed with round 1 fused in: label = min(self, direct neighbors) —
+    # one aggregate instead of a full loop iteration (join + agg + count)
     labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("s")
+        .agg(F.min("d").alias("_m"))
+        .select(F.col("s").alias("node"), F.least("s", "_m").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
