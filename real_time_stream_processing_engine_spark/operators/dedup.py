@@ -96,6 +96,28 @@ def exact_dedup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def dedup_against(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_docs`` whose content
+    fingerprint does NOT appear in ``seen`` (a frame carrying
+    ``fp_col``, e.g. the fingerprint column of every previously
+    ingested batch).
+
+    The streaming-ingest posture at 100 TB: each new batch anti-joins
+    the corpus fingerprint set — a LEFT ANTI join on 32-byte hashes, so
+    the join payload is hashes, not documents.  Catalyst broadcasts
+    `seen` while it fits and degrades to a shuffled anti join on the
+    hash beyond that; storing `seen` bucketed by fingerprint
+    (catalog.create_bucketed) removes even that exchange."""
+    return fingerprint(new_docs, text_col, out=fp_col).join(
+        seen.select(fp_col).distinct(), fp_col, "left_anti"
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE, out: str = "shingle") -> DataFrame:
     """Word k-shingles (distinct per doc).  Docs with fewer than k
     tokens produce no shingles (guarded: Spark's ``sequence`` would

@@ -53,6 +53,43 @@ def bernoulli_sample(
     return df.filter(_hash_hex(seed, id_col) < fraction_threshold_hex(fraction))
 
 
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str,
+    seed: str = "split1",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in
+    exactly one named split, with probability proportional to its
+    weight, decided by the same md5 draw as the samplers — so the split
+    is stable under retries, repartitioning, and incremental re-runs
+    (a doc keeps its split when the corpus grows, the property that
+    keeps eval sets uncontaminated across dataset versions).
+
+    Implemented as one CASE chain over cumulative hex thresholds — a
+    scan-side projection, no shuffle.  Weights must sum to 1 (to 1e-9).
+    Split names are compared in insertion order; the last split takes
+    the remainder of the hash space so rounding never drops rows."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    draw = _hash_hex(seed, id_col)
+    names = list(splits)
+    expr = F.lit(names[-1])  # remainder of the hash space
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += splits[name]
+        conds.append((name, fraction_threshold_hex(cum)))
+    for name, thr in reversed(conds):
+        expr = F.when(draw < thr, F.lit(name)).otherwise(expr)
+    # reversed+otherwise builds: first matching cumulative bound wins
+    return df.withColumn(out, expr)
+
+
 def stratified_fixed_k(
     df: DataFrame,
     strata_cols: list[str],

@@ -1509,5 +1509,66 @@ ORACLE["q56_dedup_components"] = f"""
     """
 
 
+@register(
+    "q57_dedup_against_corpus",
+    r"""
+    WITH fp AS (SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+                FROM documents)
+    SELECT f.doc_id, f.fingerprint
+    FROM fp f
+    WHERE f.doc_id >= 250
+      AND f.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id < 250)
+    """,
+)
+def q57_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 'new batch' (doc_id >= 250)
+    anti-joined against the already-ingested corpus's fingerprints
+    (doc_id < 250) — a LEFT ANTI join on 32-byte hashes, the
+    streaming-ingest posture for exact dedup at 100 TB."""
+    from .operators.dedup import dedup_against, fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = fingerprint(docs.filter(F.col("doc_id") < 250))
+    new = docs.filter(F.col("doc_id") >= 250)
+    return dedup_against(new, seen).select("doc_id", "fingerprint")
+
+
+def _q58_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    t80, t90 = fraction_threshold_hex(0.8), fraction_threshold_hex(0.9)
+    return f"""
+    WITH d AS (SELECT doc_id, lang,
+                      substr(md5('split1' || '|' || CAST(doc_id AS VARCHAR)), 1, 28) AS draw
+               FROM documents),
+    a AS (SELECT lang,
+                 CASE WHEN draw < '{t80}' THEN 'train'
+                      WHEN draw < '{t90}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM d)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1, 2
+    """
+
+
+@register("q58_split_assign", None)
+def q58_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (per-(split,
+    lang) counts): each doc's split is decided by its md5 draw — stable
+    under retries, repartitioning, and corpus growth, so eval sets stay
+    uncontaminated across dataset versions.  Scan-side projection +
+    one partial-aggregated count exchange."""
+    from .operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    assigned = split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id", seed="split1"
+    )
+    return assigned.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+ORACLE["q58_split_assign"] = _q58_sql()
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

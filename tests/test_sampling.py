@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_stream_processing_engine_spark.operators.sampling import (
@@ -41,6 +42,37 @@ def test_stratified_fixed_k_exact_and_small_strata(spark):
     out = stratified_fixed_k(df, ["lang"], k=10, id_col="doc_id")
     counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts == {"big": 10, "tiny": 3}  # capped at k; small strata whole
+
+
+def test_split_assign_partitions_every_row_stably(spark):
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(df, splits, id_col="k")
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000  # exactly one split per row
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    # stability: membership identical after repartition AND when the
+    # corpus grows (old ids keep their split)
+    b = {r.k: r.split for r in split_assign(df.repartition(11), splits, id_col="k").collect()}
+    grown = spark.range(8000).withColumnRenamed("id", "k")
+    g = {r.k: r.split for r in split_assign(grown, splits, id_col="k").collect()}
+    assert all(g[k] == v for k, v in b.items())
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, {"a": 0.5, "b": 0.4}, id_col="k")
+    with pytest.raises(ValueError, match="two splits"):
+        split_assign(df, {"a": 1.0}, id_col="k")
 
 
 def test_stratified_sample_is_deterministic(spark):
