@@ -38,7 +38,10 @@ MAX_PRINT_ROWS = 20
 
 
 def _dispatch(spark, line: str, out=sys.stdout) -> bool:
-    """Execute one REPL line; returns False when the loop should end."""
+    """Execute one REPL line; returns False when the loop should end.
+    Records whether the line errored on ``_dispatch.failed`` so one-shot
+    mode can exit non-zero (the REPL itself always continues)."""
+    _dispatch.failed = False
     from .operators.parser import run_command
     from .sources import catalog
 
@@ -72,8 +75,11 @@ def _dispatch(spark, line: str, out=sys.stdout) -> bool:
                 print(f"... (showing first {MAX_PRINT_ROWS})", file=out)
             return True
         print(f"unknown command {word!r} — try 'help'", file=out)
+        _dispatch.failed = True
     except Exception as e:  # the REPL survives bad input, like the reference's
+        _dispatch.failed = True
         print(f"error: {e}", file=out)
+        return True
     return True
 
 
@@ -86,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if argv:  # one-shot: command given on the command line
             _dispatch(spark, " ".join(argv))
-            return 0
+            return 1 if _dispatch.failed else 0
         print("RainStorm-on-Spark REPL — 'help' for commands", file=sys.stderr)
         while True:
             try:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.textfn import tokenize
 from .dedup import shingles
 
 
@@ -82,7 +83,7 @@ def repetition_ratio(
     (no grams, ratio undefined)."""
     toks = df.select(id_col, F.col(text_col))
     g = (
-        toks.withColumn("_toks", F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"))
+        toks.withColumn("_toks", tokenize(text_col))
         .filter(F.size("_toks") >= k)
         .select(
             id_col,

@@ -42,16 +42,21 @@ def _cap_buckets(
 ) -> tuple[DataFrame, DataFrame | None]:
     """Enforce the mega-bucket cap on a (key, collect_list) frame.
 
-    ``on_overflow='drop'`` filters oversized buckets out BUT never
-    silently: the second return value is a one-row lazy stats frame
-    (``overflow_buckets``, ``overflow_members``, ``max_bucket_size``)
-    the caller runs to audit what was dropped — a DataFrame rather than
-    an ``observe`` metric because AQE's empty-relation propagation can
-    erase a mid-plan CollectMetrics node exactly when every bucket was
-    dropped, i.e. when the accounting matters most.  ``'error'`` fails
-    the job with the offending size via ``raise_error`` — the right
-    default posture for a pipeline that must not quietly under-report
-    dups.
+    ``on_overflow='drop'`` (the default: a boilerplate mega-bucket
+    should degrade recall, not kill a 10-hour job) filters oversized
+    buckets out with accounting: the second return value is a one-row
+    lazy stats frame (``overflow_buckets``, ``overflow_members``,
+    ``max_bucket_size``) the caller runs to audit what was dropped — a
+    DataFrame rather than an ``observe`` metric because AQE's
+    empty-relation propagation can erase a mid-plan CollectMetrics node
+    exactly when every bucket was dropped, i.e. when the accounting
+    matters most.  The stats frame rides on the returned pairs frame as
+    a plain ``bucket_overflow`` attribute: read it off THAT object (any
+    further transformation returns a new DataFrame without it), and
+    note it re-runs the bucket aggregation when evaluated.  Pipelines
+    that must not quietly under-report dups (and exact-oracle runs,
+    whose SQL models no cap) opt into ``'error'``, which fails the job
+    with the offending size via ``raise_error``.
     """
     if max_bucket is None:
         return buckets, None

@@ -83,11 +83,12 @@ def extract_features(
     media blobs), then runs the Arrow-batched decode stage.  The payload
     construction is the only fixture-specific line.
 
-    Decode is CPU-bound Python, so partition count caps throughput: a
-    handful of giant input files would otherwise pin the whole decode on
-    a few Python workers.  ``min_parallelism`` round-robins the payloads
-    first when the scan yields fewer partitions than that — the one case
-    where an extra shuffle is cheaper than the idle cores."""
+    Decode is CPU-bound Python, so partition count governs throughput:
+    a handful of giant input files pins the decode on a few Python
+    workers, and thousands of tiny splits churn worker startup.
+    ``min_parallelism`` repartitions the payloads to EXACTLY that many
+    partitions before the decode (set it to ~2-4x total cores); the one
+    shuffle is cheaper than idle or thrashing Python workers."""
     with_payload = _payloads(docs, text_col, min_parallelism)
     return with_payload.mapInPandas(fake_decode_features, FEATURE_SCHEMA)
 

@@ -118,7 +118,10 @@ def asof_join(
         F.unix_timestamp(right[right_ts]).cast("long").alias("_mts"),
         *[right[c].alias(c) for c in value_cols],
     )
-    r = right.select(
+    # a null right timestamp would sort first (asc nulls-first) and its
+    # NON-null match struct would be carried onto every otherwise-
+    # unmatched left row — drop timestamp-less right rows up front
+    r = right.filter(right[right_ts].isNotNull()).select(
         right[on].alias(on),
         F.unix_timestamp(right[right_ts]).cast("long").alias("_aj_t"),
         match.alias("_aj_m"),

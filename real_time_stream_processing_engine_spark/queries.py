@@ -1255,7 +1255,7 @@ def q47_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN orders o
         ON o.o_custkey = e.user_id + 1
        AND o.o_orderdate <= e.ts
-       AND epoch(e.ts) - epoch(o.o_orderdate) <= 2592000
+       AND floor(epoch(e.ts)) - floor(epoch(o.o_orderdate)) <= 2592000
     )
     SELECT e.event_id, e.user_id,
            CAST(epoch(r.o_orderdate) AS BIGINT) AS asof_ts,

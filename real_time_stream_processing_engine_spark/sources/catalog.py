@@ -77,7 +77,12 @@ def merge(spark: SparkSession, path: str, fmt: str = "parquet", target_files: in
     # target size from the FILE listing (cheap metadata), not
     # df.rdd.getNumPartitions() — that forces an RDD conversion + plan
     # analysis just to count inputs the FS already knows
-    n_files = sum(1 for e in ls(spark, path) if not e["is_dir"])
+    n_files = sum(
+        1
+        for e in ls(spark, path)
+        if not e["is_dir"]
+        and not os.path.basename(e["path"]).startswith(("_", "."))
+    )
     n = target_files or max(1, n_files // 8)
     tmp = path.rstrip("/") + "__compact_tmp"
     getattr(df.coalesce(n).write.mode("overwrite"), fmt)(tmp)

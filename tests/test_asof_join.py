@@ -98,3 +98,17 @@ def test_bad_direction_rejected(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, "user_id", "ts", "rts", ["price"], direction="nearest")
+
+
+def test_null_right_timestamps_never_match(spark):
+    """A right row with a null timestamp must not be carried as a
+    phantom match onto unmatched left rows."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-02 00:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", None, 99.0)], "user_id string, rts timestamp, price double"
+    )
+    got = _rows(asof_join(left, right, "user_id", "ts", "rts", ["price"]))
+    assert got[1] == (None, None)

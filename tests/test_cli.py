@@ -65,3 +65,9 @@ def test_cli_repl_session(tmp_path):
     assert "2" in proc.stdout  # running count of the two error lines
     assert "lines.txt" in proc.stdout  # ls output
     assert "unknown command" in proc.stdout  # bad input survives, REPL continues
+
+
+def test_cli_one_shot_nonzero_exit_on_error(tmp_path):
+    proc = _run_cli([f'RAINSTORM "FILTER:x" {tmp_path}/does_not_exist.txt 2'])
+    assert proc.returncode == 1
+    assert "error:" in proc.stdout
