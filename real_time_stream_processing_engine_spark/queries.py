@@ -400,7 +400,7 @@ def q16_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs)
+    return lsh_candidate_pairs(docs, on_overflow="error")
 
 
 @register(
@@ -427,7 +427,7 @@ def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    return ngram_jaccard_pairs(docs, threshold=0.5, on_overflow="error")
 
 
 @register(
@@ -451,7 +451,7 @@ def q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import blocked_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return blocked_neardup_pairs(emb, threshold=0.4)
+    return blocked_neardup_pairs(emb, threshold=0.4, on_overflow="error")
 
 
 def _lex_values() -> str:
@@ -978,7 +978,7 @@ def q39_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs)
+    return simhash_neardup_pairs(docs, on_overflow="error")
 
 
 @register(
@@ -1241,7 +1241,7 @@ def q47_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("vec_id", "embedding").collect()
     }
     bands = [[(j, hps[16 + 4 * b + j]) for j in range(4)] for b in range(3)]
-    return rp_lsh_neardup_pairs(emb, bands, threshold=0.4)
+    return rp_lsh_neardup_pairs(emb, bands, threshold=0.4, on_overflow="error")
 
 
 @register(
@@ -1489,7 +1489,7 @@ def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs)
+    pairs = lsh_candidate_pairs(docs, on_overflow="error")
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("cluster_id").cast("long").alias("cluster_id")
     )
