@@ -140,3 +140,64 @@ def winnowing_fingerprints(
             F.md5(F.concat_ws("", "_fps")).alias("fp_digest"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical relevance ranking: top-k documents for a bag-of-words
+    query by BM25 — the keyword-search counterpart to the embedding
+    search family (q13/q28/q46: same retrieval surface, different
+    signal).
+
+    Shape for 100 TB: the scan-side term filter keeps ONLY postings for
+    query terms (|query| is tiny, so the explode's surviving rows are a
+    sliver of the corpus); document frequencies and the corpus stats
+    (N, avgdl) are one-row/tiny aggregates broadcast back onto the
+    postings, so the only real exchange carries one (doc, term) counter
+    per posting; the final top-k is a TakeOrdered, never a global sort.
+    With a pre-built inverted index (term-bucketed postings table) the
+    scan itself prunes to the query terms; this form is the index-free
+    baseline.  Scores round to 6dp; ties break by ascending id."""
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(id_col, tokenize(text_col).alias("_toks"))
+    dl = toks.select(id_col, F.size("_toks").alias("dl"), F.col("_toks"))
+    # ONE corpus stats pass (no explode): N, avgdl, and every query
+    # term's document frequency as conditional sums — a deriving-dfreq-
+    # from-the-postings formulation re-tokenizes the corpus a 3rd time
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    tf = (
+        dl.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    from itertools import chain
+
+    df_map = F.create_map(
+        *chain.from_iterable((F.lit(t), F.col(f"_df_{i}")) for i, t in enumerate(terms))
+    )
+    df_t = F.element_at(df_map, F.col("term"))
+    idf = F.log((F.col("n_docs") - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

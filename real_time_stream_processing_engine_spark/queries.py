@@ -1570,5 +1570,35 @@ def q58_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q58_split_assign"] = _q58_sql()
 
 
+@register(
+    "q59_bm25_search",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    posting AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM posting
+           WHERE term IN ('data', 'stream', 'processing') GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1)
+    SELECT doc_id,
+           ROUND(SUM(ln((s.n_docs - df_t + 0.5) / (df_t + 0.5) + 1)
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl))), 6) AS bm25
+    FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q59_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword relevance search: top-10 docs for the query
+    'data stream processing' by BM25 (k1=1.2, b=0.75) — the lexical
+    counterpart to q13/q28/q46's embedding retrieval.  Postings for
+    non-query terms are filtered at the explode; document frequencies
+    and corpus stats broadcast back; top-k is a TakeOrdered."""
+    from .operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["data", "stream", "processing"], k=10)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

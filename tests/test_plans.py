@@ -132,6 +132,16 @@ def test_decontamination_broadcasts_benchmark(spark, sf_dir):
     assert _count(plan, "SortMergeJoin") == 0
 
 
+def test_bm25_two_scans_takeordered(spark, sf_dir):
+    """q59: one no-explode corpus-stats pass + one postings pass (a
+    dfreq-from-postings formulation re-tokenizes a 3rd time); top-k is
+    TakeOrdered; stats broadcast, never sort-merge joined."""
+    plan = _plan(spark, sf_dir, "q59_bm25_search")
+    assert _count(plan, "Scan parquet") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert _count(plan, "SortMergeJoin") == 0
+
+
 def test_rp_lsh_pairs_single_scan_no_join(spark, sf_dir):
     """q47: banded sign-LSH is one scan + bucket-pairs — the L-band
     bucketing is a projection + explode, never a self-join, and the
