@@ -1,0 +1,59 @@
+"""Token-budget sequence packing for training-data pipelines.
+
+Training consumes fixed-length sequences; a corpus is variable-length
+documents.  Packing assigns each document to a ``pack_id`` so that
+consecutive documents fill a token budget (e.g. one 8192-token context
+per pack) — the batching stage between a curated corpus and a data
+loader.  The reference has nothing like it (its surface stops at tuple
+transforms); this is north-star surface for the LLM-pipeline family.
+
+Scale shape: ONE exchange (hash partition by the group columns) + an
+in-partition sort feeding a running-sum window — no global sort, no
+driver loop.  The caller MUST include a bounded sharding column in
+``group_cols`` (see ``sampling.shard_col``) so no window partition
+holds a whole language/domain at 100 TB; a window partition is one
+task's sort buffer, and "partition by lang" alone would put a third of
+a web corpus in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    order_col: str,
+    group_cols: list[str],
+    out: str = "pack_id",
+) -> DataFrame:
+    """Greedy contiguous packing: within each ``group_cols`` partition,
+    walk documents in ``order_col`` order and start a new pack each
+    time the running token total crosses a multiple of ``budget``.
+
+    Document d joins pack ``floor(pre_cum(d) / budget)`` where
+    ``pre_cum`` is the token total of all earlier documents in its
+    group — so a pack (except the last per group) never closes below
+    budget, a pack minus its final document is always under budget,
+    and the assignment is a pure function of (group, order, tokens):
+    deterministic under retries and repartitioning, reproducible by
+    any engine with a windowed sum.  Oversized single documents get a
+    pack of their own (they cross several boundaries at once) rather
+    than erroring — the downstream chunker's problem, by design."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty (include a shard column: an "
+            "unpartitioned window is a single-task global sort at scale)"
+        )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre_cum = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(out, F.floor(pre_cum / F.lit(float(budget))).cast("long"))

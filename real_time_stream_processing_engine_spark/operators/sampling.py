@@ -39,6 +39,19 @@ def fraction_threshold_hex(fraction: float) -> str:
         return "g"
     return format(n, "x").rjust(_HEX_DIGITS, "0")
 
+def shard_col(id_col: str, n_shards: int, seed: str = "shard1"):
+    """Deterministic md5-derived shard id in [0, n_shards) — the same
+    retry-stable draw as the samplers, as an integer.  Used to bound
+    window-partition / bucket sizes at scale (e.g. sequence packing
+    partitions by (group, shard) so no single window partition holds a
+    whole language).  7 hex digits (< 2^28) parse identically as an int
+    in any engine (``('0x' || substr(md5(..),1,7))::BIGINT`` in DuckDB)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 7)
+    return (F.conv(h, 16, 10).cast("long") % n_shards).alias("shard")
+
+
 def bernoulli_sample(
     df: DataFrame, fraction: float, id_col: str, seed: str = "s1"
 ) -> DataFrame:

@@ -142,6 +142,51 @@ def winnowing_fingerprints(
     )
 
 
+#: Standard PII patterns (public formats; RE2- and Java-regex
+#: compatible: no lookaround, no backrefs — so the same pattern runs in
+#: Spark and any RE2-based oracle/engine).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def blocklist_pattern(terms: list[str]) -> str:
+    """Whole-word alternation for a term blocklist: ``\\b(?:a|b)\\b``."""
+    if not terms:
+        raise ValueError("blocklist needs at least one term")
+    return r"\b(?:" + "|".join(terms) + r")\b"
+
+
+def regex_redact(
+    df: DataFrame,
+    patterns: dict[str, str],
+    text_col: str = "text",
+    out: str = "redacted",
+) -> DataFrame:
+    """PII / blocklist scrubbing: count and mask each labeled pattern
+    (``label -> [LABEL]``), emitting per-label hit counts ``n_<label>``
+    plus the scrubbed text — the redaction stage every pre-training
+    pipeline runs before a corpus ships.
+
+    Patterns apply SEQUENTIALLY in dict order, each counting against
+    the text as already redacted by earlier labels — so overlapping
+    patterns never double-count (an email's host can't also be scrubbed
+    as a hostname pattern) and ``n_<label>`` is exactly the number of
+    masks written for that label, the audit ledger a compliance review
+    wants.  Shape for 100 TB: ONE scan-side projection — regexp_count /
+    regexp_replace are codegen built-ins, no shuffle, no UDF; the whole
+    operator rides along with whatever scan is already happening."""
+    cur = F.col(text_col)
+    cols = [F.col(c) for c in df.columns]
+    counts = []
+    for label, pat in patterns.items():
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{label}"))
+        cur = F.regexp_replace(cur, pat, f"[{label.upper()}]")
+    return df.select(*cols, *counts, cur.alias(out))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -1600,5 +1600,75 @@ def q59_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["data", "stream", "processing"], k=10)
 
 
+@register(
+    "q60_pii_redaction",
+    r"""
+    WITH r AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(text, '\b(?:hash|merge|slow)\b')) AS BIGINT)
+                        AS n_blocked,
+                      regexp_replace(text, '\b(?:hash|merge|slow)\b', '[BLOCKED]', 'g')
+                        AS redacted
+               FROM documents)
+    SELECT doc_id, n_blocked, redacted FROM r WHERE n_blocked > 0
+    """,
+)
+def q60_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction stage: scrub a term blocklist from every document,
+    keeping docs that were touched with an audit count of masks
+    written.  The operator (``regex_redact``) is the general sequential
+    count-and-mask engine — the standard PII patterns (email / phone /
+    IPv4, ``text.PII_PATTERNS``) run through the same path and are
+    pinned by unit tests on a constructed fixture, since the synthetic
+    corpus contains no digits.  ONE scan-side codegen projection: no
+    shuffle, no UDF."""
+    from .operators.text import blocklist_pattern, regex_redact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    red = regex_redact(docs, {"blocked": blocklist_pattern(["hash", "merge", "slow"])})
+    return red.filter(F.col("n_blocked") > 0).select("doc_id", "n_blocked", "redacted")
+
+
+@register(
+    "q61_sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5('shard1' || '|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                        % 4 AS shard,
+                      len({_SQL_TOKS}) AS n_tokens
+               FROM documents),
+    c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pre_cum
+          FROM t)
+    SELECT lang, shard, CAST(FLOOR(pre_cum / 512.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2, 3
+    """,
+)
+def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (one 512-token context per pack):
+    greedy contiguous fill within (lang, md5-shard) in doc_id order,
+    reported per pack.  The shard column bounds every window partition
+    — the property that keeps the in-partition sort a single task's
+    buffer at 100 TB instead of a whole language.  ONE exchange
+    (hash by lang+shard), running-sum window, partial-agg rollup."""
+    from .functions.textfn import tokenize
+    from .operators.packing import pack_sequences
+    from .operators.sampling import shard_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        shard_col("doc_id", 4, seed="shard1"),
+        F.size(tokenize("text")).alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        t, budget=512, token_col="n_tokens", order_col="doc_id", group_cols=["lang", "shard"]
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

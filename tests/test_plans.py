@@ -181,3 +181,23 @@ def test_no_python_udf_in_jvm_operators(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_redaction_is_scan_side(spark, sf_dir):
+    """q60: count-and-mask is ONE codegen projection riding the scan —
+    no exchange, no UDF; redacting 100 TB costs one pass."""
+    plan = _plan(spark, sf_dir, "q60_pii_redaction")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 0
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_packing_single_exchange_reused_by_rollup(spark, sf_dir):
+    """q61: one hash exchange on (lang, shard) feeds the running-sum
+    window AND the per-pack rollup — grouping keys (lang, shard,
+    pack_id) are clustered by the window's partitioning, so Spark must
+    not add a second exchange for the aggregate."""
+    plan = _plan(spark, sf_dir, "q61_sequence_packing")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "Window") == 1
