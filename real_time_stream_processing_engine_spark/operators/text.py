@@ -246,3 +246,100 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _term_shard_py(term: str, n_shards: int, seed: str) -> int:
+    """Driver-side twin of ``sampling.shard_col`` (md5(seed|term),
+    first 7 hex digits mod n) — the probe must compute the same shard
+    the index writer did."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{term}".encode()).hexdigest()[:7]
+    return int(h, 16) % n_shards
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    seed: str = "bm25shard",
+) -> None:
+    """Materialize the inverted index q59 documents as its scale path:
+    a postings table (term, doc_id, tf, dl) written
+    ``partitionBy(term-shard)``, per-term document frequencies in the
+    same layout, and the one-row corpus stats (N, avgdl).
+
+    The shard is the md5 draw of the TERM, so a query's terms map to a
+    handful of shard directories and a probe prunes every other shard
+    at the source — the build pays one explode + shuffle ONCE and every
+    subsequent query reads only its terms' partitions (the same
+    build-once/probe-many trade as the IVF index, ``similarity.
+    build_ivf_index``).  dfreq is derived by re-reading the written
+    postings, not by re-tokenizing the corpus.  At 100 TB: more shards
+    (production: 1024) and a bucketed sort within shards; the layout
+    and probe are unchanged."""
+    from .sampling import shard_col
+
+    toks = docs.select(id_col, tokenize(text_col).alias("_toks"))
+    dl = toks.select(id_col, F.size("_toks").alias("dl"), F.col("_toks"))
+    post = (
+        dl.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("shard", shard_col("term", n_shards, seed=seed))
+    )
+    post.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/postings")
+    spark = docs.sparkSession
+    written = spark.read.parquet(f"{path}/postings")
+    written.groupBy("shard", "term").agg(F.count("*").alias("df_t")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(f"{path}/dfreq")
+    dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "bm25shard",
+) -> DataFrame:
+    """Probe the materialized inverted index: same score, same ties,
+    same oracle as ``bm25_topk`` — what changes is WHERE the term
+    filter runs.  The probe computes the query terms' shards
+    driver-side and reads ONLY those partitions (partition pruning at
+    the source listing), then row-filters to the exact terms; stats
+    and dfreq broadcast onto the postings and the top-k is a
+    TakeOrdered.  Cost is O(postings of the query's terms), not
+    O(corpus)."""
+    terms = [t.lower() for t in query_terms]
+    shards = sorted({_term_shard_py(t, n_shards, seed) for t in terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("shard").isin(shards) & F.col("term").isin(terms))
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/dfreq")
+        .filter(F.col("shard").isin(shards) & F.col("term").isin(terms))
+        .select("term", "df_t")
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -201,3 +201,16 @@ def test_packing_single_exchange_reused_by_rollup(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
     assert _count(plan, "Exchange") == 1
     assert _count(plan, "Window") == 1
+
+
+def test_bm25_index_probe_prunes_partitions(spark, sf_dir):
+    """q62: the probe must read ONLY the query terms' shard partitions
+    (partition pruning at the source listing) with the exact term
+    filter pushed into the parquet scan; dfreq/stats broadcast, top-k
+    is a TakeOrdered — probing cost is O(query-term postings), not
+    O(corpus)."""
+    plan = _plan(spark, sf_dir, "q62_bm25_indexed")
+    assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan)
+    assert "In(term, [data,processing,stream])" in plan
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "TakeOrderedAndProject" in plan
