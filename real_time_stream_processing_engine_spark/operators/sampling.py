@@ -127,3 +127,52 @@ def stratified_fixed_k(
     if out_rank:
         return out.withColumnRenamed("_sample_rk", out_rank)
     return out.drop("_sample_rk")
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, budget: int
+) -> dict[str, float]:
+    """Temperature-based mixture weights (the multilingual data-mixing
+    formula): sample group g with probability proportional to
+    ``n_g^alpha``, scaled to an expected ``budget`` rows total.
+
+    alpha=1 keeps natural proportions (every group gets the same rate);
+    alpha=0 equalizes groups (rates proportional to 1/n_g); 0<alpha<1
+    is the standard boilerplate-language flattening.  Rates cap at 1 —
+    upsampling past a group's size means repetition, which is a
+    different operator (and a different statistical decision) than a
+    filter.  Driver-side pure math over the tiny per-group count table;
+    feed the result to ``mixture_sample``."""
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("group counts must be positive")
+    z = sum(n**alpha for n in counts.values())
+    return {
+        g: min(1.0, budget * (n**alpha / z) / n) for g, n in counts.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    id_col: str,
+    seed: str = "mix2",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-group deterministic Bernoulli resampling — the corpus
+    data-mixing stage (downsample boilerplate languages/domains,
+    upweight rare ones) as ONE scan-side filter.
+
+    Each group's rate becomes a hex threshold on the same md5(seed|id)
+    draw as ``bernoulli_sample``, compiled into a single CASE — so
+    membership is a pure row property (retry / repartition / corpus-
+    growth stable), the plan has zero exchanges, and a row's draw is
+    SHARED across seeds only if the seed matches: resampling with a new
+    seed draws an independent mixture.  Groups absent from ``rates``
+    keep ``default_rate``."""
+    expr = F.lit(fraction_threshold_hex(default_rate))
+    for g, r in rates.items():
+        expr = F.when(F.col(group_col) == g, F.lit(fraction_threshold_hex(r))).otherwise(expr)
+    return df.filter(_hash_hex(seed, id_col) < expr)

@@ -1696,5 +1696,41 @@ def q62_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q62_bm25_indexed"] = ORACLE["q59_bm25_search"]
 
 
+def _q63_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    en, fr, default = (
+        fraction_threshold_hex(0.25),
+        fraction_threshold_hex(0.5),
+        fraction_threshold_hex(1.0),
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('mix2' || '|' || CAST(doc_id AS VARCHAR)), 1, 28) <
+          CASE lang WHEN 'en' THEN '{en}' WHEN 'fr' THEN '{fr}' ELSE '{default}' END
+    """
+
+
+@register("q63_mixture_sample", None)
+def q63_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-language deterministic Bernoulli resampling —
+    flatten dominant English to 25%, French to 50%, keep the rest —
+    ONE scan-side CASE-threshold filter on the shared md5 draw (zero
+    exchanges, plan-pinned).  ``temperature_rates`` computes such a
+    rate table from group counts and a temperature alpha (the
+    multilingual n^alpha formula, unit-pinned); the query pins the
+    mixture filter itself with fixed rates so the oracle is
+    scale-independent."""
+    from .operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(
+        docs, {"en": 0.25, "fr": 0.5}, group_col="lang", id_col="doc_id", seed="mix2"
+    )
+
+
+ORACLE["q63_mixture_sample"] = _q63_sql()
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -214,3 +214,11 @@ def test_bm25_index_probe_prunes_partitions(spark, sf_dir):
     assert "In(term, [data,processing,stream])" in plan
     assert _count(plan, "SortMergeJoin") == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_sample_is_scan_side(spark, sf_dir):
+    """q63: the data-mixing filter is one CASE-threshold compare riding
+    the scan — zero exchanges; mixing 100 TB costs one pass."""
+    plan = _plan(spark, sf_dir, "q63_mixture_sample")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 0

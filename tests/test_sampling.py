@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from real_time_stream_processing_engine_spark.operators.sampling import (
     bernoulli_sample,
     fraction_threshold_hex,
+    mixture_sample,
     stratified_fixed_k,
+    temperature_rates,
 )
 
 
@@ -84,3 +86,36 @@ def test_stratified_sample_is_deterministic(spark):
         for r in stratified_fixed_k(df.repartition(13), ["lang"], 25, "doc_id").collect()
     )
     assert a == b
+
+
+def test_temperature_rates_math():
+    # alpha=1: natural proportions -> one shared rate = budget/total.
+    assert temperature_rates({"a": 100, "b": 400}, 1.0, 250) == {"a": 0.5, "b": 0.5}
+    # alpha=0: equalized expected takes -> rate inversely proportional
+    # to group size (expected take identical across groups).
+    r = temperature_rates({"a": 100, "b": 400}, 0.0, 200)
+    assert abs(r["a"] * 100 - r["b"] * 400) < 1e-9
+    # rates cap at 1 (no silent upsampling past a group's size).
+    r = temperature_rates({"tiny": 10, "big": 10000}, 0.0, 5000)
+    assert r["tiny"] == 1.0
+    with pytest.raises(ValueError):
+        temperature_rates({}, 0.5, 10)
+    with pytest.raises(ValueError):
+        temperature_rates({"a": 0}, 0.5, 10)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("grp")
+    )
+    rates = {"0": 0.2, "1": 0.8}  # groups 2,3 take default_rate=1.0
+    out = mixture_sample(df, rates, group_col="grp", id_col="id", seed="t1")
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got["2"] == 1000 and got["3"] == 1000  # default keeps all
+    assert abs(got["0"] - 200) < 60 and abs(got["1"] - 800) < 60  # binomial range
+    # deterministic: identical membership on a re-run and after repartition
+    again = mixture_sample(df.repartition(13), rates, group_col="grp", id_col="id", seed="t1")
+    assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in again.collect())
+    # a different seed draws a genuinely different mixture
+    other = mixture_sample(df, rates, group_col="grp", id_col="id", seed="t2")
+    assert sorted(r["id"] for r in out.collect()) != sorted(r["id"] for r in other.collect())
