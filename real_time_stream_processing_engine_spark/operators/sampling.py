@@ -147,6 +147,8 @@ def temperature_rates(
         raise ValueError("counts must be non-empty")
     if any(n <= 0 for n in counts.values()):
         raise ValueError("group counts must be positive")
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     z = sum(n**alpha for n in counts.values())
     return {
         g: min(1.0, budget * (n**alpha / z) / n) for g, n in counts.items()

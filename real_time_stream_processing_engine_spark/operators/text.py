@@ -153,10 +153,23 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def blocklist_pattern(terms: list[str]) -> str:
-    """Whole-word alternation for a term blocklist: ``\\b(?:a|b)\\b``."""
+    """Whole-word alternation for a term blocklist.  Terms are
+    regex-escaped so ``c++`` or ``a.b`` match literally instead of
+    breaking (or silently widening) the compiled pattern, and each
+    term gets a ``\\b`` only on edges that are word characters — a
+    ``\\b`` after a trailing ``+`` sits between two non-word chars and
+    can never match, which would silently drop the term."""
+    import re as _re
+
     if not terms:
         raise ValueError("blocklist needs at least one term")
-    return r"\b(?:" + "|".join(terms) + r")\b"
+
+    def bound(t: str) -> str:
+        pre = r"\b" if _re.match(r"\w", t) else ""
+        suf = r"\b" if _re.search(r"\w$", t) else ""
+        return pre + _re.escape(t) + suf
+
+    return "(?:" + "|".join(bound(t) for t in terms) + ")"
 
 
 def regex_redact(
@@ -178,6 +191,10 @@ def regex_redact(
     wants.  Shape for 100 TB: ONE scan-side projection — regexp_count /
     regexp_replace are codegen built-ins, no shuffle, no UDF; the whole
     operator rides along with whatever scan is already happening."""
+    taken = set(df.columns)
+    clashes = [c for c in [*(f"n_{l}" for l in patterns), out] if c in taken]
+    if clashes:
+        raise ValueError(f"output column(s) {clashes} already exist in the input")
     cur = F.col(text_col)
     cols = [F.col(c) for c in df.columns]
     counts = []
@@ -276,10 +293,12 @@ def build_bm25_index(
     at the source — the build pays one explode + shuffle ONCE and every
     subsequent query reads only its terms' partitions (the same
     build-once/probe-many trade as the IVF index, ``similarity.
-    build_ivf_index``).  dfreq is derived by re-reading the written
-    postings, not by re-tokenizing the corpus.  At 100 TB: more shards
-    (production: 1024) and a bucketed sort within shards; the layout
-    and probe are unchanged."""
+    build_ivf_index``).  dfreq AND the corpus stats derive from
+    re-reading the written postings, so the corpus is tokenized exactly
+    once; the only other touch is a column-pruned doc count (docs with
+    zero tokens have no postings but still belong in N and avgdl).  At
+    100 TB: more shards (production: 1024) and a bucketed sort within
+    shards; the layout and probe are unchanged."""
     from .sampling import shard_col
 
     toks = docs.select(id_col, tokenize(text_col).alias("_toks"))
@@ -296,9 +315,13 @@ def build_bm25_index(
     written.groupBy("shard", "term").agg(F.count("*").alias("df_t")).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(f"{path}/dfreq")
-    dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/stats")
+    n_docs = docs.select(id_col).count()
+    sum_dl = (
+        written.select(id_col, "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0
+    )
+    spark.createDataFrame(
+        [(n_docs, sum_dl / n_docs if n_docs else 0.0)], "n_docs: bigint, avgdl: double"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def bm25_topk_indexed(

@@ -1651,7 +1651,6 @@ def q61_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the property that keeps the in-partition sort a single task's
     buffer at 100 TB instead of a whole language.  ONE exchange
     (hash by lang+shard), running-sum window, partial-agg rollup."""
-    from .functions.textfn import tokenize
     from .operators.packing import pack_sequences
     from .operators.sampling import shard_col
 

@@ -60,6 +60,24 @@ def test_blocklist_requires_terms():
         blocklist_pattern([])
 
 
+def test_blocklist_escapes_metacharacters(spark):
+    # "c++" must compile and match literally; "a.b" must not widen to
+    # "a<any>b".
+    df = spark.createDataFrame([(1, "c++ and a.b but not aXb")], ["doc_id", "text"])
+    row = regex_redact(df, {"blocked": blocklist_pattern(["c++", "a.b"])}).collect()[0]
+    assert row["n_blocked"] == 2
+    assert row["redacted"] == "[BLOCKED] and [BLOCKED] but not aXb"
+
+
+def test_redact_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, "x", 0)], ["doc_id", "text", "n_email"])
+    with pytest.raises(ValueError, match="n_email"):
+        regex_redact(df, PII_PATTERNS)
+    df2 = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="text"):
+        regex_redact(df2, PII_PATTERNS, out="text")
+
+
 @pytest.fixture()
 def packed(spark):
     # One group, budget 10: docs of 4,4,4 tokens -> pre_cum 0,4,8 all in

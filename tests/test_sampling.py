@@ -102,6 +102,8 @@ def test_temperature_rates_math():
         temperature_rates({}, 0.5, 10)
     with pytest.raises(ValueError):
         temperature_rates({"a": 0}, 0.5, 10)
+    with pytest.raises(ValueError):
+        temperature_rates({"a": 10}, 0.5, 0)
 
 
 def test_mixture_sample_rates_and_determinism(spark):
