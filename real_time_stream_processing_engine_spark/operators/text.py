@@ -309,12 +309,17 @@ def build_bm25_index(
         .agg(F.count("*").alias("tf"))
         .withColumn("shard", shard_col("term", n_shards, seed=seed))
     )
-    post.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/postings")
+    # repartition on shard first: each shard directory gets ONE file
+    # per write instead of one per upstream task — listing/probing a
+    # shard stays O(files-per-shard), not O(write parallelism)
+    post.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/postings"
+    )
     spark = docs.sparkSession
     written = spark.read.parquet(f"{path}/postings")
-    written.groupBy("shard", "term").agg(F.count("*").alias("df_t")).write.mode(
-        "overwrite"
-    ).partitionBy("shard").parquet(f"{path}/dfreq")
+    written.groupBy("shard", "term").agg(F.count("*").alias("df_t")).repartition(
+        "shard"
+    ).write.mode("overwrite").partitionBy("shard").parquet(f"{path}/dfreq")
     n_docs = docs.select(id_col).count()
     sum_dl = (
         written.select(id_col, "dl").distinct().agg(F.sum("dl")).collect()[0][0] or 0
