@@ -141,8 +141,8 @@ def temperature_rates(
     is the standard boilerplate-language flattening.  Rates cap at 1 —
     upsampling past a group's size means repetition, which is a
     different operator (and a different statistical decision) than a
-    filter.  Driver-side pure math over the tiny per-group count table;
-    feed the result to ``mixture_sample``."""
+    filter: ``repeat_rows``.  Driver-side pure math over the tiny
+    per-group count table; feed the result to ``mixture_sample``."""
     if not counts:
         raise ValueError("counts must be non-empty")
     if any(n <= 0 for n in counts.values()):
@@ -178,3 +178,47 @@ def mixture_sample(
     for g, r in rates.items():
         expr = F.when(F.col(group_col) == g, F.lit(fraction_threshold_hex(r))).otherwise(expr)
     return df.filter(_hash_hex(seed, id_col) < expr)
+
+
+def repeat_rows(
+    df: DataFrame,
+    factors: dict[str, float],
+    group_col: str,
+    id_col: str,
+    seed: str = "rep1",
+    default_factor: float = 1.0,
+    out: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-group repetition — the upsampling half of data
+    mixing (``temperature_rates`` caps rates at 1 because repeating is
+    a different decision; this is that operator).  A row in group g
+    with factor f appears ``floor(f)`` times, plus one more iff its
+    md5(seed|id) draw falls under ``frac(f)`` — so a factor of 2.5
+    emits every row twice and an unbiased, retry-stable half of rows a
+    third time, and E[copies] = f exactly.  Factors below 1 degrade to
+    Bernoulli thinning (floor 0 + fractional draw), unifying both
+    mixing directions under one primitive.
+
+    Each copy is numbered 1..n in ``out`` (the epoch tag a training
+    shuffle needs so repeats land in different batches).  Scan-side
+    ``explode(sequence(...))`` — a Generate with no shuffle; rows with
+    zero copies vanish at the explode.  Factors are literals compiled
+    into one CASE, so the plan is identical for 2 groups or 200."""
+    if any(f < 0 for f in factors.values()) or default_factor < 0:
+        raise ValueError("repeat factors must be >= 0")
+    import math
+
+    draw = _hash_hex(seed, id_col)
+
+    def n_copies(f: float):
+        base = int(math.floor(f))
+        extra = (draw < fraction_threshold_hex(f - base)).cast("int")
+        return F.lit(base) + extra
+
+    expr = n_copies(default_factor)
+    for g, f in factors.items():
+        expr = F.when(F.col(group_col) == g, n_copies(f)).otherwise(expr)
+    copies = F.when(
+        expr >= 1, F.sequence(F.lit(1), expr.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(out, F.explode(copies))

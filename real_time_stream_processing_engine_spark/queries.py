@@ -1731,5 +1731,43 @@ def q63_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q63_mixture_sample"] = _q63_sql()
 
 
+def _q64_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    half = fraction_threshold_hex(0.5)
+    return f"""
+    WITH d AS (SELECT doc_id, lang,
+                      substr(md5('rep1' || '|' || CAST(doc_id AS VARCHAR)), 1, 28) AS draw
+               FROM documents),
+    n AS (SELECT doc_id, lang,
+                 CASE lang
+                   WHEN 'fr' THEN 2 + CASE WHEN draw < '{half}' THEN 1 ELSE 0 END
+                   WHEN 'zh' THEN CASE WHEN draw < '{half}' THEN 1 ELSE 0 END
+                   ELSE 1
+                 END AS n_copies
+          FROM d)
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch
+    FROM n WHERE n_copies >= 1
+    """
+
+
+@register("q64_epoch_upsampling", None)
+def q64_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling half of data mixing: repeat French docs 2.5x (twice
+    each + an unbiased md5-decided half a third time), thin Chinese to
+    0.5x, keep the rest — every copy tagged with its epoch number for
+    the training shuffle.  Scan-side explode(sequence(...)), no
+    shuffle, retry/repartition-stable (plan-pinned)."""
+    from .operators.sampling import repeat_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return repeat_rows(
+        docs, {"fr": 2.5, "zh": 0.5}, group_col="lang", id_col="doc_id", seed="rep1"
+    )
+
+
+ORACLE["q64_epoch_upsampling"] = _q64_sql()
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -222,3 +222,12 @@ def test_mixture_sample_is_scan_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q63_mixture_sample")
     assert _count(plan, "Scan parquet") == 1
     assert _count(plan, "Exchange") == 0
+
+
+def test_epoch_upsampling_is_scan_side(spark, sf_dir):
+    """q64: repetition is one Generate (explode of a CASE-built
+    sequence) riding the scan — zero exchanges."""
+    plan = _plan(spark, sf_dir, "q64_epoch_upsampling")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 0
+    assert _count(plan, "Generate") == 1

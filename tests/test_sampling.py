@@ -9,6 +9,7 @@ from real_time_stream_processing_engine_spark.operators.sampling import (
     bernoulli_sample,
     fraction_threshold_hex,
     mixture_sample,
+    repeat_rows,
     stratified_fixed_k,
     temperature_rates,
 )
@@ -121,3 +122,44 @@ def test_mixture_sample_rates_and_determinism(spark):
     # a different seed draws a genuinely different mixture
     other = mixture_sample(df, rates, group_col="grp", id_col="id", seed="t2")
     assert sorted(r["id"] for r in out.collect()) != sorted(r["id"] for r in other.collect())
+
+
+def test_repeat_rows_factors_epochs_and_determinism(spark):
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("grp")
+    )
+    out = repeat_rows(df, {"0": 2.5, "1": 0.25}, group_col="grp", id_col="id", seed="r1")
+    rows = out.collect()
+    by_id: dict[int, list[int]] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["epoch"])
+    # group 0: every row appears 2 or 3 times, epochs numbered 1..n
+    for i in range(0, 2000, 2):
+        assert sorted(by_id[i]) in ([1, 2], [1, 2, 3])
+    n0 = sum(len(v) for i, v in by_id.items() if i % 2 == 0)
+    assert abs(n0 - 2500) < 120  # E = 1000 * 2.5, binomial spread
+    # group 1: rows appear 0 or 1 times; ~25% survive
+    assert all(v == [1] for i, v in by_id.items() if i % 2 == 1)
+    n1 = sum(1 for i in by_id if i % 2 == 1)
+    assert abs(n1 - 250) < 60
+    # deterministic under repartition
+    again = repeat_rows(
+        df.repartition(7), {"0": 2.5, "1": 0.25}, group_col="grp", id_col="id", seed="r1"
+    )
+    assert sorted((r["id"], r["epoch"]) for r in again.collect()) == sorted(
+        (r["id"], r["epoch"]) for r in rows
+    )
+    # the thinning draw agrees with mixture_sample: factor f<1 keeps
+    # exactly the rows a rate-f mixture keeps (same seed, same draw)
+    thin = mixture_sample(
+        df.filter(F.col("grp") == "1"), {"1": 0.25}, group_col="grp", id_col="id", seed="r1"
+    )
+    assert sorted(r["id"] for r in thin.collect()) == sorted(
+        i for i in by_id if i % 2 == 1
+    )
+
+
+def test_repeat_rows_rejects_negative_factor(spark):
+    df = spark.range(1).select(F.col("id"), F.lit("a").alias("grp"))
+    with pytest.raises(ValueError):
+        repeat_rows(df, {"a": -1.0}, group_col="grp", id_col="id")
