@@ -1769,5 +1769,85 @@ def q64_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q64_epoch_upsampling"] = _q64_sql()
 
 
+def _q65_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    half = fraction_threshold_hex(0.5)
+    t_train, t_val = fraction_threshold_hex(0.9), fraction_threshold_hex(0.95)
+    return rf"""
+    WITH fp AS (SELECT doc_id, lang, text,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+                FROM documents),
+    surv AS (SELECT doc_id, lang, text FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+                FROM fp) WHERE rk = 1),
+    tok AS (SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens FROM surv),
+    qual AS (SELECT * FROM tok WHERE n_tokens >= 10),
+    mix AS (SELECT * FROM qual
+            WHERE substr(md5('mixP' || '|' || CAST(doc_id AS VARCHAR)), 1, 28) <
+                  CASE lang WHEN 'en' THEN '{half}' ELSE 'g' END),
+    spl AS (SELECT *, CASE
+              WHEN substr(md5('splitP' || '|' || CAST(doc_id AS VARCHAR)), 1, 28) < '{t_train}'
+                THEN 'train'
+              WHEN substr(md5('splitP' || '|' || CAST(doc_id AS VARCHAR)), 1, 28) < '{t_val}'
+                THEN 'val'
+              ELSE 'test' END AS split
+            FROM mix),
+    sh AS (SELECT *, ('0x' || substr(md5('packshard' || '|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                     % 2 AS shard
+           FROM spl),
+    c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY split, lang, shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS pre_cum
+          FROM sh)
+    SELECT split, lang, shard, CAST(FLOOR(pre_cum / 256.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("q65_curation_pipeline", None)
+def q65_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: a complete corpus-curation pipeline —
+    exact dedup (keep-min per fingerprint) -> quality gate (>= 10
+    tokens) -> mixture downsampling (en to 50%) -> 90/5/5 split
+    assignment -> token-budget packing (256/pack within (split, lang,
+    shard)) -> per-pack report.  One declarative plan: the dedup
+    window's top-1 gets WindowGroupLimit, the scan-side stages fuse
+    into projections, and the pack window's exchange is reused by the
+    rollup — 2 exchanges for a 6-stage pipeline (plan-pinned).  This is
+    the query a reference user actually ships a training corpus with."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import fingerprint
+    from .operators.packing import pack_sequences
+    from .operators.sampling import mixture_sample, shard_col, split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    surv = (
+        fingerprint(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    qual = surv.select(
+        "doc_id", "lang", F.size(tokenize("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    mixed = mixture_sample(qual, {"en": 0.5}, group_col="lang", id_col="doc_id", seed="mixP")
+    split = split_assign(
+        mixed, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id", seed="splitP"
+    )
+    sharded = split.select("*", shard_col("doc_id", 2, seed="packshard"))
+    packed = pack_sequences(
+        sharded, budget=256, token_col="n_tokens", order_col="doc_id",
+        group_cols=["split", "lang", "shard"],
+    )
+    return packed.groupBy("split", "lang", "shard", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+
+
+ORACLE["q65_curation_pipeline"] = _q65_sql()
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

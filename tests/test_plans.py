@@ -231,3 +231,16 @@ def test_epoch_upsampling_is_scan_side(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
     assert _count(plan, "Exchange") == 0
     assert _count(plan, "Generate") == 1
+
+
+def test_curation_pipeline_two_exchanges(spark, sf_dir):
+    """q65: the 6-stage curation pipeline (dedup -> quality -> mix ->
+    split -> pack -> report) compiles to ONE scan and TWO exchanges —
+    dedup's keep-min runs as WindowGroupLimit below AND above its
+    exchange (map-side partial top-1), the scan-side stages fuse into
+    projections, and the per-pack rollup reuses the pack window's
+    clustering."""
+    plan = _plan(spark, sf_dir, "q65_curation_pipeline")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 2
+    assert _count(plan, "WindowGroupLimit") == 2
