@@ -111,3 +111,81 @@ def test_salted_agg_equals_plain_agg_property(spark, rows, n_salt):
         .collect()
     }
     assert salted == plain
+
+
+# ---- sampling-family driver-side math (pure Python, no Spark) ----
+
+from real_time_stream_processing_engine_spark.operators.sampling import (  # noqa: E402
+    fraction_threshold_hex,
+    temperature_rates,
+)
+from real_time_stream_processing_engine_spark.operators.text import (  # noqa: E402
+    _term_shard_py,
+    blocklist_pattern,
+)
+
+fractions = st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+
+
+@given(a=fractions, b=fractions)
+@settings(deadline=None, max_examples=200)
+def test_threshold_hex_is_monotone_and_fixed_width(a, b):
+    ta, tb = fraction_threshold_hex(a), fraction_threshold_hex(b)
+    if a <= b:
+        assert ta <= tb  # lexicographic order tracks numeric order
+    for t in (ta, tb):
+        assert t == "g" or (len(t) == 28 and set(t) <= set("0123456789abcdef"))
+    assert fraction_threshold_hex(0.0) == "0" * 28  # keeps nothing
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(categories=("Ll",)), min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    ),
+    alpha=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    budget=st.integers(min_value=1, max_value=10**9),
+)
+@settings(deadline=None, max_examples=200)
+def test_temperature_rates_invariants(counts, alpha, budget):
+    rates = temperature_rates(counts, alpha, budget)
+    assert set(rates) == set(counts)
+    assert all(0.0 < r <= 1.0 for r in rates.values())
+    expected = sum(rates[g] * n for g, n in counts.items())
+    # capping at 1 can only LOWER the expected take below budget
+    assert expected <= budget * (1 + 1e-9) or expected <= sum(counts.values())
+    if all(r < 1.0 for r in rates.values()):
+        assert abs(expected - budget) / budget < 1e-6  # uncapped: exact
+
+
+@given(
+    terms=st.lists(
+        st.text(
+            st.characters(blacklist_categories=("Cs", "Cc", "Zl", "Zp")),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_blocklist_pattern_compiles_and_matches_terms(terms):
+    import re
+
+    pat = re.compile(blocklist_pattern(terms))
+    for t in terms:
+        assert pat.search(f" {t} ") is not None  # term found in isolation
+
+
+@given(
+    term=st.text(min_size=0, max_size=20),
+    n=st.integers(min_value=1, max_value=4096),
+)
+@settings(deadline=None, max_examples=200)
+def test_term_shard_in_range_and_stable(term, n):
+    s = _term_shard_py(term, n, "seedx")
+    assert 0 <= s < n
+    assert s == _term_shard_py(term, n, "seedx")  # pure
