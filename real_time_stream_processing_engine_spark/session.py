@@ -35,9 +35,10 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Deterministic timestamp handling for oracle parity.
     "spark.sql.session.timeZone": "UTC",
-    # The driver testdata stores events.ts as TIMESTAMP(NANOS) parquet,
-    # which Spark cannot read as TimestampType; read nanos as long and
-    # convert losslessly in the reader (sources/readers.py).
+    # TIMESTAMP(NANOS) parquet cannot be read as TimestampType; with this
+    # flag it reads as a raw nanos long, which the reader converts only
+    # when the footer actually says ns (sources/readers.py sniffs the
+    # unit per file — MICROS/MILLIS data is unaffected by this flag).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",

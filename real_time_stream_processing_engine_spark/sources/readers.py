@@ -12,6 +12,7 @@ reference's tuple model ``uniqueId:chunkFileName,lineNumber,line``
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,14 +78,16 @@ SCHEMAS: dict[str, T.StructType] = {
         ("l_linestatus", T.StringType()),
         ("l_shipdate", T.TimestampType()),
     ),
-    # events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as a nanos
-    # long (spark.sql.legacy.parquet.nanosAsLong) and load_table converts
-    # to TimestampType via integer microseconds — lossless (the fixture
-    # has no sub-microsecond components) and identical to DuckDB's
-    # ns->us truncation.
+    # events.ts: the LOGICAL type is TimestampType.  The PHYSICAL parquet
+    # encoding (TIMESTAMP MICROS vs NANOS vs raw int64) is detected from
+    # the file footer per load — see parquet_ts_unit / read_schema_for.
+    # NEVER assume the unit: the same logical table can be re-written
+    # with a different physical type (the driver testdata switched from
+    # NANOS to MICROS between rounds), and a wrong assumption silently
+    # shifts every timestamp by 1000x.
     "events": _s(
         ("event_id", T.LongType()),
-        ("ts", T.LongType()),
+        ("ts", T.TimestampType()),
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),
@@ -134,22 +137,104 @@ TRAFFIC_SIGNS_SCHEMA = _s(
 )
 
 
-#: columns stored as nanosecond-long that load_table converts back to
-#: TimestampType (integer path: nanos div 1000 -> timestamp_micros)
-NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: event-time columns whose parquet physical type must be sniffed from
+#: the footer before reading (see read_schema_for / convert_ts_cols)
+EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+@lru_cache(maxsize=256)
+def parquet_ts_unit(path: str, col: str) -> str:
+    """Physical unit of a timestamp parquet column, read from the footer.
+
+    Returns ``'ms'``/``'us'``/``'ns'`` for a parquet TIMESTAMP logical
+    type.  One footer read of one part file — O(KB), no data scan — and
+    cached per (path, col).  A raw int64 column (no timestamp annotation)
+    is an error: its epoch unit is unknowable from the file, and guessing
+    is exactly the 1000x-shift failure this helper exists to prevent.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(
+            p
+            for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        f = os.path.join(path, parts[0])
+    typ = pq.ParquetFile(f).schema_arrow.field(col).type
+    if pa.types.is_timestamp(typ):
+        return typ.unit
+    raise ValueError(
+        f"{path}:{col} has physical type {typ}; expected a parquet "
+        "TIMESTAMP (MILLIS/MICROS/NANOS). A raw integer epoch column has "
+        "no self-describing unit - annotate the data or load it yourself."
+    )
+
+
+def read_schema_for(name: str, path: str) -> tuple[T.StructType, dict[str, str]]:
+    """Unit-corrected read schema for one table + the conversions needed.
+
+    Spark reads TIMESTAMP(MILLIS/MICROS) natively as TimestampType, but
+    TIMESTAMP(NANOS) only as a raw long (``nanosAsLong``, set in
+    session.py).  So: sniff each event-time column's unit from the
+    footer; ``ns`` columns get a LongType read schema plus a pending
+    ``ns`` conversion (returned in the dict for :func:`convert_ts_cols`),
+    everything else reads as TimestampType directly.
+    """
+    schema = SCHEMAS[name]
+    ts_cols = EVENT_TIME_COLS.get(name, ())
+    if not ts_cols:
+        return schema, {}
+    conv: dict[str, str] = {}
+    fields = []
+    for fld in schema.fields:
+        if fld.name in ts_cols:
+            unit = parquet_ts_unit(path, fld.name)
+            if unit == "ns":
+                conv[fld.name] = unit
+                fields.append(T.StructField(fld.name, T.LongType()))
+            else:
+                fields.append(T.StructField(fld.name, T.TimestampType()))
+        else:
+            fields.append(fld)
+    return T.StructType(fields), conv
+
+
+def convert_ts_cols(df: DataFrame, conv: dict[str, str]) -> DataFrame:
+    """Apply the pending unit conversions from :func:`read_schema_for`.
+
+    ``ns``: nanos-long -> integer-divide to micros -> TimestampType.
+    Lossless for data without sub-microsecond components and identical
+    to DuckDB's ns->us truncation, so oracle parity holds.
+    """
+    for c, unit in conv.items():
+        if unit == "ns":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        else:  # pragma: no cover - read_schema_for only emits ns
+            raise ValueError(f"unexpected pending ts conversion {c}={unit}")
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-testdata table with its explicit schema."""
+    """Load one driver-testdata table with its explicit schema.
+
+    Event-time columns get their physical unit sniffed from the parquet
+    footer (never assumed) — see :func:`read_schema_for`.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = SCHEMAS.get(name)
+    conv: dict[str, str] = {}
+    if schema is not None and name in EVENT_TIME_COLS:
+        schema, conv = read_schema_for(name, path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(path)
-    for c in NANO_TS_COLS.get(name, ()):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    return convert_ts_cols(df, conv)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

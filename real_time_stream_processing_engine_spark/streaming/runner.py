@@ -20,7 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import SCHEMAS
+from ..sources.readers import convert_ts_cols, read_schema_for
 
 
 def _scratch_dir() -> str:
@@ -78,12 +78,15 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     """File-source stream over the events table (the reference's chunk
     stream, E1).  ``maxFilesPerTrigger`` is the backpressure knob the
     reference lacks (busy-wait blast, ``RainStorm.java:1292-1296``)."""
-    reader = spark.readStream.schema(SCHEMAS["events"])
+    path = os.path.join(sf_dir, "events.parquet")
+    # unit-sniffed schema + conversion SHARED with load_table, so batch
+    # and stream reads can never diverge on the timestamp unit
+    schema, conv = read_schema_for("events", path)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
-    # same nanos->timestamp conversion as load_table
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = reader.parquet(_as_stream_dir(path))
+    return convert_ts_cols(df, conv)
 
 
 def stream_rate(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
@@ -311,12 +314,10 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _stage_symlink_dir(
         "dupdir", {f"events_{c}.parquet": src_path for c in ("a", "b")}
     )
-    src = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .parquet(d)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", "2 hours")
-    )
+    schema, conv = read_schema_for("events", src_path)
+    src = convert_ts_cols(
+        spark.readStream.schema(schema).parquet(d), conv
+    ).withWatermark("ts", "2 hours")
     deduped = src.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("cnt"))
     return run_to_memory_available_now(agg)
