@@ -1247,48 +1247,55 @@ def q47_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q48_asof_tolerance",
     """
-    WITH ranked AS (
-      SELECT e.event_id, o.o_orderdate, o.o_totalprice, o.o_orderkey,
-             row_number() OVER (PARTITION BY e.event_id
-                                ORDER BY o.o_orderdate DESC, o.o_totalprice DESC,
-                                         o.o_orderkey DESC) AS rn
-      FROM events e JOIN orders o
-        ON o.o_custkey = e.user_id + 1
-       AND o.o_orderdate <= e.ts
-       AND floor(epoch(e.ts)) - floor(epoch(o.o_orderdate)) <= 2592000
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.event_id, c.event_id AS click_id, c.value AS click_value,
+             CAST(floor(epoch(c.ts)) AS BIGINT) AS cts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY floor(epoch(c.ts)) DESC,
+                                         c.event_id DESC, c.value DESC) AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND floor(epoch(c.ts)) <= floor(epoch(p.ts))
+       AND floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 3600
     )
-    SELECT e.event_id, e.user_id,
-           CAST(epoch(r.o_orderdate) AS BIGINT) AS asof_ts,
-           r.o_totalprice AS asof_o_totalprice,
-           r.o_orderkey AS asof_o_orderkey
-    FROM events e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+    SELECT p.event_id, p.user_id, r.cts AS asof_ts,
+           r.click_id AS asof_click_id, r.click_value AS asof_click_value
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
     """,
 )
 def q48_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General as-of join with tolerance: each event carries the price
-    and key of the customer's most recent order at-or-before the event,
-    but only if it is within 30 days — pandas merge_asof semantics at
-    the union-sort-carry scale shape (q26 generalized to carry whole
-    matched rows, bounded by a tolerance window)."""
+    """General as-of join with tolerance: each purchase carries the same
+    user's most recent click at-or-before it, but only if within 1 hour
+    — pandas merge_asof semantics at the union-sort-carry scale shape
+    (q26 generalized to carry whole matched rows, bounded by a tolerance
+    window).  The fixture yields BOTH matched and unmatched purchases
+    (33 / 1981 at sf0.01), so the oracle hash pins the tolerance cut
+    itself, not just the carry (round-2 review: the previous
+    orders-based fixture matched zero rows and proved nothing)."""
     from .operators.windows import asof_join
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    orders = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") - 1).alias("user_id"),
-        "o_orderdate",
-        "o_totalprice",
-        "o_orderkey",
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
     )
     return asof_join(
-        ev,
-        orders,
+        purchases,
+        clicks,
         on="user_id",
         left_ts="ts",
-        right_ts="o_orderdate",
-        value_cols=["o_totalprice", "o_orderkey"],
+        right_ts="ts",
+        value_cols=["click_id", "click_value"],
         direction="backward",
-        tolerance_s=30 * 24 * 3600,
-    ).select("event_id", "user_id", "asof_ts", "asof_o_totalprice", "asof_o_orderkey")
+        tolerance_s=3600,
+    ).select("event_id", "user_id", "asof_ts", "asof_click_id", "asof_click_value")
 
 
 @register(
