@@ -17,6 +17,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 from real_time_stream_processing_engine_spark.queries import ORACLE, QUERIES
 
+# The driver's correctness run covers a bounded window of queries() (50
+# in round 2), so ordering is coverage policy: riskiest first.  Event-
+# time queries (the round-2 regression class), streaming drains, and
+# the newest operators lead; the trivially-stable single-operator core
+# (q01-q09 etc.) trails, covered every run by tests/ and the committed
+# scripts/local_correctness.py artifact.
+_RISK_ORDER = [
+    # event-time / ts-fed (all broke together in round 2)
+    "q23", "q24", "q26", "q29", "q31", "q41", "q42", "q48", "q53", "q54", "q55",
+    # newest families (first driver-verified in round 3)
+    "q51", "q52", "q56", "q57", "q58", "q59", "q60", "q61", "q62", "q63",
+    "q64", "q65",
+    # streaming drains + rows-only contracts
+    "q10", "q30", "q32", "q37", "q44", "q45",
+    # dedup / similarity / retrieval / joins / rollups
+    "q13", "q14", "q15", "q16", "q17", "q18", "q22", "q25", "q28", "q33",
+    "q34", "q35", "q36", "q38", "q39", "q40", "q43", "q46", "q47", "q49",
+    "q50",
+    # stable single-operator core
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q11",
+    "q12", "q19", "q20", "q21", "q27",
+]
+
+
+def _ordered(d: dict) -> dict:
+    by_prefix = {name.split("_", 1)[0]: name for name in QUERIES}
+    order = [by_prefix[p] for p in _RISK_ORDER if p in by_prefix]
+    assert len(order) == len(QUERIES), "every query must appear in _RISK_ORDER"
+    return {name: d[name] for name in order if name in d}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -25,10 +55,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; queries
     absent here get the driver's weaker rows-only check."""
-    return dict(ORACLE)
+    return _ordered(ORACLE)
