@@ -294,6 +294,7 @@ def build_ivf_index(
     centroids: list[tuple[int, list[float]]],
     path: str,
     vec_col: str = "embedding",
+    force: bool = False,
 ) -> None:
     """Materialize the inverted file: assign every vector its nearest
     centroid (one map-only pass) and write the table PARTITIONED BY the
@@ -304,10 +305,21 @@ def build_ivf_index(
     subsequent probe prunes partitions at the source — a query reading
     ``n_probe`` of ``n_cells`` partitions scans n_probe/n_cells of the
     bytes, visible as ``PartitionFilters: [cell IN (...)]`` in the plan.
-    Rebuild (or write a delta and compact) when the codebook changes."""
+
+    IDEMPOTENT: a completed build with the same codebook at ``path`` is
+    reused (manifest check, :mod:`.indexing`) — build-once/probe-many.
+    A codebook change rebuilds automatically; a data change is the
+    caller's ``force=True``."""
+    from .indexing import manifest_matches, params_fingerprint, write_manifest
+
+    spark = emb.sparkSession
+    fp = params_fingerprint({"centroids": centroids, "vec_col": vec_col, "v": 1})
+    if not force and manifest_matches(spark, path, fp):
+        return
     emb.withColumn("cell", _cell_assignment_expr(centroids, vec_col)).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
+    write_manifest(spark, path, fp)
 
 
 def ivf_topk_indexed(

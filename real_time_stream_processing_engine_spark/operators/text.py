@@ -282,6 +282,7 @@ def build_bm25_index(
     text_col: str = "text",
     n_shards: int = 16,
     seed: str = "bm25shard",
+    force: bool = False,
 ) -> None:
     """Materialize the inverted index q59 documents as its scale path:
     a postings table (term, doc_id, tf, dl) written
@@ -298,8 +299,21 @@ def build_bm25_index(
     once; the only other touch is a column-pruned doc count (docs with
     zero tokens have no postings but still belong in N and avgdl).  At
     100 TB: more shards (production: 1024) and a bucketed sort within
-    shards; the layout and probe are unchanged."""
+    shards; the layout and probe are unchanged.
+
+    IDEMPOTENT: a completed build with the same parameters at ``path``
+    is reused (manifest check, :mod:`.indexing`) — build-once/
+    probe-many.  A parameter change rebuilds automatically; a corpus
+    change is the caller's ``force=True``."""
+    from .indexing import manifest_matches, params_fingerprint, write_manifest
     from .sampling import shard_col
+
+    spark = docs.sparkSession
+    fp = params_fingerprint(
+        {"id": id_col, "text": text_col, "n_shards": n_shards, "seed": seed, "v": 1}
+    )
+    if not force and manifest_matches(spark, path, fp):
+        return
 
     toks = docs.select(id_col, tokenize(text_col).alias("_toks"))
     dl = toks.select(id_col, F.size("_toks").alias("dl"), F.col("_toks"))
@@ -327,6 +341,8 @@ def build_bm25_index(
     spark.createDataFrame(
         [(n_docs, sum_dl / n_docs if n_docs else 0.0)], "n_docs: bigint, avgdl: double"
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    # commit marker LAST: a crash above leaves no manifest -> full rebuild
+    write_manifest(spark, path, fp)
 
 
 def bm25_topk_indexed(

@@ -73,3 +73,39 @@ def test_probe_is_partition_filter_not_row_filter(spark, ivf):
     # row filter on cell must NOT be needed (no cell filter in PushedFilters)
     pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pf is None or "cell" not in pf.group(1), plan
+
+
+def _mtimes(path):
+    import os
+
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_rebuild_skipped_when_manifest_matches(spark, ivf):
+    emb, cents, path = ivf
+    before = _mtimes(path)
+    build_ivf_index(emb, cents, path)  # same params -> no-op
+    assert _mtimes(path) == before
+
+
+def test_codebook_change_forces_rebuild(spark, ivf):
+    emb, cents, path = ivf
+    before = _mtimes(path)
+    # drop one centroid: different codebook -> fingerprint mismatch
+    build_ivf_index(emb, cents[:-1], path)
+    after = _mtimes(path)
+    assert after != before
+    # restore the original index for other tests in this module
+    build_ivf_index(emb, cents, path, force=True)
+
+
+def test_force_rebuilds_same_params(spark, ivf):
+    emb, cents, path = ivf
+    before = _mtimes(path)
+    build_ivf_index(emb, cents, path, force=True)
+    assert _mtimes(path) != before
