@@ -1,0 +1,81 @@
+"""Change-data-capture application: batch upsert (MERGE semantics).
+
+The reference's HyDFS is append-only (``create``/``append``/``merge``
+compaction, ``FileSystem.java``) — it cannot update a record in place.
+This operator supplies the missing verb for slowly-changing reference
+data in a training pipeline (dim refreshes, label fixes, tombstones):
+apply a batch of keyed changes to a target table, emitting the merged
+next version.
+
+Shape: ONE sort-merge (or AQE-chosen broadcast) FULL OUTER join on the
+key — the same plan a table format's MERGE INTO compiles to.  At 100 TB
+the practical deltas are (a) bucket both sides on the key so the join
+co-locates without a shuffle, and (b) write the result partitioned the
+same way so the next upsert reuses the layout; a lakehouse format
+(Delta/Iceberg/Hudi) adds file-level skipping on top of the identical
+join, so this operator is forward-compatible with one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    set_cols: dict[str, str],
+    insert_only_cols: dict[str, str] | None = None,
+    op_col: str | None = "op",
+) -> DataFrame:
+    """Merge ``updates`` into ``target`` by key.
+
+    - key in both        -> target row with ``set_cols`` overwritten
+      (``{target_col: update_col}``) — UPDATE
+    - key only in updates -> new row: keys + ``set_cols`` +
+      ``insert_only_cols`` from the update, remaining target columns
+      NULL — INSERT
+    - key only in target  -> row unchanged — KEEP
+
+    ``insert_only_cols`` seed columns for brand-new rows without
+    touching them on updates (e.g. a display name carried by the feed).
+    ``updates`` must be key-unique (one change per key per batch —
+    enforce upstream with a deterministic latest-wins rank, never
+    ``dropDuplicates`` whose survivor is partition-order dependent).
+    ``op_col`` tags each output row update/insert/keep for audit; pass
+    None to drop it.
+    """
+    insert_only_cols = insert_only_cols or {}
+    u = updates.select(
+        *[F.col(k).alias(f"_u_{k}") for k in key_cols],
+        *[
+            F.col(src).alias(f"_u_{dst}")
+            for dst, src in {**set_cols, **insert_only_cols}.items()
+        ],
+        F.lit(1).alias("_u_present"),
+    )
+    cond = [target[k].eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
+    j = target.withColumn("_t_present", F.lit(1)).join(u, cond, "full_outer")
+    matched = F.col("_t_present").isNotNull() & F.col("_u_present").isNotNull()
+    insert = F.col("_t_present").isNull()
+    out_cols = []
+    for c in target.columns:
+        if c in key_cols:
+            expr = F.coalesce(target[c], F.col(f"_u_{c}"))
+        elif c in set_cols:
+            expr = F.when(matched | insert, F.col(f"_u_{c}")).otherwise(target[c])
+        elif c in insert_only_cols:
+            expr = F.when(insert, F.col(f"_u_{c}")).otherwise(target[c])
+        else:
+            expr = target[c]
+        out_cols.append(expr.alias(c))
+    if op_col is not None:
+        out_cols.append(
+            F.when(matched, F.lit("update"))
+            .when(insert, F.lit("insert"))
+            .otherwise(F.lit("keep"))
+            .alias(op_col)
+        )
+    return j.select(*out_cols)

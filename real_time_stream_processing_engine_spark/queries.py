@@ -1857,5 +1857,154 @@ def q65_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q65_curation_pipeline"] = _q65_sql()
 
 
+@register(
+    "q66_rolling_window",
+    """
+    WITH e AS (SELECT event_id, user_id, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(sum(value) OVER w, 6) AS sum_value_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q66_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling event-time aggregate: for EVERY event, the count
+    and value-sum of that user's events in the preceding hour — a RANGE
+    frame (event-time distance), not a ROWS frame, so simultaneous
+    events land in each other's windows regardless of order.  The
+    feature-engineering / rate-limiting staple the tumbling window
+    (q23) cannot express (q23 buckets; this slides per row).
+
+    Scale shape: one exchange on user_id, per-user sort, single pass
+    with a sliding frame — same posture (and same power-user skew
+    hazards + mitigations) as sessionization (q24).  Seconds
+    granularity (``unix_timestamp``) so the oracle's integer RANGE
+    frame agrees exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "value",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 6).alias("sum_value_hour"),
+    )
+
+
+@register(
+    "q67_cdc_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    u AS (SELECT user_id * 20 + 1 AS key, ROUND(value, 2) AS new_bal,
+                 'cdc#' || CAST(user_id AS VARCHAR) AS new_name
+          FROM latest)
+    SELECT COALESCE(c.c_custkey, u.key) AS c_custkey,
+           COALESCE(c.c_name, u.new_name) AS c_name,
+           CASE WHEN u.key IS NOT NULL THEN u.new_bal
+                ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL AND u.key IS NOT NULL THEN 'update'
+                WHEN c.c_custkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS op
+    FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.key
+    """,
+)
+def q67_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC application: merge a change batch (each user's LATEST event
+    value, latest-wins ranked deterministically) into the customer dim
+    — update the balance where the key exists, insert a seeded row
+    where it doesn't, keep the rest, each row op-tagged.  The in-place
+    update verb the reference's append-only HyDFS lacks entirely
+    (``FileSystem.java`` has create/append/merge-compaction only).
+
+    Shape: one latest-wins rank on the feed + ONE full-outer sort-merge
+    join — exactly what a lakehouse MERGE INTO compiles to
+    (:mod:`operators.cdc`).  The key mapping (user_id*20+1) makes both
+    paths real at test scale: ~75 updates + ~75 inserts at sf0.01."""
+    from pyspark.sql import Window
+
+    from .operators.cdc import apply_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.select("user_id", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    updates = latest.select(
+        (F.col("user_id") * 20 + 1).alias("c_custkey"),
+        F.round("value", 2).alias("new_bal"),
+        F.concat(F.lit("cdc#"), F.col("user_id").cast("string")).alias("new_name"),
+    )
+    return apply_upsert(
+        cust,
+        updates,
+        key_cols=["c_custkey"],
+        set_cols={"c_acctbal": "new_bal"},
+        insert_only_cols={"c_name": "new_name"},
+    )
+
+
+@register(
+    "q68_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(ln(tf / n)), 6) AS avg_logprob
+    FROM toks JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: each document's mean unigram
+    log-probability under the corpus's own term distribution — the
+    classic cheap perplexity proxy for corpus filtering (docs of rare
+    gibberish score low, template boilerplate scores high).  Zero-token
+    docs drop (no tokens to score).
+
+    Shape: tokenize once into (doc_id, term); term frequencies are a
+    partial-aggregated groupBy; the scalar total rides a broadcast; the
+    freq join back onto tokens is broadcast-or-AQE-chosen; one final
+    per-doc aggregate.  At 100 TB the freq table IS an index — build it
+    once like the BM25 postings (``build_bm25_index`` already stores
+    per-term df in the same layout) and probe it per batch instead of
+    recomputing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
