@@ -233,6 +233,36 @@ def test_epoch_upsampling_is_scan_side(spark, sf_dir):
     assert _count(plan, "Generate") == 1
 
 
+def test_rolling_window_single_exchange(spark, sf_dir):
+    """q66: the per-user RANGE frame is ONE exchange on user_id + one
+    in-partition sort + one Window pass — no join, no second shuffle."""
+    plan = _plan(spark, sf_dir, "q66_rolling_window")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "Window") == 1
+
+
+def test_cdc_upsert_rank_limits_below_exchange(spark, sf_dir):
+    """q67: the latest-wins rank runs as WindowGroupLimit below AND
+    above its exchange (each task ships one candidate per user, not the
+    whole feed), and the merge itself is a single sort-merge join —
+    never the |T|x|U| nested loop a non-equi merge would lower to."""
+    plan = _plan(spark, sf_dir, "q67_cdc_upsert")
+    assert _count(plan, "WindowGroupLimit") == 2
+    assert _count(plan, "SortMergeJoin") == 1
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_unigram_logprob_stays_jvm_side(spark, sf_dir):
+    """q68: term-freq join broadcasts (the corpus token stream is never
+    shuffled for the probe); the scalar total rides a 1-row broadcast;
+    all aggregates are partial-aggregated; no Python in the plan."""
+    plan = _plan(spark, sf_dir, "q68_unigram_logprob")
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_curation_pipeline_two_exchanges(spark, sf_dir):
     """q65: the 6-stage curation pipeline (dedup -> quality -> mix ->
     split -> pack -> report) compiles to ONE scan and TWO exchanges —
