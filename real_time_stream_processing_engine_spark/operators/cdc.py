@@ -79,3 +79,65 @@ def apply_upsert(
             .alias(op_col)
         )
     return j.select(*out_cols)
+
+
+def apply_upsert_versioned(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    set_cols: dict[str, str],
+    version_cols: dict[str, str],
+    insert_only_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """:func:`apply_upsert` with a STRICTLY-NEWER version gate — the
+    idempotent merge that turns at-least-once delivery into
+    exactly-once effects.
+
+    ``version_cols`` maps target version columns to their update-side
+    sources (e.g. ``{"ver_ts": "ts", "ver_event_id": "event_id"}``);
+    versions compare lexicographically in dict order.  An update
+    applies only when its version is STRICTLY greater than the target
+    row's (or the target row has never been versioned) — so a
+    redelivered batch re-presents versions the target already holds
+    and changes nothing, no matter how many times it arrives or in
+    what order batches are applied: the final state is the max-version
+    row per key, commutatively.
+
+    The version columns must exist on the target (seed them NULL on
+    first materialization) — they are the sink-side dedup ledger, the
+    durable analogue of the reference's unused in-memory
+    ``processedIds`` set (``Node.java:117``)."""
+    insert_only_cols = insert_only_cols or {}
+    missing = [c for c in version_cols if c not in target.columns]
+    if missing:
+        raise ValueError(f"target lacks version columns {missing}")
+    u = updates.select(
+        *[F.col(k).alias(f"_u_{k}") for k in key_cols],
+        *[
+            F.col(src).alias(f"_u_{dst}")
+            for dst, src in {**set_cols, **insert_only_cols, **version_cols}.items()
+        ],
+        F.lit(1).alias("_u_present"),
+    )
+    cond = [target[k].eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
+    j = target.withColumn("_t_present", F.lit(1)).join(u, cond, "full_outer")
+    t_ver = F.struct(*[target[c] for c in version_cols])
+    u_ver = F.struct(*[F.col(f"_u_{c}") for c in version_cols])
+    never_versioned = target[next(iter(version_cols))].isNull()
+    matched = F.col("_t_present").isNotNull() & F.col("_u_present").isNotNull()
+    # strict >: a redelivered (equal-version) update must NOT re-apply
+    newer = matched & (never_versioned | (u_ver > t_ver))
+    insert = F.col("_t_present").isNull()
+    take_u = newer | insert
+    out_cols = []
+    for c in target.columns:
+        if c in key_cols:
+            expr = F.coalesce(target[c], F.col(f"_u_{c}"))
+        elif c in set_cols or c in version_cols:
+            expr = F.when(take_u, F.col(f"_u_{c}")).otherwise(target[c])
+        elif c in insert_only_cols:
+            expr = F.when(insert, F.col(f"_u_{c}")).otherwise(target[c])
+        else:
+            expr = target[c]
+        out_cols.append(expr.alias(c))
+    return j.select(*out_cols)

@@ -2006,5 +2006,43 @@ def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q69_stream_cdc_upsert",
+    """
+    WITH latest AS (
+      SELECT user_id, value, ts, event_id FROM (
+        SELECT user_id, value, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    u AS (SELECT user_id * 20 + 1 AS key, ROUND(value, 2) AS new_bal,
+                 'cdc#' || CAST(user_id AS VARCHAR) AS new_name,
+                 ts, event_id
+          FROM latest)
+    SELECT COALESCE(c.c_custkey, u.key) AS c_custkey,
+           COALESCE(c.c_name, u.new_name) AS c_name,
+           CASE WHEN u.key IS NOT NULL THEN u.new_bal
+                ELSE c.c_acctbal END AS c_acctbal,
+           CAST(epoch_us(u.ts) AS BIGINT) AS ver_ts_us,
+           u.event_id AS ver_event_id
+    FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.key
+    """,
+)
+def q69_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67's streaming form: the change feed arrives as micro-batches
+    WITH REDELIVERY (the events file staged twice, one file per
+    trigger), and ``foreachBatch`` applies each batch to a parquet
+    target via the versioned idempotent merge — the strictly-newer
+    version gate makes the duplicate batch a no-op, so at-least-once
+    delivery composes into an exactly-once final state (the oracle:
+    every user's latest event applied once, version ledger recorded).
+    Sink-side dedup with a durable ledger — the counterpart of q30's
+    state-store dedup, and the pattern a production CDC consumer
+    actually runs."""
+    from .streaming.runner import stream_cdc_upsert
+
+    return stream_cdc_upsert(spark, sf_dir)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -84,8 +84,21 @@ def merge(spark: SparkSession, path: str, fmt: str = "parquet", target_files: in
         and not os.path.basename(e["path"]).startswith(("_", "."))
     )
     n = target_files or max(1, n_files // 8)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    getattr(df.coalesce(n).write.mode("overwrite"), fmt)(tmp)
+    replace_contents(df.coalesce(n), path, fmt)
+
+
+def replace_contents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Atomically replace a table directory with ``df``'s contents.
+
+    The df must be readable while ``path`` still holds the OLD data
+    (read-modify-write), so the write lands in a sibling temp dir first
+    and swaps in via FS rename — readers see old-or-new, never a
+    half-written mix.  On HDFS the rename is atomic; on S3 a real
+    deployment swaps a catalog/manifest pointer instead (same call
+    site, different FS contract)."""
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "__swap_tmp"
+    getattr(df.write.mode("overwrite"), fmt)(tmp)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(tmp)

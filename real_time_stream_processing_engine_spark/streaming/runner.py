@@ -381,6 +381,94 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark_df.groupBy("event_type").agg(F.max("cnt").alias("cnt"))
 
 
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC: ``foreachBatch`` + versioned idempotent merge =
+    exactly-once effects over at-least-once delivery.
+
+    The source stages the SAME events file twice with
+    ``maxFilesPerTrigger=1`` — every tuple arrives in (at least) two
+    micro-batches, the reference's retry-storm delivery
+    (``Node.java:1547-1564``).  Each batch: latest-wins rank within
+    the batch, then :func:`..operators.cdc.apply_upsert_versioned`
+    into a parquet target (read-modify-write behind an atomic swap,
+    ``catalog.replace_contents``).  The STRICTLY-newer version gate
+    makes the redelivered batch a no-op, so the final target equals
+    the batch answer (q67's mapping + version ledger) no matter the
+    batch count or order — sink-side dedup with a durable ledger,
+    where q30 dedups in the state store instead."""
+    from ..operators.cdc import apply_upsert_versioned
+    from ..sources.catalog import replace_contents
+    from ..sources.readers import load_table
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    d = _stage_symlink_dir(
+        "cdcdir", {f"events_{c}.parquet": src_path for c in ("a", "b")}
+    )
+    target_path = os.path.join(
+        _scratch_dir(), f"rs_cdc_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
+    )
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit(None).cast("timestamp").alias("ver_ts"),
+        F.lit(None).cast("long").alias("ver_event_id"),
+    ).write.parquet(target_path)
+
+    from pyspark.sql import Window
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        updates = (
+            batch.select("user_id", "value", "ts", "event_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                (F.col("user_id") * 20 + 1).alias("c_custkey"),
+                F.round("value", 2).alias("new_bal"),
+                F.concat(
+                    F.lit("cdc#"), F.col("user_id").cast("string")
+                ).alias("new_name"),
+                "ts",
+                "event_id",
+            )
+        )
+        merged = apply_upsert_versioned(
+            batch.sparkSession.read.parquet(target_path),
+            updates,
+            key_cols=["c_custkey"],
+            set_cols={"c_acctbal": "new_bal"},
+            version_cols={"ver_ts": "ts", "ver_event_id": "event_id"},
+            insert_only_cols={"c_name": "new_name"},
+        )
+        replace_contents(merged, target_path)
+
+    schema, conv = read_schema_for("events", src_path)
+    src = convert_ts_cols(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d),
+        conv,
+    )
+    qname = f"rs_cdc_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(_scratch_dir(), f"rs_ckpt_{qname}")
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(target_path)
+    return final.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.unix_micros("ver_ts").alias("ver_ts_us"),
+        "ver_event_id",
+    )
+
+
 def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: each click joined to the same user's
     purchases within the following hour.

@@ -59,3 +59,70 @@ def test_unset_target_cols_null_on_insert(spark):
     out = apply_upsert(target, updates, key_cols=["k"], set_cols={"bal": "new_bal"})
     row = {r["k"]: r for r in out.collect()}[2]
     assert row["name"] is None and row["extra"] is None and row["bal"] == 2.0
+
+
+@pytest.fixture(scope="module")
+def vframes(spark):
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)],
+        "k: long, name: string, bal: double",
+    ).select(
+        "*",
+        F.lit(None).cast("long").alias("ver_a"),
+        F.lit(None).cast("long").alias("ver_b"),
+    )
+    # two change batches for key 1: b2 is NEWER than b1
+    b1 = spark.createDataFrame(
+        [(1, 100.0, "x", 5, 1)], "k: long, nb: double, nn: string, va: long, vb: long"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 200.0, "y", 9, 1)], "k: long, nb: double, nn: string, va: long, vb: long"
+    )
+    return target, b1, b2
+
+
+def _vapply(target, batch):
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert_versioned,
+    )
+
+    return apply_upsert_versioned(
+        target,
+        batch,
+        key_cols=["k"],
+        set_cols={"bal": "nb"},
+        version_cols={"ver_a": "va", "ver_b": "vb"},
+        insert_only_cols={"name": "nn"},
+    )
+
+
+def _state(df):
+    return {r["k"]: (r["bal"], r["ver_a"], r["ver_b"]) for r in df.collect()}
+
+
+def test_versioned_out_of_order_batches_commute(vframes):
+    target, b1, b2 = vframes
+    in_order = _state(_vapply(_vapply(target, b1), b2))
+    reversed_ = _state(_vapply(_vapply(target, b2), b1))
+    assert in_order == reversed_ == {1: (200.0, 9, 1), 2: (20.0, None, None)}
+
+
+def test_versioned_redelivery_is_noop(vframes):
+    target, b1, _ = vframes
+    once = _vapply(target, b1)
+    twice = _vapply(once, b1)  # equal version must NOT re-apply
+    assert _state(once) == _state(twice) == {1: (100.0, 5, 1), 2: (20.0, None, None)}
+
+
+def test_versioned_insert_then_older_update_ignored(spark, vframes):
+    target, b1, b2 = vframes
+    new_key = spark.createDataFrame(
+        [(7, 70.0, "g", 3, 0)], "k: long, nb: double, nn: string, va: long, vb: long"
+    )
+    older = spark.createDataFrame(
+        [(7, 60.0, "h", 1, 0)], "k: long, nb: double, nn: string, va: long, vb: long"
+    )
+    got = _state(_vapply(_vapply(target, new_key), older))
+    assert got[7] == (70.0, 3, 0)  # the older change lost
