@@ -58,6 +58,9 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the changed flag rides the update itself (a label changes iff
+        # a neighbor's min beats it), so convergence costs one narrow
+        # count over the checkpointed frame — not a second join job
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["s"], "left")
             .select(
@@ -65,16 +68,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
     raise RuntimeError(
