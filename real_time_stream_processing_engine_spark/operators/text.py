@@ -275,6 +275,47 @@ def _term_shard_py(term: str, n_shards: int, seed: str) -> int:
     return int(h, 16) % n_shards
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document's token stream into overlapping context
+    windows: chunk ``i`` covers tokens ``[i*stride, i*stride+chunk)``
+    (1 <= stride <= chunk; chunk - stride tokens of overlap so no
+    boundary context is lost) — the standard corpus->training-window
+    prep stage.  Zero-token docs emit no chunks.
+
+    Scale shape: tokenize + a ``transform(sequence(...))`` explode in
+    ONE scan-side projection — no shuffle, no UDF; chunking 100 TB is
+    one pass at scan speed.  Output rows carry the token array of each
+    chunk; callers project/hash/pack downstream (q61's packer takes
+    these directly)."""
+    if not (1 <= stride <= chunk):
+        raise ValueError(f"need 1 <= stride <= chunk, got {stride=} {chunk=}")
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_chunks = (F.floor((n - 1) / stride) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, chunk).alias("toks"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.toks").alias("chunk_toks"),
+        )
+    )
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,

@@ -2044,5 +2044,75 @@ def q69_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_cdc_upsert(spark, sf_dir)
 
 
+@register(
+    "q70_json_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           ROUND(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q70_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` column:
+    ``from_json`` with an EXPLICIT schema (never schema inference — at
+    100 TB an inference pass is a full extra scan) parses the payload
+    inside whole-stage codegen, then an ordinary partial-aggregated
+    rollup per event type.  The pattern every event pipeline needs:
+    typed access to the loosely-typed tail of the schema without a
+    second storage format."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q71_doc_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, CAST(floor((n - 1) / 48) AS BIGINT) + 1)) AS chunk_id
+          FROM n)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '))
+             AS chunk_hash
+    FROM c
+    """,
+)
+def q71_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 64-token
+    windows with stride 48 (16 tokens of overlap), each chunk
+    content-hashed — the corpus->training-sample prep stage between
+    curation (q65) and packing (q61).  One scan-side explode, zero
+    exchanges (plan-pinned): chunking 100 TB is one pass at scan
+    speed."""
+    from .operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = chunk_tokens(docs, chunk=64, stride=48)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_toks").cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", "chunk_toks")).alias("chunk_hash"),
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -263,6 +263,24 @@ def test_unigram_logprob_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_json_extract_stays_codegen(spark, sf_dir):
+    """q70: from_json with an explicit schema parses inside codegen —
+    one partial-aggregated exchange, no Python, no inference scan."""
+    plan = _plan(spark, sf_dir, "q70_json_extract")
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "HashAggregate") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_chunking_is_scan_side(spark, sf_dir):
+    """q71: chunk explosion is ONE Generate riding the scan — zero
+    exchanges; chunking 100 TB is one pass."""
+    plan = _plan(spark, sf_dir, "q71_doc_chunking")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 0
+    assert _count(plan, "Generate") == 1
+
+
 def test_curation_pipeline_two_exchanges(spark, sf_dir):
     """q65: the 6-stage curation pipeline (dedup -> quality -> mix ->
     split -> pack -> report) compiles to ONE scan and TWO exchanges —

@@ -132,3 +132,51 @@ def test_packing_rejects_unbounded_window(spark):
     df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError):
         pack_sequences(df, budget=10, token_col="n_tokens", order_col="doc_id", group_cols=[])
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens (q71): coverage / overlap / boundary invariants
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark):
+    from real_time_stream_processing_engine_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))),  # 100 toks -> 3 chunks
+         (2, "only two"),                              # 1 short chunk
+         (3, "")],                                     # no chunks
+        "doc_id: long, text: string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], list(r["chunk_toks"]))
+        for r in chunk_tokens(docs, chunk=64, stride=48).collect()
+    )
+    by_doc = {}
+    for d, c, t in rows:
+        by_doc.setdefault(d, []).append((c, t))
+    assert 3 not in by_doc  # zero-token doc emits nothing
+    assert [c for c, _ in by_doc[2]] == [0] and by_doc[2][0][1] == ["only", "two"]
+    chunks1 = by_doc[1]
+    assert [c for c, _ in chunks1] == [0, 1, 2]
+    assert [len(t) for _, t in chunks1] == [64, 52, 4]  # last chunks truncate
+    # stride placement: chunk i starts at token i*48
+    for i, toks in chunks1:
+        assert toks[0] == f"w{i * 48}"
+    # consecutive full chunks overlap by chunk - stride = 16 tokens
+    assert chunks1[0][1][-16:] == chunks1[1][1][:16]
+    # every token appears in some chunk
+    seen = {t for _, toks in chunks1 for t in toks}
+    assert seen == {f"w{i}" for i in range(100)}
+
+
+def test_chunking_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError):
+        chunk_tokens(docs, chunk=8, stride=9)
+    with _pytest.raises(ValueError):
+        chunk_tokens(docs, chunk=8, stride=0)
