@@ -2114,5 +2114,54 @@ def q71_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q72_corpus_report",
+    rf"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, len({_SQL_TOKS}) AS n_toks,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rk
+      FROM documents)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           ROUND(avg(n_toks), 6) AS avg_tokens,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+    FROM fp GROUP BY lang, source
+    """,
+)
+def q72_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card: per (lang, source) — doc and token counts, mean
+    length, exact-duplicate count (non-canonical rows under the
+    normalized fingerprint), and short-doc count.  The report a corpus
+    release ships next to the shards, and the observability query every
+    curation run (q65) ends with.
+
+    Shape: fingerprint rank (WindowGroupLimit does NOT apply — every
+    row is kept, only ranked) + one partial-aggregated rollup; the
+    token count rides the scan projection."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    ranked = fingerprint(docs).select(
+        "lang",
+        "source",
+        F.size(tokenize("text")).alias("n_toks"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).cast("long").alias("n_dup"),
+        F.sum(F.when(F.col("n_toks") < 10, 1).otherwise(0)).cast("long").alias("n_short"),
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
