@@ -2163,5 +2163,45 @@ def q72_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q73_time_partitioned_scan",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def q73_time_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day's rollup over the events table in its production
+    layout: materialized partitioned-by-date
+    (``catalog.build_time_partitioned``, idempotent like the IVF/BM25
+    indexes), probed with a date filter that prunes at the source
+    listing — reading 1 of 30 days scans ~1/30th of the bytes
+    (plan-pinned: ``PartitionFilters: [event_date = 2024-01-15]``).
+    Same answer as filtering the flat table (the oracle); what changes
+    is how many bytes a time-bounded query touches at 100 TB."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .sources.catalog import build_time_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"rs_events_bydate_u{_os.getuid()}_{key}"
+    )
+    build_time_partitioned(ev, path)
+    day = spark.read.parquet(path).filter(
+        F.col("event_date") == F.lit("2024-01-15").cast("date")
+    )
+    return day.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

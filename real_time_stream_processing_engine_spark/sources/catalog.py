@@ -115,6 +115,47 @@ def exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def build_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    date_col: str = "event_date",
+    force: bool = False,
+) -> None:
+    """Materialize an event table in the canonical time-series layout:
+    partitioned by event DATE, so any time-bounded query prunes to its
+    days at the source listing (``PartitionFilters: [event_date ...]``)
+    — the storage shape every at-scale event store converges on
+    (reading one day of a year costs 1/365th of the bytes).
+
+    IDEMPOTENT like the IVF/BM25 index builds (manifest-committed,
+    :mod:`..operators.indexing`): a completed layout with the same
+    parameters is reused; a parameter change rebuilds; new data is the
+    caller's ``force=True`` (production appends new daily partitions
+    instead of rebuilding).  The date column is DERIVED in UTC from the
+    session timezone pin (session.py) so oracle date arithmetic
+    agrees."""
+    from pyspark.sql import functions as F
+
+    from ..operators.indexing import (
+        manifest_matches,
+        params_fingerprint,
+        write_manifest,
+    )
+
+    spark = df.sparkSession
+    fp = params_fingerprint({"ts": ts_col, "date": date_col, "v": 1})
+    if not force and manifest_matches(spark, path, fp):
+        return
+    out = df.withColumn(date_col, F.to_date(F.col(ts_col)))
+    # repartition on the date first: each day directory gets files from
+    # one task wave, not one file per upstream task per day
+    out.repartition(date_col).write.mode("overwrite").partitionBy(
+        date_col
+    ).parquet(path)
+    write_manifest(spark, path, fp)
+
+
 def create_bucketed(
     df: DataFrame, table: str, buckets: int, *cols: str, sort: bool = True
 ) -> None:

@@ -281,6 +281,16 @@ def test_doc_chunking_is_scan_side(spark, sf_dir):
     assert _count(plan, "Generate") == 1
 
 
+def test_time_partitioned_scan_prunes_days(spark, sf_dir):
+    """q73: the date filter must be a PARTITION filter on the layout —
+    pruned before any file opens, not a row filter over 30 days."""
+    plan = _plan(spark, sf_dir, "q73_time_partitioned_scan")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pf is None or "event_date" not in pf.group(1), plan
+
+
 def test_curation_pipeline_two_exchanges(spark, sf_dir):
     """q65: the 6-stage curation pipeline (dedup -> quality -> mix ->
     split -> pack -> report) compiles to ONE scan and TWO exchanges —
