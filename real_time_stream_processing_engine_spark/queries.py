@@ -2203,5 +2203,46 @@ def q73_time_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q74_unigram_logprob_indexed", None)
+def q74_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q68's production shape: the LM quality score computed ENTIRELY
+    from the materialized postings index (shared with q62 — built once,
+    manifest-reused).  The postings row (doc, term, tf) already carries
+    everything: corpus term frequency = sum(tf) per term, total tokens
+    = sum of those, per-doc score = sum(tf * ln(ctf/N)) / sum(tf) —
+    identical to q68's per-token average, so it pins against q68's
+    oracle.  The corpus is re-tokenized ZERO times: q68's three text
+    scans become index reads, which is how a production pipeline scores
+    new batches (probe the index, never re-read the corpus)."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .operators.text import build_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    path = _os.path.join(_tempfile.gettempdir(), f"rs_bm25_index_u{_os.getuid()}_{key}")
+    build_bm25_index(docs, path)
+    post = spark.read.parquet(f"{path}/postings").select("doc_id", "term", "tf")
+    ctf = post.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").alias("n"))
+    return (
+        post.join(ctf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("ctf") / F.col("n"))) / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE["q74_unigram_logprob_indexed"] = ORACLE["q68_unigram_logprob"]
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
