@@ -2244,5 +2244,37 @@ def q74_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q74_unigram_logprob_indexed"] = ORACLE["q68_unigram_logprob"]
 
 
+@register(
+    "q75_salted_agg",
+    """
+    SELECT event_type,
+           CAST(count(event_id) AS BIGINT) AS count_event_id,
+           ROUND(sum(value), 2) AS sum_value,
+           CAST(max(user_id) AS BIGINT) AS max_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q75_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: the two-phase salted group-by
+    (``operators/skew.py``) — phase 1 on (key, salt) spreads a mega-key
+    over 16 tasks, phase 2 re-combines n_salt partials per key.  The
+    oracle is the PLAIN aggregate: salting must be a drop-in
+    replacement (same counts, same sums, count(col) null semantics),
+    which is exactly what makes it safe to deploy on the skewed keys
+    AQE cannot split (a single hash-aggregate key)."""
+    from .operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"], {"event_id": "count", "value": "sum", "user_id": "max"}
+    )
+    return out.select(
+        "event_type",
+        F.col("count_event_id").cast("long").alias("count_event_id"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.col("max_user_id").cast("long").alias("max_user_id"),
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
