@@ -60,7 +60,9 @@ def connected_components(
         )
         # the changed flag rides the update itself (a label changes iff
         # a neighbor's min beats it), so convergence costs one narrow
-        # count over the checkpointed frame — not a second join job
+        # count over the checkpointed frame — not a second join job.
+        # LAZY checkpoint: the convergence count below is the job that
+        # materializes it, so each round runs ONE job, not two.
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["s"], "left")
             .select(
@@ -70,7 +72,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
