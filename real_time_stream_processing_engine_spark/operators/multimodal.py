@@ -8,18 +8,26 @@ bytes move driver-free, Arrow-batched, one Python worker per core, and
 the output schema is declared up front so everything downstream is
 ordinary columnar Spark.
 
-The decode step itself is STUBBED: real codecs (PIL/ffmpeg/...) are not
-in this container.  ``fake_decode_features`` is a clearly-marked
-deterministic stand-in (md5-derived) so the Spark-side plumbing —
-schema, batching, partitioning — is real and testable; swap the body
-for a real decoder without touching any plan shape.
+Decode support is two-tier:
+
+- REAL codecs for the uncompressed raster formats a pure-numpy decoder
+  can handle honestly — PPM/PGM (P6/P5) and 24-bit uncompressed BMP —
+  plus nearest-neighbor resize and PPM re-encode
+  (:func:`decode_image`, :func:`resize_image`, :func:`encode_ppm`).
+- compressed formats (JPEG/PNG/video/audio) still raise
+  ``NotImplementedError`` from :func:`real_decode` — their codecs
+  (PIL/ffmpeg) are not in this container.  ``fake_decode_features``
+  remains the clearly-marked deterministic stand-in used by the
+  fixture queries, whose payloads are text bytes, not media.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,11 +60,94 @@ def _payloads(
     return with_payload
 
 
-def real_decode(payload: bytes) -> dict:
-    """Placeholder for a real media decoder (PIL.Image.open /
-    torchaudio.load / pyav frame sampling).  Not available in this
-    environment."""
-    raise NotImplementedError("media codecs not installed; use fake_decode_features")
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6, RGB) / PGM (P5, grayscale) to an
+    (h, w, c) uint8 array.  Pure numpy: header is ASCII tokens
+    (magic, width, height, maxval) with ``#`` comments, then one raw
+    raster separated by a single whitespace byte."""
+    m = re.match(
+        rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+        rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s",
+        payload,
+    )
+    if not m:
+        raise ValueError("not a binary PPM/PGM payload")
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    c = 3 if magic == b"P6" else 1
+    raster = payload[m.end() :]
+    need = w * h * c
+    if len(raster) < need:
+        raise ValueError(f"truncated raster: {len(raster)} < {need}")
+    return np.frombuffer(raster[:need], dtype=np.uint8).reshape(h, w, c)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 1|3) uint8 array -> binary PGM/PPM bytes (round-trips
+    through :func:`decode_ppm`)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode uncompressed 24-bit bottom-up BMP to (h, w, 3) uint8 RGB.
+    Pure numpy; rejects compressed/paletted variants explicitly."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    if h < 0:  # negative height = top-down
+        h, topdown = -h, True
+    else:
+        topdown = False
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated raster: {len(payload)} < {need}")
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index gather — the real
+    thumbnail operation for the decodable formats (a production stack
+    swaps in an area/bilinear kernel; the pipeline shape is identical)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def real_decode(payload: bytes) -> np.ndarray:
+    """Decode a binary image payload to an (h, w, c) uint8 array.
+
+    REAL for the self-describing uncompressed formats (PPM/PGM/BMP,
+    sniffed by magic bytes); compressed formats still raise — their
+    codecs (PIL/ffmpeg) are not in this container, and faking a JPEG
+    decode would be dishonest.  Callers route undecodable payloads to
+    the fake-feature path or a quarantine column."""
+    head = bytes(payload[:2])
+    if head in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if head == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed media codecs (JPEG/PNG/video) not installed; "
+        "PPM/PGM/BMP decode natively, others need PIL/ffmpeg"
+    )
 
 
 def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -183,3 +274,107 @@ def resize_images(
     """Resize stage over binary payloads (image posture)."""
     with_payload = _payloads(docs, text_col, min_parallelism)
     return with_payload.mapInPandas(fake_resize, THUMB_SCHEMA)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def real_image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode -> feature extraction for (doc_id, payload) batches
+    of PPM/PGM/BMP bytes: dimensions + mean luminance per image.
+    Undecodable payloads land in ``decode_error`` (quarantine column)
+    instead of failing the stage — at 100 TB a poison payload must
+    never kill the job."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_luma", "decode_error")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            out["doc_id"].append(int(doc_id))
+            try:
+                img = real_decode(bytes(payload))
+                h, w, c = img.shape
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_luma"].append(round(float(img.mean()), 6))
+                out["decode_error"].append(None)
+            except Exception as e:
+                out["width"].append(None)
+                out["height"].append(None)
+                out["channels"].append(None)
+                out["mean_luma"].append(None)
+                out["decode_error"].append(f"{type(e).__name__}: {e}"[:120])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="Int32"),
+                "height": pd.Series(out["height"], dtype="Int32"),
+                "channels": pd.Series(out["channels"], dtype="Int32"),
+                "mean_luma": pd.Series(out["mean_luma"], dtype="float64"),
+                "decode_error": out["decode_error"],
+            }
+        )
+
+
+def extract_image_features(
+    images: DataFrame, payload_col: str = "payload", min_parallelism: int | None = None
+) -> DataFrame:
+    """Real image feature extraction over a (doc_id, payload) frame of
+    PPM/PGM/BMP bytes — same Arrow mapInPandas shape as the fake path,
+    real pixels."""
+    df = images.select("doc_id", F.col(payload_col).alias("payload"))
+    if min_parallelism:
+        df = df.repartition(min_parallelism)
+    return df.mapInPandas(real_image_features, IMAGE_SCHEMA)
+
+
+def make_real_resizer(out_w: int = 8, out_h: int = 8):
+    """Binary->binary REAL thumbnailer: decode (PPM/PGM/BMP) ->
+    nearest-neighbor resize -> re-encode as PPM/PGM.  Undecodable
+    payloads yield a NULL thumb (quarantine, never job failure)."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs, lens = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(int(doc_id))
+                try:
+                    thumb = encode_ppm(
+                        resize_image(real_decode(bytes(payload)), out_w, out_h)
+                    )
+                    thumbs.append(thumb)
+                    lens.append(len(thumb))
+                except Exception:
+                    thumbs.append(None)
+                    lens.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "thumb": thumbs,
+                    "thumb_len": pd.Series(lens, dtype="Int32"),
+                }
+            )
+
+    return resize_batch
+
+
+def resize_images_real(
+    images: DataFrame,
+    payload_col: str = "payload",
+    out_w: int = 8,
+    out_h: int = 8,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Real thumbnail stage over decodable binary payloads."""
+    df = images.select("doc_id", F.col(payload_col).alias("payload"))
+    if min_parallelism:
+        df = df.repartition(min_parallelism)
+    return df.mapInPandas(make_real_resizer(out_w, out_h), THUMB_SCHEMA)
