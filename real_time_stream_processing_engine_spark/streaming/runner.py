@@ -381,7 +381,13 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark_df.groupBy("event_type").agg(F.max("cnt").alias("cnt"))
 
 
-def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_cdc_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str | None = None,
+    checkpoint: str | None = None,
+    fail_after_batches: int | None = None,
+) -> DataFrame:
     """Streaming CDC: ``foreachBatch`` + versioned idempotent merge =
     exactly-once effects over at-least-once delivery.
 
@@ -395,29 +401,46 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the redelivered batch a no-op, so the final target equals
     the batch answer (q67's mapping + version ledger) no matter the
     batch count or order — sink-side dedup with a durable ledger,
-    where q30 dedups in the state store instead."""
+    where q30 dedups in the state store instead.
+
+    ``target_path``/``checkpoint`` default to fresh scratch dirs; pass
+    both explicitly to RESUME an interrupted run — the checkpoint
+    replays unfinished batches, and the version gate makes any batch
+    that already half-applied idempotent.  ``fail_after_batches`` is
+    the crash-injection hook for that test: the foreachBatch sink
+    raises after N batches, exactly like an executor/driver loss
+    mid-stream."""
     from ..operators.cdc import apply_upsert_versioned
-    from ..sources.catalog import replace_contents
+    from ..sources.catalog import exists, replace_contents
     from ..sources.readers import load_table
 
     src_path = os.path.join(sf_dir, "events.parquet")
     d = _stage_symlink_dir(
         "cdcdir", {f"events_{c}.parquet": src_path for c in ("a", "b")}
     )
-    target_path = os.path.join(
-        _scratch_dir(), f"rs_cdc_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
-    )
-    load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_acctbal",
-        F.lit(None).cast("timestamp").alias("ver_ts"),
-        F.lit(None).cast("long").alias("ver_event_id"),
-    ).write.parquet(target_path)
+    if target_path is None:
+        target_path = os.path.join(
+            _scratch_dir(), f"rs_cdc_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
+        )
+    if not exists(spark, target_path):  # fresh run: seed the unversioned dim
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(None).cast("timestamp").alias("ver_ts"),
+            F.lit(None).cast("long").alias("ver_event_id"),
+        ).write.parquet(target_path)
 
     from pyspark.sql import Window
 
+    n_applied = {"n": 0}
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if (
+            fail_after_batches is not None
+            and n_applied["n"] >= fail_after_batches
+        ):
+            raise RuntimeError("injected sink crash (fail_after_batches)")
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts"), F.desc("event_id")
         )
@@ -444,21 +467,29 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             insert_only_cols={"c_name": "new_name"},
         )
         replace_contents(merged, target_path)
+        n_applied["n"] += 1
 
     schema, conv = read_schema_for("events", src_path)
     src = convert_ts_cols(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d),
         conv,
     )
-    qname = f"rs_cdc_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(_scratch_dir(), f"rs_ckpt_{qname}")
+    ckpt = checkpoint or os.path.join(
+        _scratch_dir(), f"rs_ckpt_rs_cdc_{uuid.uuid4().hex[:8]}"
+    )
     q = (
         src.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    except Exception:
+        if fail_after_batches is None:
+            raise
+        # injected crash: the caller restarts from the same
+        # checkpoint + target to prove recovery
     final = spark.read.parquet(target_path)
     return final.select(
         "c_custkey",

@@ -113,3 +113,27 @@ def test_speculative_duplicate_emission_is_impossible(spark):
 
     df = spark.range(0, 1_000, 1, 2).mapInPandas(flaky, "id long")
     assert df.count() == 1_000
+
+
+def test_cdc_upsert_recovers_from_sink_crash(spark, sf_dir, tmp_path):
+    """E5 for the foreachBatch CDC sink (q69): crash after the first
+    micro-batch, restart from the SAME checkpoint + target, and the
+    final state must equal an uninterrupted run — the checkpoint
+    replays the unfinished batch and the versioned merge makes any
+    half-applied work idempotent."""
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_cdc_upsert,
+    )
+
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    # run 1: crashes after one applied batch (injected sink failure)
+    stream_cdc_upsert(
+        spark, sf_dir, target_path=target, checkpoint=ckpt, fail_after_batches=1
+    )
+    # run 2: same checkpoint + target -> resumes and completes
+    recovered = stream_cdc_upsert(spark, sf_dir, target_path=target, checkpoint=ckpt)
+    clean = stream_cdc_upsert(spark, sf_dir)  # fresh uninterrupted run
+    assert {tuple(r) for r in recovered.collect()} == {
+        tuple(r) for r in clean.collect()
+    }
