@@ -2311,5 +2311,63 @@ def q76_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q77_pq_ann",
+    """
+    WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+    ks AS (SELECT unnest(range(0, 16)) AS k),
+    dists AS (
+      SELECT v.vec_id, mm.m, kk.k,
+             SUM(POW(CAST(v.embedding[mm.m * 8 + s.i] AS DOUBLE)
+                     - CAST(c.embedding[mm.m * 8 + s.i] AS DOUBLE), 2)) AS d
+      FROM embeddings v
+      CROSS JOIN ms mm CROSS JOIN ks kk
+      JOIN embeddings c ON c.vec_id = 32 + kk.k
+      CROSS JOIN generate_series(1, 8) s(i)
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, k ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    est AS (
+      SELECT c.vec_id, SUM(q.d) AS dist_est
+      FROM codes c
+      JOIN dists q ON q.vec_id = 0 AND q.m = c.m AND q.k = c.code
+      GROUP BY 1)
+    SELECT vec_id, ROUND(dist_est, 6) AS adc_dist
+    FROM est WHERE vec_id <> 0
+    ORDER BY dist_est ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q77_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: every 64-dim vector compresses to 8
+    one-byte codes (8 subspaces x 16 centroids; codebooks = the
+    subspace slices of embeddings 32..47, data-derived so the oracle
+    re-derives them exactly), then the query scores vectors by ADC —
+    8 lookup-adds against a driver-side LUT, never touching the float
+    vectors.  Completes the ANN family: brute force (q13) is exact,
+    IVF (q28/q46) prunes WHERE to look, PQ compresses WHAT is scanned;
+    IVF-PQ composed is the standard 10^11-vector layout (compose
+    ``pq_encode`` with ``build_ivf_index``'s partitioner).  The oracle
+    replays encode + ADC in SQL — a hash match proves codes, LUT, and
+    the estimated-distance ranking."""
+    from .operators.similarity import pq_adc_topk, pq_encode, pq_lut
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") == 0)
+            | ((F.col("vec_id") >= 32) & (F.col("vec_id") < 48))
+        ).collect()
+    }
+    codebooks = [
+        [rows[32 + k][m * 8 : (m + 1) * 8] for k in range(16)] for m in range(8)
+    ]
+    encoded = pq_encode(emb, codebooks)
+    return pq_adc_topk(encoded, pq_lut(rows[0], codebooks), k=10, exclude_id=0)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

@@ -109,3 +109,42 @@ def test_force_rebuilds_same_params(spark, ivf):
     before = _mtimes(path)
     build_ivf_index(emb, cents, path, force=True)
     assert _mtimes(path) != before
+
+
+def test_pq_encode_exact_centroid_and_ties(spark):
+    from real_time_stream_processing_engine_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_lut,
+    )
+
+    # 4-dim vectors, 2 subspaces x 2 dims, 2 centroids each
+    codebooks = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[0.0, 1.0], [1.0, 0.0]],
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 1.0, 0.0]),   # sub0 -> c0 exactly; sub1 -> c1 exactly
+            (2, [1.0, 1.0, 0.0, 1.0]),   # sub0 -> c1; sub1 -> c0
+            (3, [0.5, 0.5, 0.5, 0.5]),   # equidistant everywhere -> ties -> code 0
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    enc = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(df, codebooks).collect()}
+    assert enc == {1: [0, 1], 2: [1, 0], 3: [0, 0]}
+
+    # ADC against query = vector 1 itself: vec 1 distance estimate is 0
+    lut = pq_lut([0.0, 0.0, 1.0, 0.0], codebooks)
+    top = pq_adc_topk(pq_encode(df, codebooks), lut, k=3).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["adc_dist"] == 0.0
+
+
+def test_pq_rejects_ragged_codebooks(spark):
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id: long, embedding: array<double>")
+    with _pytest.raises(ValueError):
+        pq_encode(df, [[[0.0]], [[0.0], [1.0]]])
