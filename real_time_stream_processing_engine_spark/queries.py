@@ -2369,5 +2369,105 @@ def q77_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, pq_lut(rows[0], codebooks), k=10, exclude_id=0)
 
 
+@register(
+    "q78_ivfpq_ann",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vc AS (
+      SELECT v.vec_id, c.cid,
+             SUM(CAST(v.embedding[s.i] AS DOUBLE) * CAST(c.ce[s.i] AS DOUBLE)) AS dp,
+             SUM(CAST(v.embedding[s.i] AS DOUBLE) * CAST(v.embedding[s.i] AS DOUBLE)) AS nv,
+             SUM(CAST(c.ce[s.i] AS DOUBLE) * CAST(c.ce[s.i] AS DOUBLE)) AS nc
+      FROM embeddings v CROSS JOIN c CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY 1, 2),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dp / (sqrt(nv) * sqrt(nc)) DESC, cid ASC) AS rn
+        FROM vc) WHERE rn = 1),
+    qcos AS (
+      SELECT c.cid,
+             SUM(CAST(c.ce[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE))
+               / (sqrt(SUM(CAST(c.ce[s.i] AS DOUBLE) * CAST(c.ce[s.i] AS DOUBLE)))
+                  * sqrt(SUM(CAST(q.qe[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)))) AS qc
+      FROM c CROSS JOIN q CROSS JOIN generate_series(1, 64) s(i) GROUP BY c.cid),
+    probe AS (SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY qc DESC, cid ASC) AS rn
+                               FROM qcos) t WHERE rn <= 4),
+    ms AS (SELECT unnest(range(0, 8)) AS m),
+    ks AS (SELECT unnest(range(0, 16)) AS k),
+    dists AS (
+      SELECT v.vec_id, mm.m, kk.k,
+             SUM(POW(CAST(v.embedding[mm.m * 8 + s.i] AS DOUBLE)
+                     - CAST(cb.embedding[mm.m * 8 + s.i] AS DOUBLE), 2)) AS d
+      FROM embeddings v
+      CROSS JOIN ms mm CROSS JOIN ks kk
+      JOIN embeddings cb ON cb.vec_id = 32 + kk.k
+      CROSS JOIN generate_series(1, 8) s(i)
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, k ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    est AS (
+      SELECT cdz.vec_id, SUM(qd.d) AS dist_est
+      FROM codes cdz
+      JOIN dists qd ON qd.vec_id = 0 AND qd.m = cdz.m AND qd.k = cdz.code
+      GROUP BY 1)
+    SELECT est.vec_id, ROUND(est.dist_est, 6) AS adc_dist
+    FROM est
+    WHERE est.vec_id <> 0
+      AND est.vec_id IN (SELECT vec_id FROM cells
+                         WHERE cell IN (SELECT cid FROM probe))
+    ORDER BY est.dist_est ASC, est.vec_id ASC LIMIT 10
+    """,
+)
+def q78_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed — the standard web-scale ANN layout: the
+    materialized IVF index (shared with q46, manifest-reused) prunes
+    WHERE to look (4 of 16 cell partitions, pruned at the source
+    listing), and PQ-ADC scores WHAT remains (8 lookup-adds per
+    candidate).  At 10^11 vectors this is the only shape that fits:
+    partition pruning bounds the scan, code compression bounds the
+    bytes; production stores the codes IN the index so the probe never
+    touches a float vector (here they are derived on the pruned
+    candidates — same result, one extra projection).  The oracle
+    replays cell assignment, probe selection, encode, and ADC in SQL."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .operators.similarity import (
+        _probe_cells,
+        build_ivf_index,
+        pq_adc_topk,
+        pq_encode,
+        pq_lut,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 48).collect()
+    }
+    cents = [(i, rows[i]) for i in range(16)]
+    qvec = rows[0]
+    codebooks = [
+        [rows[32 + k][m * 8 : (m + 1) * 8] for k in range(16)] for m in range(8)
+    ]
+    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"rs_ivf_index_u{_os.getuid()}_{key}"
+    )
+    build_ivf_index(emb, cents, path)
+    cand = spark.read.parquet(path).filter(
+        F.col("cell").isin(_probe_cells(qvec, cents, 4))
+    )
+    encoded = pq_encode(cand, codebooks)
+    return pq_adc_topk(encoded, pq_lut(qvec, codebooks), k=10, exclude_id=0)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
