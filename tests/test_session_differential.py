@@ -65,3 +65,55 @@ def test_sessionize_matches_sequential_reference(spark, events, gap):
         for r in sessionize(df, gap_sec=gap).collect()
     }
     assert got == _ref_sessions(events, gap)
+
+
+# ---------------------------------------------------------------------------
+# rolling RANGE-frame window (q66) vs an O(n^2) sequential reference
+# ---------------------------------------------------------------------------
+
+rolling_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user
+        st.integers(min_value=0, max_value=7200),   # sec
+        st.integers(min_value=-5, max_value=5),     # value (int -> exact sums)
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _ref_rolling(events, width_s):
+    """For each event: count/sum over the same user's events with
+    sec in [sec - width, sec] — ALL ties included, regardless of row
+    order (RANGE frame semantics, not ROWS)."""
+    out = {}
+    for eid, (u, s, v) in enumerate(events):
+        n = tot = 0
+        for u2, s2, v2 in events:
+            if u2 == u and s - width_s <= s2 <= s:
+                n += 1
+                tot += v2
+        out[eid] = (n, tot)
+    return out
+
+
+@given(events=rolling_rows)
+@settings(**SET)
+def test_rolling_range_frame_matches_reference(spark, events):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(eid, u, s, v) for eid, (u, s, v) in enumerate(events)],
+        "event_id: long, user_id: long, sec: long, value: long",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, Window.currentRow)
+    got = {
+        r["event_id"]: (r["n"], r["s"])
+        for r in df.select(
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.sum("value").over(w).alias("s"),
+        ).collect()
+    }
+    assert got == _ref_rolling(events, 3600)
