@@ -386,32 +386,41 @@ def pq_encode(
     Codebooks are supplied by the caller, data-derived and
     deterministic, so an oracle can re-derive the identical codes.
 
-    Scale shape: the whole encode is ONE codegen projection (M*K
-    explicit difference-square chains + an array_sort argmin per
-    subspace) riding the scan — no shuffle, no UDF.  At 100 TB this is
-    the compression pass that lets an ANN index hold 10^11 vectors in
-    RAM; compose with the IVF partitioner (`build_ivf_index`) for the
+    Implementation is a DECLARED Arrow boundary (``mapInPandas`` +
+    numpy), not JVM expressions: the M*K distance argmin is a dense
+    (n, K, sub) broadcast kernel, and the unrolled-expression form
+    (2048 terms) exceeds whole-stage-codegen limits and falls back to
+    interpreted evaluation ~1000x slower than numpy (measured: 10 s
+    vs <0.1 s for 6k vectors at sf0.1).  Per-partition, no shuffle;
+    compose with the IVF partitioner (`build_ivf_index`) for the
     standard IVF-PQ layout."""
-    M = len(codebooks)
-    K = len(codebooks[0])
-    sub = len(codebooks[0][0])
-    if any(len(cb) != K for cb in codebooks) or any(
-        len(c) != sub for cb in codebooks for c in cb
-    ):
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.ndim != 3:
         raise ValueError("ragged codebooks")
-    v = F.col(vec_col)
-    codes = []
-    for m, cb in enumerate(codebooks):
-        cands = []
-        for k, cent in enumerate(cb):
-            d = F.lit(0.0)
-            for i in range(sub):
-                t = v[m * sub + i].cast("double") - F.lit(float(cent[i]))
-                d = d + t * t
-            cands.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
-        codes.append(F.array_sort(F.array(*cands))[0]["k"])
-    return emb.select(
-        F.col(id_col), F.array(*codes).cast("array<int>").alias(out_col)
+    M, K, sub = cb.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(V), M), dtype=np.int32)
+            for m in range(M):
+                sv = V[:, m * sub : (m + 1) * sub]
+                d = ((sv[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+                # np.argmin keeps the FIRST minimum: ties -> lowest k
+                codes[:, m] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), out_col: list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, {out_col} array<int>"
     )
 
 
