@@ -2469,5 +2469,102 @@ def q78_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, pq_lut(qvec, codebooks), k=10, exclude_id=0)
 
 
+@register(
+    "q79_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS ct
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS pt
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
+    """,
+)
+def q79_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users who viewed, then clicked STRICTLY after
+    their first view, then purchased strictly after that click — the
+    ordered-sequence semantics (each stage anchored to the previous
+    stage's earliest completion) that a naive per-type count cannot
+    express.  Three conditional-min aggregates chained by user-keyed
+    joins; each stage's frame shrinks, and at scale all three shuffles
+    share the user key so AQE plans the later joins off the first
+    exchange's partitioning."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    def _count(df, stage):
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+    return (
+        _count(v, "1_view")
+        .unionByName(_count(c, "2_click_after_view"))
+        .unionByName(_count(p, "3_purchase_after_click"))
+    )
+
+
+@register(
+    "q80_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c_day FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT c.c_day AS cohort_day,
+           CAST(a.day - c.c_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    WHERE a.day - c.c_day <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q80_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day,
+    counted on each subsequent active day up to a week out — the
+    (cohort_day, day_offset) -> n_users matrix every growth dashboard
+    is built on.  One distinct per (user, day), one tiny cohort
+    aggregate joined back on the user key, one rollup; dates derive in
+    the pinned UTC session zone so oracle date arithmetic agrees."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    act = ev.distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            F.col("c_day").alias("cohort_day"),
+            F.datediff("day", "c_day").cast("long").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
