@@ -28,6 +28,11 @@ Commands:
            TRANSFORM:uppercase|lowercase|trim|splitintowords
            TRANSFORM:select:<c1,c2>  FILTERED_TRANSFORM:<pat>:<transform>
            AGGREGATE[:<count|sum|max|min|avg>:<field>[:by=<k1,k2>]]
+  sql <query>          ANSI SQL over the registered tables (region nation
+                       customer supplier part orders lineitem events
+                       documents embeddings) — auto-registered from
+                       $SPARK_GRAFT_SF_DIR on first use
+  use <sf_dir>         (re)register the tables from another data dir
   ls <path>            list files (HyDFS ls parity)
   merge <path>         compact small append files (HyDFS merge parity)
   help                 this text
@@ -35,6 +40,29 @@ Commands:
 """
 
 MAX_PRINT_ROWS = 20
+
+
+def _print_df(df, out) -> None:
+    rows = df.limit(MAX_PRINT_ROWS + 1).collect()
+    cols = df.columns
+    print("\t".join(cols), file=out)
+    for r in rows[:MAX_PRINT_ROWS]:
+        print("\t".join(str(r[c]) for c in cols), file=out)
+    if len(rows) > MAX_PRINT_ROWS:
+        print(f"... (showing first {MAX_PRINT_ROWS})", file=out)
+
+
+def _ensure_tables(spark, out) -> None:
+    if getattr(_ensure_tables, "done", False):
+        return
+    import os
+
+    from .sources.readers import register_tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    names = register_tables(spark, sf_dir)
+    print(f"registered {len(names)} tables from {sf_dir}", file=out)
+    _ensure_tables.done = True
 
 
 def _dispatch(spark, line: str, out=sys.stdout) -> bool:
@@ -65,14 +93,18 @@ def _dispatch(spark, line: str, out=sys.stdout) -> bool:
             print("merged", file=out)
             return True
         if word == "rainstorm":
-            df = run_command(spark, line)
-            rows = df.limit(MAX_PRINT_ROWS + 1).collect()
-            cols = df.columns
-            print("\t".join(cols), file=out)
-            for r in rows[:MAX_PRINT_ROWS]:
-                print("\t".join(str(r[c]) for c in cols), file=out)
-            if len(rows) > MAX_PRINT_ROWS:
-                print(f"... (showing first {MAX_PRINT_ROWS})", file=out)
+            _print_df(run_command(spark, line), out)
+            return True
+        if word == "sql":
+            _ensure_tables(spark, out)
+            _print_df(spark.sql(line.split(None, 1)[1]), out)
+            return True
+        if word == "use":
+            from .sources.readers import register_tables
+
+            names = register_tables(spark, line.split(None, 1)[1])
+            _ensure_tables.done = True
+            print(f"registered {len(names)} tables", file=out)
             return True
         print(f"unknown command {word!r} — try 'help'", file=out)
         _dispatch.failed = True

@@ -241,6 +241,19 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table present in ``sf_dir`` as a temp
+    view (unit-corrected schemas included), making the whole engine
+    queryable through plain ``spark.sql`` — the ANSI-SQL front door
+    next to the RAINSTORM command surface.  Returns the view names."""
+    out = []
+    for name in SCHEMAS:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            out.append(name)
+    return out
+
+
 def read_traffic_signs_csv(spark: SparkSession, path: str) -> DataFrame:
     """Quote-correct CSV read of the reference's Traffic_Signs dataset
     (``file_system/data_storage/local_file/traffic_signs.csv``)."""

@@ -71,3 +71,20 @@ def test_cli_one_shot_nonzero_exit_on_error(tmp_path):
     proc = _run_cli([f'RAINSTORM "FILTER:x" {tmp_path}/does_not_exist.txt 2'])
     assert proc.returncode == 1
     assert "error:" in proc.stdout
+
+
+def test_cli_sql_front_door(tmp_path):
+    """`sql` registers the testdata tables and runs ANSI SQL."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "real_time_stream_processing_engine_spark",
+         "sql SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l and not l.startswith("registered")]
+    assert lines[0] == "event_type\tn"
+    assert len(lines) == 6  # 5 event types + header
