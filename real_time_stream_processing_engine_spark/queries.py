@@ -2566,5 +2566,55 @@ def q80_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q81_asof_forward",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.event_id, c.event_id AS click_id,
+             CAST(floor(epoch(c.ts)) AS BIGINT) AS cts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY floor(epoch(c.ts)) ASC,
+                                         c.event_id DESC) AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND floor(epoch(c.ts)) >= floor(epoch(p.ts))
+       AND floor(epoch(c.ts)) - floor(epoch(p.ts)) <= 3600
+    )
+    SELECT p.event_id, p.user_id, r.cts AS asof_ts,
+           r.click_id AS asof_click_id
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+    """,
+)
+def q81_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48's FORWARD direction: each purchase carries the same user's
+    NEXT click at-or-after it within 1 hour — "did the purchase lead
+    anywhere" attribution.  Same union-sort-carry operator with the
+    sort reversed; ties at the earliest following second break by the
+    match struct's lexical max (highest click_id), mirrored in the
+    oracle's rank.  Driver-verifies the direction the differential
+    tests cover locally."""
+    from .operators.windows import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id"],
+        direction="forward",
+        tolerance_s=3600,
+    ).select("event_id", "user_id", "asof_ts", "asof_click_id")
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

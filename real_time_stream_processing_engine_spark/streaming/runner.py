@@ -199,7 +199,15 @@ def run_to_memory_available_now(
 ) -> DataFrame:
     """Drain a streaming aggregation with Trigger.AvailableNow into a
     memory sink and return the final table.  Used by correctness checks:
-    stream-end state must equal the batch answer."""
+    stream-end state must equal the batch answer.
+
+    Observability: any ``df.observe(name, ...)`` metrics attached
+    upstream are summed across micro-batches and left on
+    ``run_to_memory_available_now.last_observed`` (``{observation:
+    {metric: total}}``) — the engine-side account of tuples processed,
+    the role of the reference leader's per-task tuple log
+    (``Node.java:1162-1187``), but computed IN the dataflow instead of
+    by a log-scraping leader."""
     spark = agg.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_scratch_dir(), f"rs_ckpt_{qname}")
@@ -237,6 +245,18 @@ def run_to_memory_available_now(
             .start()
         )
         q.awaitTermination()
+        observed: dict[str, dict[str, float]] = {}
+        for p in q.recentProgress:
+            om = p.get("observedMetrics") if isinstance(p, dict) else None
+            if om is None and hasattr(p, "observedMetrics"):
+                om = p.observedMetrics
+            for obs_name, row in (om or {}).items():
+                tot = observed.setdefault(obs_name, {})
+                vals = row.asDict() if hasattr(row, "asDict") else dict(row)
+                for k, v in vals.items():
+                    if isinstance(v, (int, float)):
+                        tot[k] = tot.get(k, 0) + v
+        run_to_memory_available_now.last_observed = observed
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         if want_rocks:

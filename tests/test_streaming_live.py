@@ -204,3 +204,26 @@ def test_q32_stateful_stream_end_equals_batch(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_observed_metrics_account_for_every_tuple(spark, sf_dir):
+    """df.observe() totals across micro-batches equal the batch count —
+    the in-dataflow tuple accounting that replaces the reference
+    leader's log-scraped per-task counts."""
+    from pyspark.sql import functions as F
+
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        run_to_memory_available_now,
+        stream_events,
+    )
+
+    src = stream_events(spark, sf_dir, max_files_per_trigger=1).observe(
+        "rs_ingest", F.count(F.lit(1)).alias("n_tuples")
+    )
+    agg = src.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    out = run_to_memory_available_now(agg)
+    total_rows = load_table(spark, sf_dir, "events").count()
+    obs = run_to_memory_available_now.last_observed
+    assert obs["rs_ingest"]["n_tuples"] == total_rows
+    assert sum(r["cnt"] for r in out.collect()) == total_rows
