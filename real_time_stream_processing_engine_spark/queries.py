@@ -2616,5 +2616,59 @@ def q81_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "asof_ts", "asof_click_id")
 
 
+@register(
+    "q82_salted_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q82_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof JOIN oracle-verified (q75 covers the salted
+    aggregate): the event fact side is salted into 16 deterministic
+    buckets and the customer dim replicated 16x, so a mega-user's rows
+    land on 16 tasks instead of one.  The oracle is the PLAIN join —
+    drop-in equality is what makes salting deployable when the dim is
+    too big to broadcast and one key's rows exceed what AQE's skew
+    split handles."""
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") + 1).alias("c_custkey"), "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, dim, on="c_custkey", n_salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register("q83_dedup_components_star", None)
+def q83_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q56's clusters via the alternating large-star/small-star
+    formulation (Kiveris et al.) — O(log diameter) rounds instead of
+    O(diameter), the form that survives DEEP components (link graphs,
+    co-occurrence graphs) where min-propagation walks one hop per
+    round.  Same contract, same recursive-CTE oracle as q56; the
+    logarithmic convergence is pinned separately on a 64-node chain in
+    `tests/test_graph.py`."""
+    from .operators.dedup import lsh_candidate_pairs
+    from .operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, on_overflow="error")
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+ORACLE["q83_dedup_components_star"] = ORACLE["q56_dedup_components"]
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

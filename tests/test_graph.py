@@ -47,3 +47,54 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star formulation: same answer, logarithmic rounds
+# ---------------------------------------------------------------------------
+
+
+def test_star_equals_propagation_on_random_graphs(spark):
+    import random
+
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        edges = spark.createDataFrame(
+            [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],
+            "doc_a long, doc_b long",
+        ).filter("doc_a <> doc_b")
+        a = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+        b = {r.node: r.cluster_id for r in connected_components_star(edges).collect()}
+        assert a == b, f"seed {seed}"
+
+
+def test_star_converges_logarithmically_on_deep_chain(spark):
+    """A 64-node chain has diameter 63: min-propagation needs ~63
+    rounds; the star formulation must finish in O(log n)."""
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = {r.node: r.cluster_id for r in connected_components_star(edges, max_iter=14).collect()}
+    assert rows == {i: 0 for i in range(n)}
+    assert connected_components_star.rounds <= 12
+
+
+def test_star_two_node_and_preclustered(spark):
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 9), (1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    rows = {r.node: r.cluster_id for r in connected_components_star(edges).collect()}
+    assert rows == {5: 5, 9: 5, 1: 1, 2: 1, 3: 1}
