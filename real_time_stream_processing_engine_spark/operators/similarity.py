@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..functions.vectors import dot, l2_norm
 from .dedup import MAX_BUCKET, _cap_buckets
 
 
