@@ -2670,5 +2670,72 @@ def q83_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q83_dedup_components_star"] = ORACLE["q56_dedup_components"]
 
 
+@register(
+    "q84_quality_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks),
+    scores AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             ROUND(avg(ln(tf / n)), 6) AS s
+      FROM toks JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id),
+    b AS (SELECT quantile_cont(s, 0.25) AS b1, quantile_cont(s, 0.50) AS b2,
+                 quantile_cont(s, 0.75) AS b3 FROM scores)
+    SELECT CASE WHEN s <= b1 THEN 1 WHEN s <= b2 THEN 2
+                WHEN s <= b3 THEN 3 ELSE 4 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(avg(s), 6) AS avg_logprob,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM scores CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q84_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: documents quartiled by their LM quality
+    score (q68's mean unigram log-prob) with per-bucket volume stats —
+    the stage between quality scoring and difficulty-ordered sampling
+    in a curriculum pipeline.  Bucket boundaries are exact interpolated
+    percentiles computed over the ROUNDED scores — the values q68's
+    oracle already proves identical cross-engine — so the boundary
+    arithmetic (a lerp of two identical doubles) and every CASE compare
+    agree exactly.  The boundary row broadcasts; no global sort, no
+    single-partition NTILE window (the scale trap this formulation
+    avoids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").alias("n"))
+    scores = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 6).alias("s"),
+        )
+    )
+    b = scores.agg(
+        F.expr("percentile(s, array(0.25, 0.5, 0.75))").alias("bs")
+    ).select(
+        F.col("bs")[0].alias("b1"), F.col("bs")[1].alias("b2"), F.col("bs")[2].alias("b3")
+    )
+    bucket = (
+        F.when(F.col("s") <= F.col("b1"), 1)
+        .when(F.col("s") <= F.col("b2"), 2)
+        .when(F.col("s") <= F.col("b3"), 3)
+        .otherwise(4)
+    )
+    return (
+        scores.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("s"), 6).alias("avg_logprob"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
