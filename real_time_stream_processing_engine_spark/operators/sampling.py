@@ -222,3 +222,34 @@ def repeat_rows(
         expr >= 1, F.sequence(F.lit(1), expr.cast("int"))
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(out, F.explode(copies))
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_col: str,
+    id_col: str,
+    seed: str = "w1",
+    digits: int = 13,
+) -> DataFrame:
+    """Per-ROW deterministic Bernoulli: keep a row iff
+    ``frac(md5(seed|id)) < rate`` where ``rate`` is the row's own keep
+    probability in [0, 1] — the continuous generalization of
+    :func:`mixture_sample`'s per-group rates (quality-weighted corpus
+    construction: keep probability proportional to a quality score).
+
+    The draw is the first 13 hex digits of the shared md5(seed|id)
+    family parsed as an integer over 16^13 — 52 bits, exactly
+    representable in a double, so an oracle parsing the same digits
+    computes the identical fraction and the identical keep set.  Same
+    determinism contract as every other sampler here:
+    retry/repartition/growth-stable, zero exchanges."""
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            digits,
+        ),
+        16,
+        10,
+    ).cast("long").cast("double") / F.lit(float(16**digits))
+    return df.filter(draw < F.col(rate_col))

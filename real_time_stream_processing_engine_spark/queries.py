@@ -2737,5 +2737,57 @@ def q84_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q85_weighted_sample",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks),
+    scores AS (
+      SELECT doc_id, ROUND(avg(ln(tf / n)), 6) AS s
+      FROM toks JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id),
+    mm AS (SELECT min(s) AS mn, max(s) AS mx FROM scores),
+    r AS (SELECT doc_id,
+                 CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END AS rate
+          FROM scores CROSS JOIN mm),
+    d AS (SELECT doc_id, rate,
+                 ('0x' || substr(md5('wq1' || '|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / 4503599627370496.0 AS frac
+          FROM r)
+    SELECT doc_id, ROUND(rate, 6) AS keep_rate FROM d WHERE frac < rate
+    """,
+)
+def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: each document kept with probability
+    equal to its min-max-normalized LM quality score — the continuous
+    per-ROW generalization of per-group mixing (q63), i.e. the
+    DCLM-style "sample in proportion to quality" corpus constructor.
+    The draw is 52 exact bits of the shared md5(seed|id) family, the
+    rate derives from ROUNDED scores (identical cross-engine per q68's
+    oracle), so the keep set is bit-deterministic: retry-, repartition-
+    and growth-stable, and replayable by the SQL oracle."""
+    from .operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").alias("n"))
+    scores = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 6).alias("s"))
+    )
+    mm = scores.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    rated = scores.crossJoin(F.broadcast(mm)).select(
+        "doc_id",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+        .otherwise((F.col("s") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+        .alias("rate"),
+    )
+    kept = weighted_sample(rated, rate_col="rate", id_col="doc_id", seed="wq1")
+    return kept.select("doc_id", F.round("rate", 6).alias("keep_rate"))
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
