@@ -2789,5 +2789,33 @@ def q85_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.round("rate", 6).alias("keep_rate"))
 
 
+@register(
+    "q86_stream_leaderboard",
+    """
+    WITH counts AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+             user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT window_start, user_id, n_events,
+             CAST(row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rk
+      FROM counts)
+    SELECT window_start, rk, user_id, n_events FROM ranked WHERE rk <= 3
+    """,
+)
+def q86_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous leaderboard: top-3 most active users per hourly
+    window, maintained as a streaming windowed count (checkpointed,
+    watermark-bounded state) with the rank as a batch view over the
+    drained stream-end state — the right split of labor: the
+    commutative aggregate is stateful and incremental, the
+    non-commutative rank is recomputed cheaply over the tiny
+    aggregate.  Stream end equals the batch window+rank oracle."""
+    from .streaming.runner import stream_window_leaderboard
+
+    return stream_window_leaderboard(spark, sf_dir, k=3)
+
+
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)

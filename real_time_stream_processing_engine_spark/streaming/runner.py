@@ -520,6 +520,39 @@ def stream_cdc_upsert(
     )
 
 
+def stream_window_leaderboard(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Continuous leaderboard: hourly event-time windows stream into a
+    checkpointed (window, user) count state (2 h watermark bounds it);
+    the per-window top-k rank runs over the drained stream-end state —
+    rank is NOT stateful (a late event can reshuffle the board), so
+    the streaming part maintains exactly the commutative aggregate and
+    the rank stays a cheap batch view over it.  Stream end equals the
+    batch window+rank answer (the oracle)."""
+    from pyspark.sql import Window
+
+    src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    state = run_to_memory_available_now(agg)
+    rk = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        state.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("window_start", "rk", "user_id", "n_events")
+    )
+
+
 def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: each click joined to the same user's
     purchases within the following hour.
