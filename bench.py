@@ -62,7 +62,12 @@ def main() -> None:
     # steady-state probe cost — the number that scales to 100 TB —
     # exactly as BASELINE.md documents; the build cost is printed here
     # so it is never hidden.
-    for idx_q in ("q46_ivf_indexed", "q62_bm25_indexed", "q73_time_partitioned_scan"):
+    for idx_q in (
+        "q46_ivf_indexed",
+        "q62_bm25_indexed",
+        "q73_time_partitioned_scan",
+        "q87_ivfpq_indexed",
+    ):
         if idx_q in QUERIES:
             t0 = time.monotonic()
             try:

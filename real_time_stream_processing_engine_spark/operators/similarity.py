@@ -376,6 +376,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantization encode: split each vector into M subvectors
     and replace each with the index of its nearest subspace centroid
@@ -401,6 +402,7 @@ def pq_encode(
     if cb.ndim != 3:
         raise ValueError("ragged codebooks")
     M, K, sub = cb.shape
+    keep_cols = keep_cols or []
 
     def encode(batches):
         for pdf in batches:
@@ -415,12 +417,18 @@ def pq_encode(
                 d = ((sv[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
                 # np.argmin keeps the FIRST minimum: ties -> lowest k
                 codes[:, m] = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].astype("int64"), out_col: list(codes)}
-            )
+            out = {id_col: pdf[id_col].astype("int64"), out_col: list(codes)}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, {out_col} array<int>"
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in emb.schema.fields
+        if f.name in keep_cols
+    )
+    return emb.select(id_col, vec_col, *keep_cols).mapInPandas(
+        encode, f"{id_col} long, {out_col} array<int>{keep_schema}"
     )
 
 
@@ -478,3 +486,58 @@ def pq_lut(
             row.append(d)
         lut.append(row)
     return lut
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force: bool = False,
+) -> None:
+    """Materialize the full IVF-PQ layout: every vector assigned its
+    IVF cell AND compressed to PQ codes, written ``partitionBy(cell)``
+    with ONLY (id, codes) in the data files — the layout where a probe
+    (a) partition-prunes to its cells and (b) never reads a float
+    vector, the 10^11-vector shape (q78 derives codes on probe; this
+    pays them once at build).  Idempotent via the shared manifest
+    mechanism; the fingerprint covers both the IVF codebook and the PQ
+    codebooks."""
+    from .indexing import manifest_matches, params_fingerprint, write_manifest
+
+    spark = emb.sparkSession
+    fp = params_fingerprint(
+        {"centroids": centroids, "codebooks": codebooks, "vec": vec_col, "v": 1}
+    )
+    if not force and manifest_matches(spark, path, fp):
+        return
+    with_cell = emb.withColumn("cell", _cell_assignment_expr(centroids, vec_col))
+    encoded = pq_encode(
+        with_cell, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=["cell"]
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    write_manifest(spark, path, fp)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the materialized IVF-PQ index: partition-prune to the
+    ``n_probe`` cells nearest the query, then ADC-score the stored
+    codes — the scan reads (id, codes) only, never an embedding
+    (pinned: ``ReadSchema`` excludes the vector column)."""
+    cells = _probe_cells(query_vec, centroids, n_probe)
+    df = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return pq_adc_topk(
+        df, pq_lut(query_vec, codebooks), k=k, id_col=id_col, exclude_id=exclude_id
+    )

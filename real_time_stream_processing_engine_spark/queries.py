@@ -2469,6 +2469,46 @@ def q78_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, pq_lut(qvec, codebooks), k=10, exclude_id=0)
 
 
+@register("q87_ivfpq_indexed", None)
+def q87_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q78's production shape completed: the IVF-PQ index MATERIALIZED
+    with the codes stored IN the layout — cell assignment and PQ
+    compression paid once at build (manifest-idempotent), every probe
+    partition-prunes to its cells and ADC-scores the stored codes.
+    The probe's scan reads (vec_id, pq_codes) ONLY — never a float
+    vector (pinned: ``ReadSchema`` excludes the embedding column) —
+    which is the byte-level win that makes 10^11-vector ANN serve from
+    a footprint ~32x smaller than the corpus.  Same codebooks, same
+    probe set, same ADC => q78's oracle."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .operators.similarity import build_ivfpq_index, ivfpq_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 48).collect()
+    }
+    cents = [(i, rows[i]) for i in range(16)]
+    qvec = rows[0]
+    codebooks = [
+        [rows[32 + k][m * 8 : (m + 1) * 8] for k in range(16)] for m in range(8)
+    ]
+    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"rs_ivfpq_index_u{_os.getuid()}_{key}"
+    )
+    build_ivfpq_index(emb, cents, codebooks, path)
+    return ivfpq_topk_indexed(
+        spark, path, qvec, cents, codebooks, k=10, n_probe=4, exclude_id=0
+    )
+
+
+ORACLE["q87_ivfpq_indexed"] = ORACLE["q78_ivfpq_ann"]
+
+
 @register(
     "q79_funnel",
     """

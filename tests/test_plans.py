@@ -281,6 +281,17 @@ def test_doc_chunking_is_scan_side(spark, sf_dir):
     assert _count(plan, "Generate") == 1
 
 
+def test_ivfpq_probe_never_reads_vectors(spark, sf_dir):
+    """q87: the IVF-PQ probe partition-prunes to its cells AND its
+    scan reads only (vec_id, pq_codes) — the embedding column never
+    leaves storage, the byte-level win of storing codes in the index."""
+    plan = _plan(spark, sf_dir, "q87_ivfpq_indexed")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "embedding" not in m.group(1), plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+
+
 def test_time_partitioned_scan_prunes_days(spark, sf_dir):
     """q73: the date filter must be a PARTITION filter on the layout —
     pruned before any file opens, not a row filter over 30 days."""
