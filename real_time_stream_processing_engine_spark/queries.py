@@ -2509,6 +2509,31 @@ def q87_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q87_ivfpq_indexed"] = ORACLE["q78_ivfpq_ann"]
 
 
+@register("q88_stream_funnel", None)
+def q88_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q79's funnel computed BY THE STREAM: a custom buffered-state
+    operator (``applyInPandasWithState``) maintains each user's
+    funnel-relevant history and emits their current stage per
+    micro-batch; stage counts at stream end equal the batch funnel —
+    pinned against q79's oracle.  Exercises the buffered-state pattern
+    (history in the state store, exact recompute per batch) that the
+    running-count custom op (q32) does not."""
+    from .streaming.runner import stream_funnel_stages
+
+    stages = stream_funnel_stages(spark, sf_dir)
+
+    def _count(cond, label):
+        return stages.filter(cond).agg(
+            F.count("*").cast("long").alias("n_users")
+        ).select(F.lit(label).alias("stage"), "n_users")
+
+    return (
+        _count(F.col("stage") >= 1, "1_view")
+        .unionByName(_count(F.col("stage") >= 2, "2_click_after_view"))
+        .unionByName(_count(F.col("stage") >= 3, "3_purchase_after_click"))
+    )
+
+
 @register(
     "q79_funnel",
     """
@@ -2859,3 +2884,7 @@ def q86_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
+
+# q88's oracle aliases q79's (defined above); assigned here because the
+# alias must run after q79's registration.
+ORACLE["q88_stream_funnel"] = ORACLE["q79_funnel"]

@@ -520,6 +520,59 @@ def stream_cdc_upsert(
     )
 
 
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: per-user ordered stage machine (view ->
+    click-after-view -> purchase-after-click) as a CUSTOM buffered-state
+    operator — the ``applyInPandasWithState`` pattern q32's running
+    count doesn't exercise: state holds the user's funnel-relevant
+    event history (ts + type arrays), each batch recomputes the exact
+    stage over the buffer, and update-mode emissions are monotone (more
+    events can only advance a funnel stage), so the max emission per
+    user is the stream-end answer.  On an unbounded deployment the
+    buffer is bounded by watermark eviction after stage-3 or horizon
+    expiry; the drain-end state here equals the batch funnel (q79's
+    oracle).  Returns (user_id, stage) — one row per user with their
+    final stage 1-3 (users with no view emit nothing)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        ts, tp = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        for pdf in pdfs:
+            for t, y in zip(pdf["ts"], pdf["event_type"]):
+                ts.append(int(t.value))  # pandas Timestamp -> ns epoch
+                tp.append(str(y))
+        state.update((ts, tp))
+        views = [t for t, y in zip(ts, tp) if y == "view"]
+        stage = 0
+        if views:
+            stage = 1
+            vt = min(views)
+            clicks = [t for t, y in zip(ts, tp) if y == "click" and t > vt]
+            if clicks:
+                stage = 2
+                ct = min(clicks)
+                if any(t > ct for t, y in zip(ts, tp) if y == "purchase"):
+                    stage = 3
+        if stage:
+            yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    src = stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stage int",
+        stateStructType="ts array<long>, tp array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory_available_now(out, output_mode="update")
+    # update mode appends one row per user per batch; stage is monotone
+    # in the event set, so the final stage is the max
+    return drained.groupBy("user_id").agg(F.max("stage").alias("stage"))
+
+
 def stream_window_leaderboard(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:
