@@ -27,7 +27,7 @@ _RISK_ORDER = [
     # newest this round (round 3): rolling windows, CDC upsert (batch +
     # streaming), LM score, JSON extraction, chunking
     "q66", "q67", "q68", "q69", "q70", "q71", "q72", "q73", "q74", "q75",
-    "q76", "q77", "q78", "q79", "q80", "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88",
+    "q76", "q77", "q78", "q79", "q80", "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88", "q89",
     # event-time / ts-fed (all broke together in round 2)
     "q23", "q24", "q26", "q29", "q31", "q41", "q42", "q48", "q53", "q54", "q55",
     # newest families (first driver-verified in round 3)

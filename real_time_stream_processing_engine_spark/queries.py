@@ -2885,6 +2885,46 @@ def q86_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
 
+@register(
+    "q89_brand_nation_revenue",
+    """
+    SELECT p_brand, n_name AS supp_nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q89_brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue by part brand x supplier nation (the TPC-H
+    Q9 profit-share shape) — exercises the LAST two untouched fixture
+    tables (part, supplier) through a 3-dimension star join: all three
+    dims broadcast, the lineitem fact never shuffles for a join, and
+    the single exchange is the rollup's partial-aggregated one (same
+    pinned discipline as q33)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 # q88's oracle aliases q79's (defined above); assigned here because the
 # alias must run after q79's registration.
 ORACLE["q88_stream_funnel"] = ORACLE["q79_funnel"]

@@ -281,6 +281,14 @@ def test_doc_chunking_is_scan_side(spark, sf_dir):
     assert _count(plan, "Generate") == 1
 
 
+def test_brand_nation_star_broadcasts_all_dims(spark, sf_dir):
+    """q89: part/supplier/nation all broadcast — the lineitem fact is
+    never exchanged for a join (same discipline as q33)."""
+    plan = _plan(spark, sf_dir, "q89_brand_nation_revenue")
+    assert _count(plan, "BroadcastHashJoin") >= 3
+    assert _count(plan, "SortMergeJoin") == 0
+
+
 def test_ivfpq_probe_never_reads_vectors(spark, sf_dir):
     """q87: the IVF-PQ probe partition-prunes to its cells AND its
     scan reads only (vec_id, pq_codes) — the embedding column never
