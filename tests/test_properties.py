@@ -189,3 +189,65 @@ def test_term_shard_in_range_and_stable(term, n):
     s = _term_shard_py(term, n, "seedx")
     assert 0 <= s < n
     assert s == _term_shard_py(term, n, "seedx")  # pure
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens: coverage/placement invariants over arbitrary doc lengths
+# ---------------------------------------------------------------------------
+
+
+@given(n_tokens=st.integers(min_value=0, max_value=300))
+@settings(**SET)
+def test_chunking_coverage_invariants(spark, n_tokens):
+    from real_time_stream_processing_engine_spark.operators.text import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    rows = sorted(
+        (r["chunk_id"], list(r["chunk_toks"]))
+        for r in chunk_tokens(df, chunk=64, stride=48).collect()
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    # chunk ids dense from 0; chunk i starts at token i*48; lengths <= 64;
+    # every token covered
+    assert [c for c, _ in rows] == list(range(len(rows)))
+    seen = set()
+    for c, toks in rows:
+        assert 1 <= len(toks) <= 64
+        assert toks[0] == f"w{c * 48}"
+        seen.update(toks)
+    assert seen == {f"w{i}" for i in range(n_tokens)}
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample: edge rates and monotonicity in the rate
+# ---------------------------------------------------------------------------
+
+
+@given(rates=st.lists(st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]),
+                      min_size=1, max_size=12))
+@settings(**SET)
+def test_weighted_sample_edges_and_monotonicity(spark, rates):
+    from pyspark.sql import functions as F
+
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rates)], "doc_id: long, rate: double"
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "rate", "doc_id").collect()}
+    by_id = dict(enumerate(rates))
+    assert all(by_id[i] > 0.0 for i in kept)          # rate 0 never kept
+    assert {i for i, r in by_id.items() if r == 1.0} <= kept  # rate 1 always kept
+    # monotone: bumping every rate to 1.0 keeps a superset
+    all_kept = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.withColumn("rate", F.lit(1.0)), "rate", "doc_id"
+        ).collect()
+    }
+    assert kept <= all_kept
