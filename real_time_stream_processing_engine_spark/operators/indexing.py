@@ -11,9 +11,13 @@ Spark, i.e. the Hadoop FS API), so the pattern holds on HDFS/S3 exactly
 as on a local tempdir.  A partial build (crash between component
 writes) leaves no manifest and is rebuilt from scratch; a parameter
 change (different codebook, shard count, tokenizer) changes the
-fingerprint and forces a rebuild.  Input-data changes are the CALLER's
-invalidation to signal (``force=True``) — same contract as any
-secondary index.
+fingerprint and forces a rebuild.  Input-data changes are detected
+CHEAPLY when the builder is given its source path: a metadata
+fingerprint (file count + bytes + max mtime, :func:`data_fingerprint`)
+rides inside the params fingerprint, so a rewritten/regrown source
+invalidates the manifest automatically.  ``force=True`` remains the
+explicit override (and the only recourse for an in-place byte flip
+that preserves size and mtime, which no metadata check can see).
 """
 
 from __future__ import annotations
@@ -32,6 +36,35 @@ def params_fingerprint(params: dict[str, Any]) -> str:
     return hashlib.md5(
         json.dumps(params, sort_keys=True, default=repr).encode()
     ).hexdigest()
+
+
+def data_fingerprint(spark: SparkSession, source_path: str) -> dict[str, int]:
+    """Cheap metadata fingerprint of a source dataset — NO data scan.
+
+    Recursive FS listing: file count, total bytes, max modification
+    time.  Goes through the Hadoop FS API so the same check works on
+    HDFS/S3 as on the local driver testdata.  Fold the result into the
+    params dict passed to :func:`params_fingerprint` so dependent index
+    manifests go stale the moment the source is rewritten."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(source_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_files = total_bytes = max_mtime = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        n_files += 1
+        total_bytes += st.getLen()
+        max_mtime = max(max_mtime, st.getModificationTime())
+    return {"n_files": n_files, "bytes": total_bytes, "max_mtime_ms": max_mtime}
+
+
+def source_params(spark: SparkSession, source_path: str | None) -> dict[str, Any]:
+    """``{"data": fingerprint}`` when a source path is known, else ``{}``
+    — the one-liner builders merge into their params dict."""
+    if source_path is None:
+        return {}
+    return {"data": data_fingerprint(spark, source_path)}
 
 
 def manifest_matches(spark: SparkSession, path: str, fingerprint: str) -> bool:

@@ -295,6 +295,7 @@ def build_ivf_index(
     path: str,
     vec_col: str = "embedding",
     force: bool = False,
+    source_path: str | None = None,
 ) -> None:
     """Materialize the inverted file: assign every vector its nearest
     centroid (one map-only pass) and write the table PARTITIONED BY the
@@ -308,12 +309,21 @@ def build_ivf_index(
 
     IDEMPOTENT: a completed build with the same codebook at ``path`` is
     reused (manifest check, :mod:`.indexing`) — build-once/probe-many.
-    A codebook change rebuilds automatically; a data change is the
-    caller's ``force=True``."""
-    from .indexing import manifest_matches, params_fingerprint, write_manifest
+    A codebook change rebuilds automatically; a data change is detected
+    from ``source_path``'s metadata fingerprint when given (else the
+    caller's ``force=True``)."""
+    from .indexing import (
+        manifest_matches,
+        params_fingerprint,
+        source_params,
+        write_manifest,
+    )
 
     spark = emb.sparkSession
-    fp = params_fingerprint({"centroids": centroids, "vec_col": vec_col, "v": 1})
+    fp = params_fingerprint(
+        {"centroids": centroids, "vec_col": vec_col, "v": 1}
+        | source_params(spark, source_path)
+    )
     if not force and manifest_matches(spark, path, fp):
         return
     emb.withColumn("cell", _cell_assignment_expr(centroids, vec_col)).write.mode(
@@ -411,6 +421,16 @@ def pq_encode(
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            # exact-dim contract: silently encoding a prefix (too-long
+            # vectors) or broadcasting garbage (too-short) is how a
+            # codebook/embedding drift becomes a wrong-answer, so fail
+            # loudly with the two shapes in the message
+            if V.shape[1] != M * sub:
+                raise ValueError(
+                    f"pq_encode: {vec_col} has {V.shape[1]} dims but the "
+                    f"codebooks cover M*sub = {M}*{sub} = {M * sub}; "
+                    "rebuild the codebooks for this embedding width"
+                )
             codes = np.empty((len(V), M), dtype=np.int32)
             for m in range(M):
                 sv = V[:, m * sub : (m + 1) * sub]
@@ -475,6 +495,11 @@ def pq_lut(
     once driver-side per query (M*K*sub flops) and shipped as a literal
     — the PQ trade that makes scoring a vector O(M) regardless of D."""
     M, sub = len(codebooks), len(codebooks[0][0])
+    if len(query_vec) != M * sub:
+        raise ValueError(
+            f"pq_lut: query has {len(query_vec)} dims but the codebooks "
+            f"cover M*sub = {M}*{sub} = {M * sub}"
+        )
     lut = []
     for m in range(M):
         row = []
@@ -496,6 +521,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     force: bool = False,
+    source_path: str | None = None,
 ) -> None:
     """Materialize the full IVF-PQ layout: every vector assigned its
     IVF cell AND compressed to PQ codes, written ``partitionBy(cell)``
@@ -503,13 +529,20 @@ def build_ivfpq_index(
     (a) partition-prunes to its cells and (b) never reads a float
     vector, the 10^11-vector shape (q78 derives codes on probe; this
     pays them once at build).  Idempotent via the shared manifest
-    mechanism; the fingerprint covers both the IVF codebook and the PQ
-    codebooks."""
-    from .indexing import manifest_matches, params_fingerprint, write_manifest
+    mechanism; the fingerprint covers the IVF codebook, the PQ
+    codebooks, and (when ``source_path`` is given) the source data's
+    metadata fingerprint."""
+    from .indexing import (
+        manifest_matches,
+        params_fingerprint,
+        source_params,
+        write_manifest,
+    )
 
     spark = emb.sparkSession
     fp = params_fingerprint(
         {"centroids": centroids, "codebooks": codebooks, "vec": vec_col, "v": 1}
+        | source_params(spark, source_path)
     )
     if not force and manifest_matches(spark, path, fp):
         return

@@ -324,6 +324,7 @@ def build_bm25_index(
     n_shards: int = 16,
     seed: str = "bm25shard",
     force: bool = False,
+    source_path: str | None = None,
 ) -> None:
     """Materialize the inverted index q59 documents as its scale path:
     a postings table (term, doc_id, tf, dl) written
@@ -345,13 +346,20 @@ def build_bm25_index(
     IDEMPOTENT: a completed build with the same parameters at ``path``
     is reused (manifest check, :mod:`.indexing`) — build-once/
     probe-many.  A parameter change rebuilds automatically; a corpus
-    change is the caller's ``force=True``."""
-    from .indexing import manifest_matches, params_fingerprint, write_manifest
+    change is detected from ``source_path``'s metadata fingerprint when
+    given (else the caller's ``force=True``)."""
+    from .indexing import (
+        manifest_matches,
+        params_fingerprint,
+        source_params,
+        write_manifest,
+    )
     from .sampling import shard_col
 
     spark = docs.sparkSession
     fp = params_fingerprint(
         {"id": id_col, "text": text_col, "n_shards": n_shards, "seed": seed, "v": 1}
+        | source_params(spark, source_path)
     )
     if not force and manifest_matches(spark, path, fp):
         return

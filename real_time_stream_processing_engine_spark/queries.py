@@ -1187,7 +1187,9 @@ def q46_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), f"rs_ivf_index_u{os.getuid()}_{key}"
     )
-    build_ivf_index(emb, cents, path)
+    build_ivf_index(
+        emb, cents, path, source_path=os.path.join(sf_dir, "embeddings.parquet")
+    )
     return ivf_topk_indexed(spark, path, qvec, cents, k=10, n_probe=4, exclude_id=0)
 
 
@@ -1696,7 +1698,9 @@ def q62_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     key = _uuid.uuid5(_uuid.NAMESPACE_URL, os.path.abspath(sf_dir)).hex[:12]
     path = os.path.join(tempfile.gettempdir(), f"rs_bm25_index_u{os.getuid()}_{key}")
-    build_bm25_index(docs, path)
+    build_bm25_index(
+        docs, path, source_path=os.path.join(sf_dir, "documents.parquet")
+    )
     return bm25_topk_indexed(spark, path, ["data", "stream", "processing"], k=10)
 
 
@@ -2194,7 +2198,9 @@ def q73_time_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_events_bydate_u{_os.getuid()}_{key}"
     )
-    build_time_partitioned(ev, path)
+    build_time_partitioned(
+        ev, path, source_path=_os.path.join(sf_dir, "events.parquet")
+    )
     day = spark.read.parquet(path).filter(
         F.col("event_date") == F.lit("2024-01-15").cast("date")
     )
@@ -2223,7 +2229,9 @@ def q74_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
     path = _os.path.join(_tempfile.gettempdir(), f"rs_bm25_index_u{_os.getuid()}_{key}")
-    build_bm25_index(docs, path)
+    build_bm25_index(
+        docs, path, source_path=_os.path.join(sf_dir, "documents.parquet")
+    )
     post = spark.read.parquet(f"{path}/postings").select("doc_id", "term", "tf")
     ctf = post.groupBy("term").agg(F.sum("tf").alias("ctf"))
     tot = ctf.agg(F.sum("ctf").alias("n"))
@@ -2461,7 +2469,9 @@ def q78_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_ivf_index_u{_os.getuid()}_{key}"
     )
-    build_ivf_index(emb, cents, path)
+    build_ivf_index(
+        emb, cents, path, source_path=_os.path.join(sf_dir, "embeddings.parquet")
+    )
     cand = spark.read.parquet(path).filter(
         F.col("cell").isin(_probe_cells(qvec, cents, 4))
     )
@@ -2500,7 +2510,10 @@ def q87_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_ivfpq_index_u{_os.getuid()}_{key}"
     )
-    build_ivfpq_index(emb, cents, codebooks, path)
+    build_ivfpq_index(
+        emb, cents, codebooks, path,
+        source_path=_os.path.join(sf_dir, "embeddings.parquet"),
+    )
     return ivfpq_topk_indexed(
         spark, path, qvec, cents, codebooks, k=10, n_probe=4, exclude_id=0
     )

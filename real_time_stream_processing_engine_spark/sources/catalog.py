@@ -15,8 +15,15 @@ Spark IO, each a one-liner because durability is delegated.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: sibling-directory suffixes used by the replace_contents swap protocol.
+#: The shared uuid token PAIRS a tmp dir with the old dir it displaced so
+#: :func:`recover_swap` can tell "swap in flight" from stale scratch.
+_SWAP_TMP = "__swap_tmp_"
+_SWAP_OLD = "__swap_old_"
 
 
 def create(df: DataFrame, path: str, fmt: str = "parquet") -> None:
@@ -95,17 +102,89 @@ def replace_contents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     and swaps in via FS rename — readers see old-or-new, never a
     half-written mix.  On HDFS the rename is atomic; on S3 a real
     deployment swaps a catalog/manifest pointer instead (same call
-    site, different FS contract)."""
+    site, different FS contract).
+
+    Swap protocol (each step atomic; the uuid ``token`` pairs the dirs
+    and isolates concurrent callers' scratch writes):
+
+    1. write df          -> ``{path}__swap_tmp_{token}``  (slow; dst untouched)
+    2. rename dst        -> ``{path}__swap_old_{token}``
+    3. rename tmp        -> dst
+    4. delete old
+
+    No step deletes the target before its replacement is in place, so a
+    crash at ANY point leaves either the old or the new contents fully
+    recoverable: between 2 and 3 the target is briefly missing, but the
+    (old, tmp) sibling pair survives and — because step 2 only starts
+    after the tmp write completed — :func:`recover_swap` can always
+    finish the swap forward.  Callers that reseed a missing target
+    (``streaming/runner.py`` CDC) MUST call :func:`recover_swap` first,
+    otherwise a crash in that window would silently resurrect a
+    pristine seed over committed batches."""
     spark = df.sparkSession
-    tmp = path.rstrip("/") + "__swap_tmp"
+    token = uuid.uuid4().hex
+    base = path.rstrip("/")
+    tmp = f"{base}{_SWAP_TMP}{token}"
     getattr(df.write.mode("overwrite"), fmt)(tmp)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
+    dst = jvm.org.apache.hadoop.fs.Path(base)
+    oldp = jvm.org.apache.hadoop.fs.Path(f"{base}{_SWAP_OLD}{token}")
     fs = src.getFileSystem(conf)
-    fs.delete(dst, True)
+    if fs.exists(dst):
+        fs.rename(dst, oldp)
     fs.rename(src, dst)
+    fs.delete(oldp, True)
+
+
+def recover_swap(spark: SparkSession, path: str) -> bool:
+    """Complete (or roll back) an interrupted :func:`replace_contents`.
+
+    Returns True iff ``path`` holds a complete table on return.  Scans
+    the parent directory for this table's ``__swap_old_`` /
+    ``__swap_tmp_`` siblings:
+
+    - target missing + paired (old, tmp): the tmp write finished before
+      the old rename began, so finish FORWARD — rename tmp to the
+      target, drop old (the committed batches in tmp win).
+    - target missing + old only: roll back — rename old to the target.
+    - target present: any leftover swap dirs are stale scratch from a
+      crashed write (step 1) or an unfinished delete (step 4); drop
+      them.
+
+    Idempotent and safe to call before every read-or-seed decision."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = path.rstrip("/")
+    dst = jvm.org.apache.hadoop.fs.Path(base)
+    fs = dst.getFileSystem(conf)
+    parent, name = dst.getParent(), dst.getName()
+    olds: dict[str, object] = {}
+    tmps: dict[str, object] = {}
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            n = st.getPath().getName()
+            if n.startswith(name + _SWAP_OLD):
+                olds[n[len(name + _SWAP_OLD):]] = st.getPath()
+            elif n.startswith(name + _SWAP_TMP):
+                tmps[n[len(name + _SWAP_TMP):]] = st.getPath()
+    if not fs.exists(dst):
+        # at most one token's swap can have displaced the target
+        for token, oldp in sorted(olds.items()):
+            tmpp = tmps.pop(token, None)
+            if tmpp is not None:
+                fs.rename(tmpp, dst)
+                fs.delete(oldp, True)
+            else:  # pragma: no cover - unreachable under the protocol
+                fs.rename(oldp, dst)
+            olds.pop(token)
+            break
+    if not fs.exists(dst):
+        return False
+    for p in list(olds.values()) + list(tmps.values()):
+        fs.delete(p, True)
+    return True
 
 
 def exists(spark: SparkSession, path: str) -> bool:
@@ -121,6 +200,7 @@ def build_time_partitioned(
     ts_col: str = "ts",
     date_col: str = "event_date",
     force: bool = False,
+    source_path: str | None = None,
 ) -> None:
     """Materialize an event table in the canonical time-series layout:
     partitioned by event DATE, so any time-bounded query prunes to its
@@ -130,21 +210,25 @@ def build_time_partitioned(
 
     IDEMPOTENT like the IVF/BM25 index builds (manifest-committed,
     :mod:`..operators.indexing`): a completed layout with the same
-    parameters is reused; a parameter change rebuilds; new data is the
-    caller's ``force=True`` (production appends new daily partitions
-    instead of rebuilding).  The date column is DERIVED in UTC from the
-    session timezone pin (session.py) so oracle date arithmetic
-    agrees."""
+    parameters is reused; a parameter change rebuilds; a source rewrite
+    is detected from ``source_path``'s metadata fingerprint when given
+    (production appends new daily partitions instead of rebuilding).
+    The date column is DERIVED in UTC from the session timezone pin
+    (session.py) so oracle date arithmetic agrees."""
     from pyspark.sql import functions as F
 
     from ..operators.indexing import (
         manifest_matches,
         params_fingerprint,
+        source_params,
         write_manifest,
     )
 
     spark = df.sparkSession
-    fp = params_fingerprint({"ts": ts_col, "date": date_col, "v": 1})
+    fp = params_fingerprint(
+        {"ts": ts_col, "date": date_col, "v": 1}
+        | source_params(spark, source_path)
+    )
     if not force and manifest_matches(spark, path, fp):
         return
     out = df.withColumn(date_col, F.to_date(F.col(ts_col)))

@@ -142,19 +142,23 @@ TRAFFIC_SIGNS_SCHEMA = _s(
 EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-@lru_cache(maxsize=256)
 def parquet_ts_unit(path: str, col: str) -> str:
     """Physical unit of a timestamp parquet column, read from the footer.
 
     Returns ``'ms'``/``'us'``/``'ns'`` for a parquet TIMESTAMP logical
-    type.  One footer read of one part file — O(KB), no data scan — and
-    cached per (path, col).  A raw int64 column (no timestamp annotation)
-    is an error: its epoch unit is unknowable from the file, and guessing
-    is exactly the 1000x-shift failure this helper exists to prevent.
-    """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    type.  One footer read of one part file — O(KB), no data scan —
+    cached per (part file, mtime, col): keying on the file's mtime means
+    a rewrite of the same path with a different physical unit (the exact
+    NANOS->MICROS drift this helper exists to catch) invalidates the
+    cache instead of silently reusing the stale unit.  A raw int64
+    column (no timestamp annotation) is an error: its epoch unit is
+    unknowable from the file, and guessing is exactly the 1000x-shift
+    failure this helper exists to prevent.
 
+    LOCAL-FS ONLY (os.path listing/stat): the driver testdata is local.
+    On HDFS/S3 the same sniff would go through pyarrow's filesystem
+    layer with the store's own etag/mtime as the cache key.
+    """
     f = path
     if os.path.isdir(path):
         parts = sorted(
@@ -165,11 +169,19 @@ def parquet_ts_unit(path: str, col: str) -> str:
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
         f = os.path.join(path, parts[0])
+    return _parquet_ts_unit_cached(f, os.path.getmtime(f), col)
+
+
+@lru_cache(maxsize=256)
+def _parquet_ts_unit_cached(f: str, mtime: float, col: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     typ = pq.ParquetFile(f).schema_arrow.field(col).type
     if pa.types.is_timestamp(typ):
         return typ.unit
     raise ValueError(
-        f"{path}:{col} has physical type {typ}; expected a parquet "
+        f"{f}:{col} has physical type {typ}; expected a parquet "
         "TIMESTAMP (MILLIS/MICROS/NANOS). A raw integer epoch column has "
         "no self-describing unit - annotate the data or load it yourself."
     )

@@ -431,7 +431,7 @@ def stream_cdc_upsert(
     raises after N batches, exactly like an executor/driver loss
     mid-stream."""
     from ..operators.cdc import apply_upsert_versioned
-    from ..sources.catalog import exists, replace_contents
+    from ..sources.catalog import recover_swap, replace_contents
     from ..sources.readers import load_table
 
     src_path = os.path.join(sf_dir, "events.parquet")
@@ -442,7 +442,11 @@ def stream_cdc_upsert(
         target_path = os.path.join(
             _scratch_dir(), f"rs_cdc_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
         )
-    if not exists(spark, target_path):  # fresh run: seed the unversioned dim
+    # recover_swap first: a crash inside replace_contents' rename window
+    # leaves the target briefly missing but fully recoverable from its
+    # swap siblings — reseeding in that state would silently drop every
+    # batch the checkpoint already marked committed.
+    if not recover_swap(spark, target_path):  # truly fresh: seed the dim
         load_table(spark, sf_dir, "customer").select(
             "c_custkey",
             "c_name",

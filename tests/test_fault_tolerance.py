@@ -137,3 +137,35 @@ def test_cdc_upsert_recovers_from_sink_crash(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in recovered.collect()} == {
         tuple(r) for r in clean.collect()
     }
+
+
+def test_cdc_recovery_through_interrupted_swap(spark, sf_dir, tmp_path):
+    """The previously-untested crash window INSIDE replace_contents:
+    target renamed aside, replacement not yet renamed in.  On restart
+    the runner must recover the swap (the committed generation lives in
+    the swap siblings) — reseeding from the pristine dim here would
+    silently drop every batch the checkpoint already marked done."""
+    import shutil
+
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_cdc_upsert,
+    )
+
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    stream_cdc_upsert(
+        spark, sf_dir, target_path=target, checkpoint=ckpt, fail_after_batches=1
+    )
+    # simulate the mid-swap crash state: dst missing, (old, tmp) pair present
+    tok = "cafe0001"
+    shutil.copytree(target, f"{target}__swap_tmp_{tok}")
+    os.rename(target, f"{target}__swap_old_{tok}")
+    recovered = stream_cdc_upsert(spark, sf_dir, target_path=target, checkpoint=ckpt)
+    clean = stream_cdc_upsert(spark, sf_dir)
+    assert {tuple(r) for r in recovered.collect()} == {
+        tuple(r) for r in clean.collect()
+    }
+    # and the swap scratch was cleaned up by the recovery
+    assert not [
+        d for d in os.listdir(tmp_path) if d.startswith("cdc_target__swap_")
+    ]

@@ -67,6 +67,24 @@ def test_parquet_ts_unit_sniffs_footer(sf_dir):
     assert unit in ("ms", "us", "ns")
 
 
+def test_parquet_ts_unit_cache_invalidates_on_rewrite(tmp_path):
+    """The sniff cache keys on (file, mtime): rewriting the same path
+    with a different physical unit — the exact NANOS->MICROS drift this
+    helper exists to catch — must re-sniff, not serve the stale unit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "ev.parquet")
+    ts = [1_700_000_000_000_000]
+    for unit in ("us", "ns"):
+        tbl = pa.table({"ts": pa.array(ts, type=pa.timestamp(unit))})
+        pq.write_table(tbl, f)
+        # force a distinct mtime even under coarse fs timestamp granularity
+        st = os.stat(f)
+        os.utime(f, (st.st_atime, st.st_mtime + 1.0 if unit == "ns" else st.st_mtime))
+        assert parquet_ts_unit(f, "ts") == unit
+
+
 def test_parquet_ts_unit_rejects_raw_int(sf_dir):
     # event_id is a plain int64: its epoch unit is unknowable, so the
     # sniffer must refuse rather than guess.

@@ -148,3 +148,46 @@ def test_pq_rejects_ragged_codebooks(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id: long, embedding: array<double>")
     with _pytest.raises(ValueError):
         pq_encode(df, [[[0.0]], [[0.0], [1.0]]])
+
+
+def test_pq_rejects_dim_mismatch(spark):
+    """Embedding/codebook drift must fail loudly, not encode a silent
+    prefix (too long) or die in an opaque numpy broadcast (too short)."""
+    from real_time_stream_processing_engine_spark.operators.similarity import (
+        pq_encode,
+        pq_lut,
+    )
+
+    cbs = [[[0.0, 0.0], [1.0, 1.0]]]  # M=1, sub=2 -> covers 2 dims
+    for vec in ([0.0, 0.0, 1.0, 0.0], [0.5]):  # 4 dims and 1 dim
+        df = spark.createDataFrame(
+            [(1, vec)], "vec_id: long, embedding: array<double>"
+        )
+        with pytest.raises(Exception, match="dims|M\\*sub"):
+            pq_encode(df, cbs).collect()
+    with pytest.raises(ValueError, match="M\\*sub"):
+        pq_lut([0.0, 0.0, 1.0], cbs)
+
+
+def test_source_rewrite_invalidates_manifest(spark, tmp_path):
+    """The manifest folds a metadata fingerprint of the source: a
+    rewritten source dataset (new bytes/mtime) rebuilds the index
+    without force=True — no silently-stale probe answers."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    rows = [(i, [float(i % 4 + 1), float(i % 3 + 1)]) for i in range(32)]
+    schema = "vec_id: long, embedding: array<double>"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    emb = spark.read.parquet(src)
+    cents = [(0, [1.0, 3.0]), (1, [3.0, 1.0])]
+    build_ivf_index(emb, cents, idx, source_path=src)
+    before = _mtimes(idx)
+    build_ivf_index(emb, cents, idx, source_path=src)  # unchanged -> no-op
+    assert _mtimes(idx) == before
+    # rewrite the source in place (more rows: count+bytes+mtime all move)
+    spark.createDataFrame(rows + [(99, [9.0, 9.0])], schema).write.mode(
+        "overwrite"
+    ).parquet(src)
+    build_ivf_index(spark.read.parquet(src), cents, idx, source_path=src)
+    assert _mtimes(idx) != before
+    assert spark.read.parquet(idx).count() == 33

@@ -92,6 +92,61 @@ def test_catalog_append_and_ls(spark, tmp_path):
     assert not catalog.exists(spark, str(tmp_path / "nope"))
 
 
+def _swap_siblings(parent, name):
+    import os
+
+    return sorted(
+        d for d in os.listdir(parent) if d.startswith(name + "__swap_")
+    )
+
+
+def test_replace_contents_leaves_no_swap_siblings(spark, tmp_path):
+    p = str(tmp_path / "t")
+    catalog.create(spark.createDataFrame([(1,)], "k int"), p)
+    for v in (2, 3):
+        catalog.replace_contents(spark.createDataFrame([(v,)], "k int"), p)
+    assert [r.k for r in catalog.get(spark, p).collect()] == [3]
+    assert _swap_siblings(tmp_path, "t") == []
+
+
+def test_recover_swap_completes_interrupted_swap_forward(spark, tmp_path):
+    """Crash between 'rename dst aside' and 'rename tmp in': the target
+    is missing but the (old, tmp) pair holds both generations — recovery
+    must finish FORWARD (new contents win; they are the committed
+    batches the checkpoint already acknowledged)."""
+    import os
+
+    p = str(tmp_path / "t")
+    catalog.create(spark.createDataFrame([("old",)], "v string"), p)
+    tok = "deadbeef"
+    spark.createDataFrame([("new",)], "v string").write.parquet(
+        f"{p}__swap_tmp_{tok}"
+    )
+    os.rename(p, f"{p}__swap_old_{tok}")  # the crash window: dst missing
+    assert not catalog.exists(spark, p)
+    assert catalog.recover_swap(spark, p) is True
+    assert [r.v for r in catalog.get(spark, p).collect()] == ["new"]
+    assert _swap_siblings(tmp_path, "t") == []
+    # idempotent: a second call is a no-op that still reports success
+    assert catalog.recover_swap(spark, p) is True
+
+
+def test_recover_swap_cleans_stale_scratch(spark, tmp_path):
+    """Target intact + leftover tmp from a crashed write (or old from an
+    unfinished delete): recovery keeps the target and drops the junk."""
+    p = str(tmp_path / "t")
+    catalog.create(spark.createDataFrame([(1,)], "k int"), p)
+    spark.createDataFrame([(9,)], "k int").write.parquet(f"{p}__swap_tmp_ab")
+    spark.createDataFrame([(8,)], "k int").write.parquet(f"{p}__swap_old_cd")
+    assert catalog.recover_swap(spark, p) is True
+    assert [r.k for r in catalog.get(spark, p).collect()] == [1]
+    assert _swap_siblings(tmp_path, "t") == []
+
+
+def test_recover_swap_fresh_path_reports_missing(spark, tmp_path):
+    assert catalog.recover_swap(spark, str(tmp_path / "nope")) is False
+
+
 def test_catalog_merge_compacts(spark, tmp_path):
     p = str(tmp_path / "f")
     df = spark.createDataFrame([(i,) for i in range(100)], "k int")
