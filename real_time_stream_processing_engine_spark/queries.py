@@ -2758,8 +2758,13 @@ ORACLE["q83_dedup_components_star"] = ORACLE["q56_dedup_components"]
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              ROUND(avg(ln(tf / n)), 6) AS s
       FROM toks JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id),
-    b AS (SELECT quantile_cont(s, 0.25) AS b1, quantile_cont(s, 0.50) AS b2,
-                 quantile_cont(s, 0.75) AS b3 FROM scores)
+    hist AS (SELECT s, count(*) AS c FROM scores GROUP BY 1),
+    cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum,
+                   sum(c) OVER () AS n
+            FROM hist),
+    b AS (SELECT min(CASE WHEN cum >= 0.25 * n THEN s END) AS b1,
+                 min(CASE WHEN cum >= 0.50 * n THEN s END) AS b2,
+                 min(CASE WHEN cum >= 0.75 * n THEN s END) AS b3 FROM cum)
     SELECT CASE WHEN s <= b1 THEN 1 WHEN s <= b2 THEN 2
                 WHEN s <= b3 THEN 3 ELSE 4 END AS bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -2773,13 +2778,27 @@ def q84_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning: documents quartiled by their LM quality
     score (q68's mean unigram log-prob) with per-bucket volume stats —
     the stage between quality scoring and difficulty-ordered sampling
-    in a curriculum pipeline.  Bucket boundaries are exact interpolated
-    percentiles computed over the ROUNDED scores — the values q68's
-    oracle already proves identical cross-engine — so the boundary
-    arithmetic (a lerp of two identical doubles) and every CASE compare
-    agree exactly.  The boundary row broadcasts; no global sort, no
-    single-partition NTILE window (the scale trap this formulation
-    avoids)."""
+    in a curriculum pipeline.
+
+    Boundary computation is the HISTOGRAM-CROSSING exact quantile:
+    group the ROUNDED scores (identical cross-engine per q68's oracle)
+    into a (score, count) histogram, cumulative-sum it, and take each
+    boundary as the first score whose cumulative count crosses q*n —
+    the lower discrete quantile, bit-identical in both engines because
+    every input is exact integer arithmetic on shared doubles.
+
+    Scale posture (the r3-verdict swap): the former
+    ``percentile(s, array(...))`` buffered one value PER DOCUMENT in a
+    single ObjectHashAggregate task — gigabytes at 10^9 docs.  Here the
+    only single-task structure is the cumulative window over the
+    DISTINCT-rounded-score histogram, whose cardinality is bounded by
+    rounding granularity times the score range (~10^6-10^7 rows at any
+    corpus size) — constant, not O(docs); the groupBy that builds it is
+    an ordinary partial-aggregated shuffle.  No global sort of doc
+    scores, no single-partition NTILE, no whole-corpus percentile
+    buffer (pinned by ``tests/test_plans.py``); the 3-value boundary
+    row broadcasts."""
+    from pyspark.sql import Window
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
@@ -2793,10 +2812,19 @@ def q84_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 6).alias("s"),
         )
     )
-    b = scores.agg(
-        F.expr("percentile(s, array(0.25, 0.5, 0.75))").alias("bs")
-    ).select(
-        F.col("bs")[0].alias("b1"), F.col("bs")[1].alias("b2"), F.col("bs")[2].alias("b3")
+    hist = scores.groupBy("s").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "s",
+        F.sum("c")
+        .over(Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    b = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("s"))).alias(name)
+            for q, name in ((0.25, "b1"), (0.50, "b2"), (0.75, "b3"))
+        ]
     )
     bucket = (
         F.when(F.col("s") <= F.col("b1"), 1)

@@ -321,3 +321,17 @@ def test_curation_pipeline_two_exchanges(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
     assert _count(plan, "Exchange") == 2
     assert _count(plan, "WindowGroupLimit") == 2
+
+
+def test_quality_buckets_no_global_percentile_buffer(spark, sf_dir):
+    """q84 (r3-verdict swap): bucket boundaries must come from the
+    histogram-crossing quantile, NOT an exact global percentile() that
+    buffers one value per document in a single ObjectHashAggregate
+    task.  The only permitted single-task structure is the cumulative
+    window over the bounded distinct-rounded-score histogram."""
+    plan = _plan(spark, sf_dir, "q84_quality_buckets")
+    assert "percentile" not in plan.lower(), plan
+    assert _count(plan, "ObjectHashAggregate") == 0, plan
+    # the histogram cumulative sum is a Window, and the histogram build
+    # itself is an ordinary partial-aggregated HashAggregate pair
+    assert _count(plan, "Window") >= 1, plan
