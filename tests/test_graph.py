@@ -98,3 +98,90 @@ def test_star_two_node_and_preclustered(spark):
     )
     rows = {r.node: r.cluster_id for r in connected_components_star(edges).collect()}
     assert rows == {5: 5, 9: 5, 1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# fixpoint HA: reliable checkpoints + kill/restart resume (r3-verdict item)
+# ---------------------------------------------------------------------------
+
+
+def _chain(spark, n):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+
+
+def test_reliable_checkpoint_same_answer(spark, tmp_path):
+    """checkpoint_dir: every K-th lineage cut goes to reliable storage;
+    the answer is unchanged and checkpoint files actually land."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = _chain(spark, 12)
+    plain = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    ha = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            edges, checkpoint_dir=ckpt, checkpoint_every=2, max_iter=15
+        ).collect()
+    }
+    assert ha == plain
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
+def test_propagation_kill_restart_resumes_and_matches(spark, tmp_path):
+    """Driver crash mid-fixpoint (injected after the first state save),
+    restart with the same state_dir: the loop must RESUME from the
+    saved labels — fewer rounds than a clean run — and the labels must
+    equal the uninterrupted answer exactly."""
+    state = str(tmp_path / "cc_state")
+    edges = _chain(spark, 14)
+    clean = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, max_iter=20).collect()
+    }
+    clean_rounds = connected_components.rounds
+    with pytest.raises(RuntimeError, match="injected driver crash"):
+        connected_components(
+            edges, max_iter=20, state_dir=state, save_every=2, _fail_after_saves=2
+        )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            edges, max_iter=20, state_dir=state, save_every=2
+        ).collect()
+    }
+    assert connected_components.resumed is True
+    assert connected_components.rounds < clean_rounds
+    assert got == clean
+    # completed run cleared its state: a fresh call does NOT resume
+    connected_components(edges, max_iter=20, state_dir=state)
+    assert connected_components.resumed is False
+
+
+def test_star_kill_restart_resumes_and_matches(spark, tmp_path):
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    state = str(tmp_path / "star_state")
+    edges = _chain(spark, 64)
+    clean = {
+        r.node: r.cluster_id
+        for r in connected_components_star(edges, max_iter=30).collect()
+    }
+    clean_rounds = connected_components_star.rounds
+    with pytest.raises(RuntimeError, match="injected driver crash"):
+        connected_components_star(
+            edges, max_iter=30, state_dir=state, save_every=1, _fail_after_saves=3
+        )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_star(
+            edges, max_iter=30, state_dir=state, save_every=1
+        ).collect()
+    }
+    assert connected_components_star.resumed is True
+    assert connected_components_star.rounds < clean_rounds
+    assert got == clean
