@@ -257,6 +257,20 @@ def run_to_memory_available_now(
                     if isinstance(v, (int, float)):
                         tot[k] = tot.get(k, 0) + v
         run_to_memory_available_now.last_observed = observed
+        # state-operator accounting summed across micro-batches — e.g.
+        # numRowsDroppedByWatermark is the engine's own count of late
+        # rows discarded by the watermark (pinned by
+        # tests/test_watermark_lateness.py)
+        state_metrics: dict[str, int] = {}
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") if isinstance(p, dict) else None
+            if ops is None and hasattr(p, "stateOperators"):
+                ops = p.stateOperators
+            for op in ops or []:
+                for k, v in (op if isinstance(op, dict) else {}).items():
+                    if isinstance(v, (int, float)):
+                        state_metrics[k] = state_metrics.get(k, 0) + v
+        run_to_memory_available_now.last_state_metrics = state_metrics
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         if want_rocks:
@@ -281,7 +295,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-time tumbling windows on the stream, with a
     watermark bounding state (late rows beyond 2h are dropped — the
     late-data policy the reference lacks entirely, SURVEY.md §2.5).
-    Output matches the batch tumbling aggregate at stream end."""
+    Output matches the batch tumbling aggregate at stream end.
+
+    Drop/keep semantics are differentially pinned by
+    ``tests/test_watermark_lateness.py`` (too-late dropped and counted
+    in ``numRowsDroppedByWatermark``, in-horizon late merged, plus the
+    engine's one-batch watermark-commit grace window)."""
     src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
