@@ -436,3 +436,54 @@ def bm25_topk_indexed(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def term_frequencies_from_postings(spark, path: str) -> DataFrame:
+    """(term, ctf) corpus term frequencies read from the materialized
+    BM25 postings (:func:`build_bm25_index`) — ZERO corpus scans.
+
+    This table IS the unigram language model: build the index once,
+    derive the LM from it, and score any batch of documents against it
+    (:func:`unigram_logprob` with ``freq_table=``) without ever
+    re-tokenizing the corpus."""
+    return (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    freq_table: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap perplexity
+    proxy for corpus quality filtering (q68).  Zero-token docs drop.
+
+    ``freq_table`` — a prebuilt (term, ctf) corpus distribution, e.g.
+    :func:`term_frequencies_from_postings` — is the DEFAULT POSTURE AT
+    SCALE: the docs being scored are tokenized once and probe the
+    table, so scoring a new batch costs O(batch), not O(corpus), and
+    the probability model stays frozen while batches stream through
+    (what a production pipeline wants: new docs are scored against the
+    corpus LM, not against themselves).  Without it, the distribution
+    is derived in-query from ``docs`` itself (three scans of the text —
+    the self-contained demonstration form; see also q74, which computes
+    scores for the WHOLE corpus purely from the index)."""
+    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    if freq_table is None:
+        freq_table = toks.groupBy("term").agg(F.count("*").alias("ctf"))
+    tot = freq_table.agg(F.sum("ctf").alias("n"))
+    return (
+        toks.join(freq_table, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("ctf") / F.col("n"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

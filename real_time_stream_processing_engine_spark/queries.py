@@ -1988,26 +1988,18 @@ def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish score low, template boilerplate scores high).  Zero-token
     docs drop (no tokens to score).
 
-    Shape: tokenize once into (doc_id, term); term frequencies are a
-    partial-aggregated groupBy; the scalar total rides a broadcast; the
-    freq join back onto tokens is broadcast-or-AQE-chosen; one final
-    per-doc aggregate.  At 100 TB the freq table IS an index — build it
-    once like the BM25 postings (``build_bm25_index`` already stores
-    per-term df in the same layout) and probe it per batch instead of
-    recomputing."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
-    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
-    tot = toks.agg(F.count("*").alias("n"))
-    return (
-        toks.join(freq, "term")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 6).alias("avg_logprob"),
-        )
-    )
+    THIS IS THE SELF-CONTAINED DEMONSTRATION FORM (three scans of the
+    text: tokens, frequencies, totals).  The default at scale is
+    INDEX-FIRST: ``q74_unigram_logprob_indexed`` computes the same
+    scores entirely from the materialized BM25 postings (zero corpus
+    re-reads), and ``operators.text.unigram_logprob(freq_table=...)``
+    scores any NEW batch of documents against the index-derived corpus
+    LM (``term_frequencies_from_postings``) in O(batch) — build the
+    index once, score forever (``tests/test_unigram_index_reuse.py``
+    pins all three paths to identical scores)."""
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2224,7 +2216,7 @@ def q74_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tempfile
     import uuid as _uuid
 
-    from .operators.text import build_bm25_index
+    from .operators.text import build_bm25_index, term_frequencies_from_postings
 
     docs = load_table(spark, sf_dir, "documents")
     key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
@@ -2233,7 +2225,7 @@ def q74_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, path, source_path=_os.path.join(sf_dir, "documents.parquet")
     )
     post = spark.read.parquet(f"{path}/postings").select("doc_id", "term", "tf")
-    ctf = post.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    ctf = term_frequencies_from_postings(spark, path)
     tot = ctf.agg(F.sum("ctf").alias("n"))
     return (
         post.join(ctf, "term")
