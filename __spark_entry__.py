@@ -24,8 +24,11 @@ from real_time_stream_processing_engine_spark.queries import ORACLE, QUERIES
 # (q01-q09 etc.) trails, covered every run by tests/ and the committed
 # scripts/local_correctness.py artifact.
 _RISK_ORDER = [
-    # newest this round (round 3): rolling windows, CDC upsert (batch +
-    # streaming), LM score, JSON extraction, chunking
+    # newest this round (round 4): grouping sets, correlated EXISTS,
+    # outer joins
+    "q90", "q91", "q92", "q93",
+    # round 3: rolling windows, CDC upsert (batch + streaming), LM
+    # score, JSON extraction, chunking
     "q66", "q67", "q68", "q69", "q70", "q71", "q72", "q73", "q74", "q75",
     "q76", "q77", "q78", "q79", "q80", "q81", "q82", "q83", "q84", "q85", "q86", "q87", "q88", "q89",
     # event-time / ts-fed (all broke together in round 2)

@@ -2961,3 +2961,173 @@ def q89_brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q88's oracle aliases q79's (defined above); assigned here because the
 # alias must run after q79's registration.
 ORACLE["q88_stream_funnel"] = ORACLE["q79_funnel"]
+
+
+# --------------------------------------------------------------------------
+# Relational breadth, round 4: the last common shapes without dedicated
+# entries — arbitrary GROUPING SETS (q41 covers the cube lattice),
+# correlated EXISTS/NOT EXISTS through the SQL front door, and
+# LEFT/FULL OUTER joins with live null paths.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q90_grouping_sets",
+    """
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(c_mktsegment, '(all)') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderpriority, c_mktsegment),
+                            (o_orderpriority), (c_mktsegment))
+    """,
+)
+def q90_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the lattice selection cube/rollup
+    (q41/q33) cannot express: exactly {(priority, segment), (priority),
+    (segment)}, deliberately WITHOUT the grand total, so the plan's
+    ``Expand`` factor is the set count (3), not 2^k.  Group keys are
+    non-null strings, so the '(all)' coalescing is unambiguous.
+
+    Shape: customer broadcasts onto orders (no fact shuffle), Expand
+    multiplies rows x3 AFTER the join but BEFORE the partial aggregate
+    — the exchange carries combined partials only, same posture as the
+    q33 rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return (
+        j.groupingSets(
+            [["o_orderpriority", "c_mktsegment"], ["o_orderpriority"], ["c_mktsegment"]],
+            "o_orderpriority",
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("segment"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_Q91_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS revenue
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_discount > 0.08)
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q91_exists_correlated", _Q91_SQL)
+def q91_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries, submitted through the
+    ANSI-SQL front door (``register_tables`` + ``spark.sql`` — the same
+    text DuckDB runs as the oracle): orders with a line shipped >60
+    days after the order date (the correlation is an INEQUALITY across
+    tables, not a plain equi-semi key) and no deeply-discounted line.
+
+    What this pins is Catalyst's DECORRELATION: both subqueries rewrite
+    to hash semi/anti joins on l_orderkey with the correlated predicate
+    carried as a join condition — no per-row re-execution, no nested
+    loop (``tests/test_plans.py``).  q34 covers bare semi/anti on a
+    projected key; this is the subquery SHAPE users actually write."""
+    from .sources.readers import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q91_SQL)
+
+
+@register(
+    "q92_left_outer_orders",
+    """
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_big_orders,
+           ROUND(COALESCE(sum(o.o_totalprice), 0), 2) AS big_spend
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 480000) o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q92_left_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with a LIVE null path: every customer's count
+    and spend over only their >480k orders — about two thirds of
+    customers have none (978/1500 at sf0.01) and must survive with
+    (0, 0.0), which inner-join shapes silently drop.  The filter on the
+    right side pushes to its scan; count(o_orderkey) counts matches
+    only (COUNT(*) would count the null row — the classic outer-join
+    bug the oracle would catch)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 480000
+    )
+    j = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_big_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+            "big_spend"
+        ),
+    )
+
+
+@register(
+    "q93_full_outer_nations",
+    """
+    WITH cn AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+                FROM customer GROUP BY 1),
+    sn AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_rich_supp
+           FROM supplier WHERE s_acctbal > 6000 GROUP BY 1)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_rich_supp, 0) AS n_rich_supp,
+           CASE WHEN sn.k IS NULL THEN 'customers_only'
+                WHEN cn.k IS NULL THEN 'suppliers_only'
+                ELSE 'both' END AS presence
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+)
+def q93_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates: per-nation customer counts
+    against per-nation high-balance supplier counts (s_acctbal > 6000
+    leaves 6-24 nations supplier-less across the test SFs, so the
+    customers_only null path is live at every scale; presence-tagged
+    like a reconciliation report).  Both sides are one-row-per-nation
+    aggregates — at any scale this is a tiny-by-tiny merge after two
+    partial-aggregated shuffles, the standard compare-two-rollups
+    shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cn = cust.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count("*").alias("n_cust")
+    )
+    sn = (
+        supp.filter(F.col("s_acctbal") > 6000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_rich_supp"))
+    )
+    j = cn.join(sn, cn["k"] == sn["sk"], "full_outer")
+    return j.select(
+        F.coalesce("k", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+        F.when(F.col("sk").isNull(), "customers_only")
+        .when(F.col("k").isNull(), "suppliers_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

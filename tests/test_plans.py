@@ -335,3 +335,37 @@ def test_quality_buckets_no_global_percentile_buffer(spark, sf_dir):
     # the histogram cumulative sum is a Window, and the histogram build
     # itself is an ordinary partial-aggregated HashAggregate pair
     assert _count(plan, "Window") >= 1, plan
+
+
+def test_grouping_sets_expand_times_sets_not_lattice(spark, sf_dir):
+    """q90: arbitrary GROUPING SETS — Expand feeds a partial/final
+    HashAggregate pair around one exchange, customer broadcasts (the
+    orders fact never shuffles for the join)."""
+    plan = _plan(spark, sf_dir, "q90_grouping_sets")
+    assert _count(plan, "Expand") == 1
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "Exchange") == 1  # the aggregate only
+
+
+def test_exists_correlated_decorrelates_to_hash_joins(spark, sf_dir):
+    """q91: both correlated subqueries must DECORRELATE — a semi and an
+    anti hash join with the inequality carried as a join condition; no
+    nested loop, no per-row subquery re-execution."""
+    plan = _plan(spark, sf_dir, "q91_exists_correlated")
+    assert "Join type: LeftSemi" in plan, plan
+    assert "Join type: LeftAnti" in plan, plan
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+    # the correlated inequality rides the semi join's condition
+    assert "l_shipdate" in plan and "60" in plan
+    # the NOT EXISTS predicate pushes to the lineitem scan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_discount" in g for g in m), plan
+
+
+def test_left_outer_filter_pushes_to_right_scan(spark, sf_dir):
+    """q92: the >480k predicate on the outer join's right side must
+    reach the orders parquet scan, not run post-join."""
+    plan = _plan(spark, sf_dir, "q92_left_outer_orders")
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_totalprice" in g and "480000" in g for g in m), plan
