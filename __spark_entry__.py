@@ -25,8 +25,8 @@ from real_time_stream_processing_engine_spark.queries import ORACLE, QUERIES
 # scripts/local_correctness.py artifact.
 _RISK_ORDER = [
     # newest this round (round 4): grouping sets, correlated EXISTS,
-    # outer joins
-    "q90", "q91", "q92", "q93",
+    # outer joins, label centroids, bigram LM
+    "q90", "q91", "q92", "q93", "q94", "q95",
     # round 3: rolling windows, CDC upsert (batch + streaming), LM
     # score, JSON extraction, chunking
     "q66", "q67", "q68", "q69", "q70", "q71", "q72", "q73", "q74", "q75",

@@ -3131,3 +3131,100 @@ def q93_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "q94_label_centroids",
+    """
+    WITH u AS (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           ROUND(avg(v), 6) AS centroid_v
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q94_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the clustering/classifier-prep
+    primitive (class prototypes, nearest-centroid baselines, codebook
+    seeding): element-wise mean of every label's vectors, emitted FLAT
+    as (label, dim, value) rows so the oracle hash is
+    representation-independent.
+
+    Shape: ``posexplode`` unrolls (vector -> 64 rows) scan-side, then
+    ONE partial-aggregated exchange on (label, dim) — the shuffle
+    carries |labels| x dims combined partials, never vectors.  At 10^11
+    vectors this is the same map-side-combine posture as any grouped
+    aggregate; the alternative (collecting vectors per label) is the
+    anti-pattern."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    )
+    return (
+        pos.groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )
+
+
+@register(
+    "q95_bigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS w,
+                   generate_subscripts(t, 1) AS i FROM t),
+    bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(avg(ln(n12 / n1)), 6) AS avg_bigram_logprob
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q95_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring — the next rung above q68's unigram
+    proxy: each document's mean log conditional probability
+    ln(c(w1,w2) / c(w1·)) under the corpus's own bigram counts.
+    Catches word-salad documents whose unigram mix looks normal but
+    whose ADJACENCIES are improbable.  Single-token docs drop (no
+    bigrams to score).
+
+    Shape: bigrams are built SCAN-SIDE with one codegen ``transform``
+    over the token array (no ordinality self-join — that is the
+    oracle's formulation, quadratic in positions per doc); counts are
+    two partial-aggregated groupBys; the probability join is
+    broadcast-or-AQE.  Like q68 this is the self-contained form — at
+    scale the (w1, w2) count table is an index built once (same
+    posture as ``term_frequencies_from_postings``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    # size guard REQUIRED: sequence(1, 0) generates a DESCENDING [1, 0]
+    # in Spark, which would fabricate a wrap-around bigram on 1-token docs
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("n12") / F.col("n1"))), 6).alias(
+                "avg_bigram_logprob"
+            ),
+        )
+    )

@@ -369,3 +369,22 @@ def test_left_outer_filter_pushes_to_right_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q92_left_outer_orders")
     m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("o_totalprice" in g and "480000" in g for g in m), plan
+
+
+def test_label_centroids_single_exchange_no_vector_shuffle(spark, sf_dir):
+    """q94: posexplode scan-side, ONE partial-aggregated exchange on
+    (label, dim) — vectors never shuffle."""
+    plan = _plan(spark, sf_dir, "q94_label_centroids")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Generate") == 1
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_bigram_logprob_scan_side_build_no_self_join(spark, sf_dir):
+    """q95: bigrams come from a codegen transform over the token array
+    (Generate), NOT an ordinality self-join; count joins broadcast."""
+    plan = _plan(spark, sf_dir, "q95_bigram_logprob")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "BroadcastHashJoin") == 2
+    assert _count(plan, "Generate") >= 1
