@@ -25,7 +25,9 @@ from real_time_stream_processing_engine_spark.queries import ORACLE, QUERIES
 # scripts/local_correctness.py artifact.
 _RISK_ORDER = [
     # newest this round (round 4): grouping sets, correlated EXISTS,
-    # outer joins, label centroids, bigram LM
+    # outer joins, label centroids, bigram LM, streaming outer join,
+    # z-order layout, k-means, normalization, PMI
+    "q96", "q97", "q98", "q99", "q100",
     "q90", "q91", "q92", "q93", "q94", "q95",
     # round 3: rolling windows, CDC upsert (batch + streaming), LM
     # score, JSON extraction, chunking

@@ -3228,3 +3228,93 @@ def q95_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q96_stream_outer_join",
+    """
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events
+         WHERE event_type = 'click'),
+        (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events
+         WHERE event_type = 'purchase')) AS msec),
+    c AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click'),
+    b AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts,
+           COALESCE(CAST(floor(epoch(b.ts)) AS BIGINT), -1) AS purchase_ts,
+           ROUND(COALESCE(b.value, -1), 2) AS purchase_value,
+           CAST(CASE WHEN b.ts IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS matched
+    FROM c CROSS JOIN mx
+    LEFT JOIN b ON b.user_id = c.user_id
+               AND b.ts >= c.ts
+               AND b.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE CAST(floor(epoch(c.ts)) AS BIGINT) <= mx.msec - 10801
+    """,
+)
+def q96_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the outer variant of
+    q42, and the genuinely watermark-DRIVEN one: a matched
+    click/purchase pair emits immediately, but an UNMATCHED click may
+    only emit (with nulls) once the watermark proves no purchase can
+    still arrive for its window.  The reference has no joins and no
+    event time at all (SURVEY.md §2.5); this is the shape ad
+    attribution / abandoned-cart detection runs forever at scale,
+    with state GC'd by the same watermark that licenses the null
+    emissions.
+
+    Determinism contract: clicks within watermark-delay + join-window
+    of stream end are still buffered when the drain stops, so both
+    sides (Spark output AND oracle) restrict to the PROVEN horizon —
+    click_ts at least 3 h + 1 s before the LAGGING side's max event
+    time (the global watermark is the min across inputs)
+    (integer epoch-second arithmetic, identical in both engines; the
+    1 s margin keeps the eviction boundary strictly inside the
+    filter).  Unmatched rows carry (-1, -1.0, matched=0) sentinels so
+    the null path is hash-visible."""
+    from .streaming.runner import stream_stream_click_purchase_left_join
+
+    drained = stream_stream_click_purchase_left_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # bounded 1-row driver read: the global watermark is the MIN across
+    # the two inputs' watermarks, so the proven-emission horizon keys
+    # off whichever side's max event time lags (purchases are sparse,
+    # so theirs usually does)
+    maxsec = ev.agg(
+        F.least(
+            F.max(
+                F.when(
+                    F.col("event_type") == "click", F.unix_timestamp("ts")
+                )
+            ),
+            F.max(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_timestamp("ts"),
+                )
+            ),
+        )
+    ).head()[0]
+    return (
+        drained.filter(F.col("click_ts") <= F.lit(int(maxsec) - 10801))
+        .select(
+            "user_id",
+            "click_id",
+            "click_ts",
+            F.coalesce("purchase_ts", F.lit(-1)).cast("long").alias(
+                "purchase_ts"
+            ),
+            F.coalesce("purchase_value", F.lit(-1.0)).alias(
+                "purchase_value"
+            ),
+            F.when(F.col("purchase_ts").isNull(), 0)
+            .otherwise(1)
+            .cast("long")
+            .alias("matched"),
+        )
+    )

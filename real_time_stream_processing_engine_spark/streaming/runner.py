@@ -672,3 +672,55 @@ def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataF
         F.round("purchase_value", 2).alias("purchase_value"),
     )
     return run_to_memory_available_now(joined, output_mode="append")
+
+
+def stream_stream_click_purchase_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — with
+    its purchase if one lands within the hour, with NULLs otherwise.
+
+    The outer side is the genuinely stateful half: an unmatched click
+    cannot emit until the engine can PROVE no matching purchase is
+    still coming, i.e. until the watermark passes the end of the
+    click's join window (c_ts + 1 h).  Matched rows emit immediately
+    (inner semantics); null rows emit in the no-data micro-batch that
+    follows the final watermark advance (SPARK-24156's eager state
+    cleanup), which ``Trigger.AvailableNow`` runs before terminating.
+    Clicks younger than watermark-delay + window at stream end are
+    still held in state — callers wanting a deterministic batch
+    equivalence must restrict to the emitted horizon
+    (c_ts + 1 h < max_ts - 2 h), which is exactly what q96 does."""
+    src = stream_events(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    buys = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("b_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.unix_timestamp("c_ts").alias("click_ts"),
+        F.unix_timestamp("b_ts").alias("purchase_ts"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return run_to_memory_available_now(joined, output_mode="append")
