@@ -3318,3 +3318,58 @@ def q96_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("matched"),
         )
     )
+
+
+@register(
+    "q97_zorder_probe",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_custkey BETWEEN 30 AND 90
+      AND o_totalprice BETWEEN 100000 AND 200000
+    GROUP BY o_orderpriority
+    """,
+)
+def q97_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-d box probe over the orders table in a Z-ORDER-clustered
+    layout (Morton interleave of o_custkey and o_totalprice,
+    ``operators/layout.py``): a single-column sort can prune files on
+    one dimension only, the space-filling curve gives every file a
+    small min/max box in BOTH, so a (custkey range x price range)
+    probe skips the files — and inside survivors, the row groups —
+    whose box misses it.  Build is manifest-idempotent like the
+    IVF/BM25 indexes; the probe pushes both range predicates to the
+    scan (plan-pinned) and the measured file-footprint win over a
+    linear sort is asserted in ``tests/test_zorder_layout.py``.  Same
+    answer as the flat table (the oracle); what changes is bytes
+    touched at 100 TB."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .operators.layout import build_zordered, read_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"rs_orders_zorder_u{_os.getuid()}_{key}"
+    )
+    build_zordered(
+        orders,
+        path,
+        "o_custkey",
+        "o_totalprice",
+        n_files=32,
+        source_path=_os.path.join(sf_dir, "orders.parquet"),
+    )
+    z = read_zordered(spark, path)
+    box = z.filter(
+        F.col("o_custkey").between(30, 90)
+        & F.col("o_totalprice").between(100000, 200000)
+    )
+    return box.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

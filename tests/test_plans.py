@@ -388,3 +388,14 @@ def test_bigram_logprob_scan_side_build_no_self_join(spark, sf_dir):
     assert _count(plan, "SortMergeJoin") == 0
     assert _count(plan, "BroadcastHashJoin") == 2
     assert _count(plan, "Generate") >= 1
+
+
+def test_zorder_probe_pushes_both_range_predicates(spark, sf_dir):
+    """q97: both box predicates must reach the parquet scan of the
+    z-ordered layout — file skipping happens at the source listing,
+    row-group skipping inside the reader, neither survives a post-scan
+    filter-only plan."""
+    plan = _plan(spark, sf_dir, "q97_zorder_probe")
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_custkey" in g and "o_totalprice" in g for g in m), plan
+    assert _count(plan, "Exchange") == 1  # the aggregate only
