@@ -3373,3 +3373,77 @@ def q97_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q98_kmeans_lloyd",
+    """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+             embedding
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT e.vec_id, s.c,
+             ROUND(SUM((CAST(e.embedding[g.i] AS DOUBLE)
+                        - CAST(s.embedding[g.i] AS DOUBLE)) ** 2), 6) AS d
+      FROM embeddings e CROSS JOIN seeds s
+      CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY e.vec_id, s.c
+    ),
+    a1 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+        FROM d1) WHERE rk = 1
+    ),
+    c1 AS (
+      SELECT a1.c, g.i AS dim, avg(CAST(e.embedding[g.i] AS DOUBLE)) AS v
+      FROM embeddings e JOIN a1 USING (vec_id)
+      CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.c,
+             ROUND(SUM((CAST(e.embedding[c1.dim] AS DOUBLE) - c1.v) ** 2),
+                   6) AS d
+      FROM embeddings e CROSS JOIN c1
+      GROUP BY e.vec_id, c1.c
+    ),
+    a2 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+        FROM d2) WHERE rk = 1
+    ),
+    cent AS (
+      SELECT a2.c AS cluster, CAST(g.i AS BIGINT) AS dim,
+             ROUND(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS centroid_v
+      FROM embeddings e JOIN a2 USING (vec_id)
+      CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY 1, 2
+    ),
+    cnt AS (SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_members
+            FROM a2 GROUP BY 1)
+    SELECT cluster, dim, centroid_v, n_members
+    FROM cent JOIN cnt USING (cluster)
+    """,
+)
+def q98_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd, k=4, 2 rounds) over the embedding
+    corpus — the iterative-ML control-flow shape the one-shot
+    aggregates (q94 centroids) can't express: assign = k broadcast
+    squared-distance expressions in pure codegen (argmin via
+    ``array_min`` on (rounded-distance, cluster) structs — struct
+    ordering IS the cross-engine tie-break), update = posexplode + ONE
+    partial-aggregated (cluster, dim) exchange.  The only driver
+    traffic per round is the k x dims centroid matrix
+    (``operators/clustering.py``).  The oracle UNROLLS both rounds in
+    SQL — assignment, update, re-assignment — so convergence math is
+    hash-checked end-to-end, not just row counts.  Output is the final
+    flat centroid table with membership counts."""
+    from .operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=4, iters=2)
