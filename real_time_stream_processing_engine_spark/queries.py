@@ -3447,3 +3447,158 @@ def q98_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=4, iters=2)
+
+
+@register(
+    "q99_group_normalize",
+    """
+    WITH st AS (
+      SELECT lang,
+             avg(CAST(n_chars AS DOUBLE)) AS mu,
+             stddev_samp(CAST(n_chars AS DOUBLE)) AS sd,
+             min(CAST(n_chars AS DOUBLE)) AS lo,
+             max(CAST(n_chars AS DOUBLE)) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           ROUND(CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+                      ELSE (d.n_chars - st.mu) / st.sd END, 6) AS z_score,
+           ROUND(CASE WHEN st.hi = st.lo THEN 0.0
+                      ELSE (d.n_chars - st.lo) / (st.hi - st.lo) END,
+                 6) AS minmax
+    FROM documents d JOIN st USING (lang)
+    """,
+)
+def q99_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization — the feature-engineering
+    primitive every training pipeline runs before mixing heterogeneous
+    sources: z-score and min-max of a numeric feature WITHIN each
+    language (a global normalization would let the dominant language
+    define 'normal' for the rest).
+
+    Shape: one partial-aggregated groupBy computes the per-group stats
+    (|langs| rows), which BROADCAST back onto the scan — the corpus is
+    read once and never shuffled; the normalized columns are pure
+    codegen arithmetic.  (A window over partitionBy(lang) computes the
+    same thing but shuffles the whole corpus by a low-cardinality key —
+    the skew trap; the stats-join form is the 100 TB posture.)
+    Degenerate groups (single doc, or constant feature) normalize to
+    0.0 by convention rather than NULL/NaN."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    st = docs.groupBy("lang").agg(
+        F.avg(x).alias("mu"),
+        F.stddev_samp(x).alias("sd"),
+        F.min(x).alias("lo"),
+        F.max(x).alias("hi"),
+    )
+    j = docs.join(F.broadcast(st), "lang")
+    z = F.when(
+        F.col("sd").isNull() | (F.col("sd") == 0), F.lit(0.0)
+    ).otherwise((x - F.col("mu")) / F.col("sd"))
+    mm = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (x - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(z, 6).alias("z_score"),
+        F.round(mm, 6).alias("minmax"),
+    )
+
+
+@register(
+    "q100_cooccurrence_pmi",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS w,
+                   generate_subscripts(t, 1) AS i FROM t),
+    pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2),
+    pc AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS p FROM pc),
+    uc AS (SELECT w AS tok, count(*) AS n FROM tok GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+    SELECT pc.w1, pc.w2, CAST(pc.n_ab AS BIGINT) AS n_pair,
+           ROUND(ln((pc.n_ab / tot.p) / ((u1.n / nn.n) * (u2.n / nn.n))),
+                 6) AS pmi
+    FROM pc CROSS JOIN tot CROSS JOIN nn
+    JOIN uc u1 ON u1.tok = pc.w1
+    JOIN uc u2 ON u2.tok = pc.w2
+    WHERE pc.n_ab >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def q100_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence PMI phrase mining — collocation discovery over the
+    corpus (the classic phrase-vocabulary step before tokenizer
+    training): unordered token pairs within a +-2 position window,
+    scored ln(P(a,b) / (P(a)P(b))), min support 5, top 50.
+
+    Shape: pairs are built SCAN-SIDE from the token array — two
+    codegen ``transform``s (offset 1 and offset 2) flattened and
+    exploded in ONE pass, with empty-array guards instead of the
+    sequence(1,0)-descends trap (q95); NO positional self-join (that is
+    the oracle's quadratic formulation).  Counts are partial-aggregated
+    groupBys; the two scalar totals ride broadcast 1-row crossJoins;
+    the unigram-probability joins shuffle only the distinct-pair table.
+    The final top-50 is a TakeOrdered on the ROUNDED score, ties broken
+    by the pair text, so cross-engine float summation can't reorder."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    pair_arrays = F.array(
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(least(t[i-1], t[i]) AS w1, "
+                "greatest(t[i-1], t[i]) AS w2))"
+            ),
+        ).otherwise(F.expr("array()")),
+        F.when(
+            F.size("t") >= 3,
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> struct(least(t[i-1], t[i+1]) AS w1, "
+                "greatest(t[i-1], t[i+1]) AS w2))"
+            ),
+        ).otherwise(F.expr("array()")),
+    )
+    pairs = toks.select(
+        F.explode(F.flatten(pair_arrays)).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    # the count tables are consumed twice (scores + their own grand
+    # totals); caching them makes each corpus pass run ONCE — the
+    # vocab-sized intermediates are the natural materialization point
+    # (MEMORY_AND_DISK, spillable), exactly what a 100 TB run would
+    # write to a scratch table
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab")).cache()
+    tot = pc.agg(F.sum("n_ab").cast("double").alias("p"))
+    uni = toks.select(F.explode("t").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").alias("n")).cache()
+    nn = uc.agg(F.sum("n").cast("double").alias("nt"))
+    scored = (
+        pc.filter(F.col("n_ab") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nn))
+        .join(uc.withColumnRenamed("tok", "w1").withColumnRenamed("n", "n1"), "w1")
+        .join(uc.withColumnRenamed("tok", "w2").withColumnRenamed("n", "n2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("p"))
+                    / ((F.col("n1") / F.col("nt")) * (F.col("n2") / F.col("nt")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(50)

@@ -399,3 +399,25 @@ def test_zorder_probe_pushes_both_range_predicates(spark, sf_dir):
     m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("o_custkey" in g and "o_totalprice" in g for g in m), plan
     assert _count(plan, "Exchange") == 1  # the aggregate only
+
+
+def test_group_normalize_broadcasts_stats_no_window_shuffle(spark, sf_dir):
+    """q99: the per-lang stats broadcast back onto the scan — the
+    corpus is never shuffled by the low-cardinality group key (the
+    window-function formulation would)."""
+    plan = _plan(spark, sf_dir, "q99_group_normalize")
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "Window") == 0
+
+
+def test_pmi_pairs_scan_side_topk_no_global_sort(spark, sf_dir):
+    """q100: pair building is a codegen transform+explode (Generate),
+    not a positional self-join; the top-50 is TakeOrdered, not a
+    global sort."""
+    plan = _plan(spark, sf_dir, "q100_cooccurrence_pmi")
+    # each corpus pass (pair explode, unigram explode) appears ONCE;
+    # the cached count tables feed both the scores and the totals
+    assert _count(plan, "Generate") == 2
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
