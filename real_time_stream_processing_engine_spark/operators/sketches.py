@@ -1,0 +1,94 @@
+"""Count-min sketch: sublinear frequency estimation as plain DataFrames.
+
+Completes the approx-sketch family (q44 t-digest percentiles, q45 HLL
+distinct counts) with the FREQUENCY estimator: a depth x width counter
+grid where every item increments one bucket per hash row and a point
+query reads the MINIMUM across rows.  Published guarantees (Cormode &
+Muthukrishnan 2005): estimates never undercount, and overcount exceeds
+eps * N with probability at most delta, for eps = e / width and
+delta = e^-depth — quantified against this implementation in
+``tests/test_approx_variants.py``.
+
+Everything is built from partial-aggregated groupBys over codegen hash
+expressions (``xxhash64`` seeded per row) — the sketch IS a DataFrame
+of at most depth x width rows, mergeable by (row, bucket) sum, so
+per-partition sketches combine exactly like any other commutative
+aggregate at 100 TB.  No oracle SQL exists for the point estimates
+(DuckDB has no xxhash64), so the query is rows-only by design with the
+error bounds pinned by test instead — same contract as q44/q45.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEPTH = 4
+WIDTH = 1024
+
+
+def _bucket(col: Column, row: int, width: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(row)), F.lit(width))
+
+
+def countmin_build(
+    items: DataFrame, col: str = "tok", depth: int = DEPTH, width: int = WIDTH
+) -> DataFrame:
+    """(row, bucket, c): one scan, one partial-aggregated exchange of
+    at most depth x width combined partials — the sketch table."""
+    hashes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("row"),
+                    _bucket(F.col(col), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        items.select(hashes.alias("h"))
+        .groupBy("h.row", "h.bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "tok",
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Point queries: each probe re-hashes into its depth buckets,
+    joins the (tiny, broadcast) sketch, and takes the row-minimum.
+    Buckets never touched by any item read as 0."""
+    hashed = probes.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select(col, "h.row", "h.bucket")
+    joined = hashed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count")
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact sketch merge: bucket-wise sum — the property that lets
+    per-partition / per-day sketches roll up without rescanning."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

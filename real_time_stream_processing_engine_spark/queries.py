@@ -3602,3 +3602,184 @@ def q100_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(50)
+
+
+@register("q101_countmin_heavy_hitters", None)
+def q101_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch — the frequency member of the
+    sketch family (q44 percentiles, q45 distinct): token counts
+    estimated from a 4 x 1024 counter grid instead of a vocab-sized
+    exact count, probed for the top-20 tokens by estimate.
+
+    Rows-only by design (DuckDB has no xxhash64, so the estimates are
+    not SQL-replicable); the published never-undercount / eps-delta
+    overcount bounds and exact mergeability are pinned in
+    ``tests/test_approx_variants.py`` instead — the same contract as
+    q44/q45.  At 100 TB the sketch build is one scan + one exchange of
+    <= depth x width partials, and day-level sketches merge by bucket
+    sum without rescanning (``operators/sketches.py``)."""
+    from .operators.sketches import countmin_build, countmin_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize("text")).alias("tok")
+    )
+    sketch = countmin_build(toks).cache()
+    probes = toks.distinct()
+    est = countmin_estimate(sketch, probes)
+    return est.orderBy(F.desc("est_count"), F.asc("tok")).limit(20)
+
+
+@register(
+    "q102_scd2_dimension",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_v
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, value FROM ordered
+      WHERE prev_v IS NULL OR value <> prev_v
+    ),
+    versioned AS (
+      SELECT user_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+             CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+             lead(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to_raw
+      FROM changes
+    )
+    SELECT user_id, version, valid_from,
+           COALESCE(valid_to_raw, -1) AS valid_to,
+           ROUND(value, 2) AS val,
+           CAST(CASE WHEN valid_to_raw IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM versioned
+    """,
+)
+def q102_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build — the warehouse-side
+    complement to q67's type-1 upsert: each user's value history
+    becomes validity-interval versions (valid_from/valid_to), with
+    NO-CHANGE records collapsed first (consecutive equal values carry
+    no new version — the collapse every SCD2 loader does so churn
+    without change doesn't mint rows).
+
+    Shape: one shuffle by the dimension key feeds ALL THREE window
+    passes (change collapse via lag, version numbering, interval close
+    via lead — same partitioning, so Catalyst plans one Exchange +
+    one Sort and runs the windows back-to-back); open versions close
+    with -1 sentinels.  At 100 TB this is the standard
+    history-table build: linear in the feed, no self-joins."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev_v", F.lag("value").over(w))
+        .filter(F.col("prev_v").isNull() | (F.col("value") != F.col("prev_v")))
+    )
+    versioned = changes.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.lead(F.unix_timestamp("ts")).over(w).alias("valid_to_raw"),
+    )
+    return versioned.select(
+        "user_id",
+        "version",
+        "valid_from",
+        F.coalesce("valid_to_raw", F.lit(-1)).cast("long").alias("valid_to"),
+        F.round("value", 2).alias("val"),
+        F.when(F.col("valid_to_raw").isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+@register(
+    "q103_sequence_examples",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             event_type,
+             lag(event_type, 1) OVER w AS f1,
+             lag(event_type, 2) OVER w AS f2,
+             lag(event_type, 3) OVER w AS f3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts_sec, f3, f2, f1, event_type AS label
+    FROM ordered
+    WHERE f3 IS NOT NULL
+    """,
+)
+def q103_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event training examples — sequence-model dataset prep: for
+    every event with >= 3 predecessors, emit (the previous three event
+    types in order, label = the event that followed).  The
+    (features, label) windowing every next-action / session-LM
+    training pipeline runs.
+
+    Shape: ONE shuffle by user feeds all three lags (same window
+    spec); emission is a null-guard filter.  Linear in the log,
+    no self-joins, no collect — at 100 TB the example count equals
+    the event count minus 3 per user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.lag("event_type", 3).over(w).alias("f3"),
+        F.lag("event_type", 2).over(w).alias("f2"),
+        F.lag("event_type", 1).over(w).alias("f1"),
+        F.col("event_type").alias("label"),
+    )
+    return out.filter(F.col("f3").isNotNull()).select(
+        "user_id", "ts_sec", "f3", "f2", "f1", "label"
+    )
+
+
+@register(
+    "q104_bag_set_ops",
+    """
+    WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT user_id FROM events WHERE event_type = 'error')
+    SELECT 'both' AS op, user_id
+    FROM (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM e)
+    UNION ALL
+    SELECT 'purchase_surplus' AS op, user_id
+    FROM (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM e)
+    """,
+)
+def q104_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL) —
+    the multiplicity-preserving complement to q36's distinct set ops:
+    per user, min(purchases, errors) rows tagged 'both' and the
+    purchase surplus (purchases - errors, clamped at 0) tagged
+    'purchase_surplus'.  Multiplicity IS the signal here (how many
+    co-occurrences / how much surplus), which DISTINCT ops destroy.
+
+    Shape: Spark plans both as single hash aggregations computing
+    per-key counts on each side then re-expanding — one exchange per
+    side, no join explosion; the duplicate rows in the result are the
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = p.intersectAll(e).select(F.lit("both").alias("op"), "user_id")
+    surplus = p.exceptAll(e).select(
+        F.lit("purchase_surplus").alias("op"), "user_id"
+    )
+    return both.unionByName(surplus)

@@ -140,3 +140,95 @@ def test_hll_relative_error_bound_swept(spark):
             truth = df.distinct().count()
             est = df.agg(F.approx_count_distinct("u", rsd=rsd).alias("e")).collect()[0]["e"]
             assert abs(est - truth) <= 3 * rsd * truth + 1, (seed, n, truth, est)
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def _exact_token_counts(spark, sf_dir):
+    from real_time_stream_processing_engine_spark.operators.text import tokenize
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("tok"))
+    return toks, toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """CMS's exact one-sided guarantee: est >= true for EVERY item
+    (collisions only ever add)."""
+    from real_time_stream_processing_engine_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    toks, exact = _exact_token_counts(spark, sf_dir)
+    sketch = countmin_build(toks)
+    est = countmin_estimate(sketch, toks.distinct())
+    j = est.join(exact, "tok")
+    under = j.filter(F.col("est_count") < F.col("true_count")).count()
+    assert under == 0
+
+
+def test_countmin_overcount_within_published_bound(spark, sf_dir):
+    """Cormode-Muthukrishnan: P[est - true > (e/width) * N] <= e^-depth.
+    With depth=4 (delta ~ 1.8%) the violating fraction over the whole
+    vocabulary must be small; assert <= 5% for slack."""
+    from real_time_stream_processing_engine_spark.operators.sketches import (
+        DEPTH,
+        WIDTH,
+        countmin_build,
+        countmin_estimate,
+    )
+    import math
+
+    toks, exact = _exact_token_counts(spark, sf_dir)
+    n_items = toks.count()
+    eps = math.e / WIDTH
+    bound = eps * n_items
+    sketch = countmin_build(toks)
+    est = countmin_estimate(sketch, toks.distinct())
+    j = est.join(exact, "tok")
+    total = j.count()
+    viol = j.filter(
+        (F.col("est_count") - F.col("true_count")) > F.lit(bound)
+    ).count()
+    assert viol / total <= 0.05, (viol, total, bound, math.exp(-DEPTH))
+
+
+def test_countmin_merge_equals_whole(spark, sf_dir):
+    """Bucket-sum merge of two half-corpus sketches == the sketch of
+    the whole corpus, exactly — the roll-up property."""
+    from real_time_stream_processing_engine_spark.operators.sketches import (
+        countmin_build,
+        countmin_merge,
+    )
+    from real_time_stream_processing_engine_spark.operators.text import tokenize
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lambda d: d.select(F.explode(tokenize("text")).alias("tok"))
+    whole = countmin_build(toks(docs))
+    lo = countmin_build(toks(docs.filter(F.col("doc_id") % 2 == 0)))
+    hi = countmin_build(toks(docs.filter(F.col("doc_id") % 2 == 1)))
+    merged = countmin_merge(lo, hi)
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+
+
+def test_countmin_heavy_hitters_match_exact_top(spark, sf_dir):
+    """On this corpus the top-20 by estimate equals the top-20 by exact
+    count (heavy hitters sit far above the eps*N noise floor)."""
+    toks, exact = _exact_token_counts(spark, sf_dir)
+    got = [
+        r["tok"]
+        for r in QUERIES["q101_countmin_heavy_hitters"](spark, "/root/testdata/sf0.001").collect()
+    ]
+    want = [
+        r["tok"]
+        for r in exact.orderBy(
+            F.desc("true_count"), F.asc("tok")
+        ).limit(20).collect()
+    ]
+    assert set(got) == set(want)

@@ -421,3 +421,19 @@ def test_pmi_pairs_scan_side_topk_no_global_sort(spark, sf_dir):
     assert _count(plan, "Generate") == 2
     assert "InMemoryTableScan" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_single_exchange_for_all_window_passes(spark, sf_dir):
+    """q102: change-collapse (lag), version numbering, and interval
+    close (lead) all ride ONE shuffle by the dimension key."""
+    plan = _plan(spark, sf_dir, "q102_scd2_dimension")
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_sequence_examples_single_exchange_single_window(spark, sf_dir):
+    """q103: the three lags share one window spec — one exchange, one
+    Window operator."""
+    plan = _plan(spark, sf_dir, "q103_sequence_examples")
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "Window") == 1
