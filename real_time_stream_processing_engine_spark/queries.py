@@ -3783,3 +3783,30 @@ def q104_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("purchase_surplus").alias("op"), "user_id"
     )
     return both.unionByName(surplus)
+
+
+@register("q105_stream_countmin", None)
+def q105_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the count-min sketch MAINTAINED BY THE
+    STREAM — each micro-batch's grid bucket-sum-merges into a tiny
+    parquet target (constant state regardless of key cardinality; the
+    aggregation-state alternative holds one counter per key), gated by
+    a batch-id ledger that rides in the sketch rows so a replayed
+    batch is a whole-batch no-op.  Stream end equals the batch sketch
+    EXACTLY (merge associativity — pinned in
+    ``tests/test_streaming_live.py``); rows-only here like q101 (no
+    xxhash64 in DuckDB).  Output: top-10 users by estimated event
+    count."""
+    from .operators.sketches import countmin_estimate
+    from .streaming.runner import stream_countmin
+
+    sketch = stream_countmin(spark, sf_dir)
+    probes = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("tok")
+    ).distinct()
+    est = countmin_estimate(sketch, probes)
+    return (
+        est.orderBy(F.desc("est_count"), F.asc("tok"))
+        .limit(10)
+        .select(F.col("tok").alias("user_id"), "est_count")
+    )

@@ -724,3 +724,70 @@ def stream_stream_click_purchase_left_join(
         F.round("purchase_value", 2).alias("purchase_value"),
     )
     return run_to_memory_available_now(joined, output_mode="append")
+
+
+def stream_countmin(
+    spark: SparkSession,
+    sf_dir: str,
+    item_col: str = "user_id",
+    target_path: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Maintain a count-min sketch OVER A STREAM: each micro-batch
+    builds its own (row, bucket, c) grid and bucket-sum-merges it into
+    a tiny parquet target behind the atomic swap — streaming heavy
+    hitters with constant state regardless of key cardinality (the
+    aggregation-state alternative holds one counter PER KEY).
+
+    Counting is not latest-wins, so redelivered data would double —
+    exactness comes from a batch-id ledger RIDING IN the sketch rows
+    (``last_batch`` column, swapped atomically with the counts): a
+    replayed foreachBatch id <= the ledger is skipped whole.  Merge
+    associativity + the ledger give stream-end == batch-sketch EXACT
+    equality (pinned in ``tests/test_streaming_live.py``)."""
+    from ..operators.sketches import countmin_build, countmin_merge
+    from ..sources.catalog import recover_swap, replace_contents
+    from ..sources.readers import read_schema_for
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    d = _stage_symlink_dir("cmsdir", {"events.parquet": src_path})
+    if target_path is None:
+        target_path = os.path.join(
+            _scratch_dir(), f"rs_cms_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
+        )
+    recover_swap(spark, target_path)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        items = batch.select(F.col(item_col).cast("string").alias("tok"))
+        delta = countmin_build(items)
+        try:
+            prev = s.read.parquet(target_path)
+            applied = prev.agg(F.max("last_batch")).head()[0]
+            if applied is not None and batch_id <= applied:
+                return  # replayed batch: the ledger makes it a no-op
+            merged = countmin_merge(prev.drop("last_batch"), delta)
+        except Exception:
+            merged = delta
+        replace_contents(
+            merged.withColumn("last_batch", F.lit(batch_id)), target_path
+        )
+
+    schema, conv = read_schema_for("events", src_path)
+    src = convert_ts_cols(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d),
+        conv,
+    )
+    ckpt = checkpoint or os.path.join(
+        _scratch_dir(), f"rs_ckpt_rs_cms_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_path).drop("last_batch")

@@ -227,3 +227,26 @@ def test_observed_metrics_account_for_every_tuple(spark, sf_dir):
     obs = run_to_memory_available_now.last_observed
     assert obs["rs_ingest"]["n_tuples"] == total_rows
     assert sum(r["cnt"] for r in out.collect()) == total_rows
+
+
+def test_stream_countmin_equals_batch_sketch(spark, sf_dir):
+    """The streamed sketch must equal the batch-built sketch EXACTLY:
+    bucket-sum merge is associative and the batch-id ledger applies
+    each micro-batch once."""
+    from real_time_stream_processing_engine_spark.operators.sketches import (
+        countmin_build,
+    )
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_countmin,
+    )
+
+    streamed = stream_countmin(spark, sf_dir)
+    batch = countmin_build(
+        load_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("tok")
+        )
+    )
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
