@@ -278,3 +278,63 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} iterations"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list — the weighted-importance
+    fixpoint, complementing the components fixpoint above (label
+    propagation spreads MIN; this spreads normalized MASS).
+
+    Per round: contributions = ranks join edges on src (rank/out-degree
+    rides each edge), then ONE partial-aggregated groupBy(dst) sum —
+    the standard two-exchange PageRank step, linear in |E|.  The node
+    count enters as a broadcast 1-row aggregate (no driver round-trip
+    for data); with no dangling handling required here (callers pass
+    symmetrized or closed edge sets, every node has out-degree >= 1).
+    For deep runs, wrap with the same ``checkpoint_dir``/lazy
+    localCheckpoint levers as :func:`connected_components`; at 2-4
+    rounds the lineage is shallow enough not to need them.
+
+    Determinism: mass sums are doubles; callers round before ordering
+    (the q106 oracle replays both rounds in SQL and compares ROUNDED
+    ranks, same contract as the k-means oracle)."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges[src_col] == ranks["node"])
+            .join(deg, ranks["node"] == deg["node"])
+            .select(
+                F.col(dst_col).alias("to"),
+                (F.col("pr") / F.col("out_deg")).alias("w"),
+            )
+        )
+        inflow = contribs.groupBy("to").agg(F.sum("w").alias("mass"))
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["to"], "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce("mass", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks

@@ -3810,3 +3810,256 @@ def q105_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("tok").alias("user_id"), "est_count")
     )
+
+
+@register(
+    "q106_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+    pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    in1 AS (SELECT e.dst AS node, SUM(pr0.pr / deg.d) AS mass
+            FROM e JOIN pr0 ON pr0.node = e.src
+            JOIN deg ON deg.node = e.src
+            GROUP BY 1),
+    pr1 AS (SELECT nodes.node,
+                   0.15 / nn.n + 0.85 * COALESCE(in1.mass, 0) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN in1 ON in1.node = nodes.node),
+    in2 AS (SELECT e.dst AS node, SUM(pr1.pr / deg.d) AS mass
+            FROM e JOIN pr1 ON pr1.node = e.src
+            JOIN deg ON deg.node = e.src
+            GROUP BY 1),
+    pr2 AS (SELECT nodes.node,
+                   0.15 / nn.n + 0.85 * COALESCE(in2.mass, 0) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN in2 ON in2.node = nodes.node)
+    SELECT node, ROUND(pr, 9) AS pr FROM pr2
+    """,
+)
+def q106_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 rounds, d=0.85) over the customer-supplier trade
+    graph (distinct (customer, supplier) pairs through
+    orders x lineitem, symmetrized) — the mass-propagation fixpoint
+    beside the components fixpoint (q56/q83): which suppliers sit at
+    the center of the purchase network.
+
+    Per round: ONE rank/out-degree join riding the edge list + ONE
+    partial-aggregated inflow sum — linear in |E|; the node count is a
+    broadcast 1-row aggregate, never a driver constant
+    (``operators/graph.py:pagerank``).  The oracle unrolls both rounds
+    in SQL (same contract as the k-means oracle) and compares ROUNDED
+    ranks over ALL nodes, so the propagation math is hash-checked, not
+    sampled."""
+    from .operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=2, damping=0.85)
+    return ranks.select("node", F.round("pr", 9).alias("pr"))
+
+
+@register(
+    "q107_data_quality_audit",
+    """
+    SELECT 'fk_orders_customer' AS chk,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST((SELECT COALESCE(sum(n - 1), 0) FROM (
+                   SELECT count(*) AS n FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'null_o_custkey',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'nonneg_c_acctbal',
+           CAST((SELECT count(*) FROM customer WHERE c_acctbal < 0)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'positive_o_totalprice',
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    """,
+)
+def q107_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit — the expectations report a pipeline gates
+    ingestion on: referential integrity (orphan orders, LEFT ANTI
+    against the broadcast key set), key uniqueness (surplus rows per
+    duplicated key), null checks, and domain checks, each reported as
+    (check, violations, checked) so clean checks PROVE cleanliness
+    rather than vanishing.  The negative-balance check fires on this
+    data (TPC-H allows debt), so the violation path is live.
+
+    Shape: each check is a filter-count or partial-aggregated count;
+    the FK check is an anti join whose build side is the distinct key
+    column (broadcastable far beyond any dimension's realistic key
+    count).  One pass per table scan at scale — checks over the same
+    table share the scan via conditional aggregation where it matters
+    (the three orders checks compile to ONE scan each here; a
+    production gate would fuse them into one conditional-sum pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n_orders = orders.count()
+    n_cust = cust.count()
+
+    def row(chk: str, viol_df_count: int, checked: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(chk, viol_df_count, checked)],
+            "chk: string, n_violations: long, n_checked: long",
+        )
+
+    orphans = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).count()
+    dup_surplus = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)))
+        .head()[0]
+    )
+    nulls = orders.filter(F.col("o_custkey").isNull()).count()
+    neg_bal = cust.filter(F.col("c_acctbal") < 0).count()
+    nonpos = orders.filter(F.col("o_totalprice") <= 0).count()
+    out = (
+        row("fk_orders_customer", orphans, n_orders)
+        .unionByName(row("unique_o_orderkey", int(dup_surplus), n_orders))
+        .unionByName(row("null_o_custkey", nulls, n_orders))
+        .unionByName(row("nonneg_c_acctbal", neg_bal, n_cust))
+        .unionByName(row("positive_o_totalprice", nonpos, n_orders))
+    )
+    return out
+
+
+@register(
+    "q108_incremental_agg",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value,
+           ROUND(sum(value) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q108_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    refresh shape: the per-user rollup is NOT recomputed from the full
+    log; a frozen 'historical' partial table (events before
+    2024-01-20) merges with the new tail's partials by PARTIAL-STATE
+    ADDITION (counts add, sums add, avg derives from the merged
+    partials — never averaged averages).  The oracle computes the same
+    rollup directly over the whole log, so the hash check IS the
+    refresh-correctness statement: merge(part(A), part(B)) == agg(A+B).
+
+    At 100 TB this is the difference between scanning one day and
+    rescanning a year: any commutative-partial aggregate (count, sum,
+    min, max, HLL, count-min) maintains this way; q105 does the same
+    for sketches in the streaming plane."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s")
+        )
+
+    hist = partials(ev.filter(F.col("ts") < cut))
+    delta = partials(ev.filter(F.col("ts") >= cut))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sum_value"))
+    )
+    return merged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
+    )
+
+
+@register(
+    "q109_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           ROUND(big.sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q109_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders — the TPC-H Q18 shape (grouped HAVING
+    subquery driving the join): orders whose lineitems total > 250
+    units, joined back to order and customer.
+
+    Shape: the HAVING aggregate reduces lineitem to qualifying keys
+    BEFORE any join (partial-aggregated, ~1% selectivity), then two
+    hash joins — the qualifying-key set broadcasts, so neither fact
+    table shuffles for the join.  The anti-shape (joining first,
+    filtering after) would shuffle all of lineitem x orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        F.broadcast(big)
+        .join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+    )
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )

@@ -185,3 +185,56 @@ def test_star_kill_restart_resumes_and_matches(spark, tmp_path):
     assert connected_components_star.resumed is True
     assert connected_components_star.rounds < clean_rounds
     assert got == clean
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """On a directed cycle every node keeps exactly 1/N at every
+    round — the closed-form fixed point."""
+    from real_time_stream_processing_engine_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src: string, dst: string"
+    )
+    out = {r["node"]: r["pr"] for r in pagerank(e, iters=3).collect()}
+    for v in out.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Symmetrized star: the hub must out-rank every leaf, and one
+    round of hand-arithmetic pins the exact values: each leaf sends its
+    whole 0.2 (out-degree 1) to the hub, the hub splits its 0.2 four
+    ways — hub = 0.15/5 + 0.85*(4*0.2), leaf = 0.15/5 + 0.85*(0.2/4)."""
+    from real_time_stream_processing_engine_spark.operators.graph import pagerank
+
+    spokes = [("hub", f"l{i}") for i in range(4)]
+    e0 = spokes + [(b, a) for a, b in spokes]
+    e = spark.createDataFrame(e0, "src: string, dst: string")
+    out = {r["node"]: r["pr"] for r in pagerank(e, iters=1).collect()}
+    assert abs(out["hub"] - (0.03 + 0.85 * 0.8)) < 1e-12
+    for i in range(4):
+        assert abs(out[f"l{i}"] - (0.03 + 0.85 * 0.2 / 4)) < 1e-12
+    assert out["hub"] > max(out[f"l{i}"] for i in range(4))
+
+
+def test_pagerank_conserves_mass_on_closed_graph(spark, sf_dir):
+    """With every node having out-degree >= 1 (symmetrized edges), the
+    total rank mass stays 1 after any number of rounds."""
+    from pyspark.sql import functions as F
+
+    from real_time_stream_processing_engine_spark.operators.graph import pagerank
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    total = pagerank(e, iters=2).agg(F.sum("pr")).head()[0]
+    assert abs(total - 1.0) < 1e-9

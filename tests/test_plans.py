@@ -437,3 +437,25 @@ def test_sequence_examples_single_exchange_single_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q103_sequence_examples")
     assert _count(plan, "Exchange") == 1
     assert _count(plan, "Window") == 1
+
+
+def test_pagerank_round_is_hash_joins_no_nested_loop(spark, sf_dir):
+    """q106: every round is rank/degree hash joins + a partial-
+    aggregated inflow sum — no nested-loop join anywhere in the
+    unrolled two-round plan."""
+    plan = _plan(spark, sf_dir, "q106_pagerank")
+    # the only nested loops are the broadcast 1-row n_nodes crossJoins:
+    # one seeding the uniform init + one per unrolled round
+    n_bnlj = _count(plan, "BroadcastNestedLoopJoin")
+    assert n_bnlj <= 3, plan
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == n_bnlj
+    assert "CartesianProduct" not in plan
+
+
+def test_large_volume_orders_aggregates_before_joining(spark, sf_dir):
+    """q109: lineitem reduces to qualifying keys via partial/final
+    HashAggregate BEFORE any join; the qualifying set broadcasts so
+    neither fact table shuffles for the join."""
+    plan = _plan(spark, sf_dir, "q109_large_volume_orders")
+    assert _count(plan, "BroadcastHashJoin") == 2
+    assert _count(plan, "SortMergeJoin") == 0
