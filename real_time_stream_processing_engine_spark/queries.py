@@ -4063,3 +4063,109 @@ def q109_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("total_price"),
         F.round("sum_qty", 2).alias("sum_qty"),
     )
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """+-1 from the parity of md5('jl{i}_{j}')'s first hex char —
+    reproducible ANYWHERE md5 exists (the oracle regenerates the same
+    matrix in SQL), so the 'random' projection needs no shipped state."""
+    import hashlib
+
+    h = hashlib.md5(f"jl{i}_{j}".encode()).hexdigest()
+    return 1 if ord(h[0]) % 2 == 0 else -1
+
+
+_JL_IN, _JL_OUT = 64, 16
+
+
+@register(
+    "q110_jl_projection",
+    f"""
+    WITH dims AS (SELECT j FROM generate_series(1, {_JL_OUT}) d(j)),
+    signs AS (
+      SELECT s.i, d.j,
+             CASE WHEN ascii(substr(md5('jl' || CAST(s.i AS VARCHAR) || '_'
+                                        || CAST(d.j AS VARCHAR)), 1, 1))
+                       % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS sg
+      FROM generate_series(1, {_JL_IN}) s(i) CROSS JOIN dims d
+    )
+    SELECT e.vec_id, CAST(signs.j AS BIGINT) AS dim,
+           ROUND(SUM(CAST(e.embedding[signs.i] AS DOUBLE) * signs.sg)
+                 / sqrt({_JL_OUT}), 6) AS v
+    FROM embeddings e CROSS JOIN signs
+    GROUP BY 1, 2
+    """,
+)
+def q110_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 16 dims,
+    Achlioptas +-1 signs) — the dimensionality-reduction step that
+    makes brute-force ANN 4x cheaper while approximately preserving
+    pairwise distances.  The sign matrix is DERIVED, not stored:
+    entry (i, j) comes from md5 parity, so the driver, every executor,
+    and the SQL oracle regenerate the identical matrix from nothing —
+    the same no-shipped-state trick as the md5 sampling draws (q50).
+
+    Shape: 16 output dims = 16 codegen ``aggregate``/``zip_with``
+    expressions over broadcast sign literals in ONE projection riding
+    the scan — no shuffle at all (plan-pinned: the flat (vec, dim, v)
+    emission is a scan-side posexplode of the projected array).  The
+    oracle rebuilds the matrix in SQL and replays the double sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    import math
+
+    proj = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(
+                            *[
+                                F.lit(float(_jl_sign(i, j)))
+                                for i in range(1, _JL_IN + 1)
+                            ]
+                        ),
+                        lambda a, s: a.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / math.sqrt(_JL_OUT),
+                6,
+            )
+            for j in range(1, _JL_OUT + 1)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(proj).alias("dim0", "v")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).cast("long").alias("dim"), "v"
+    )
+
+
+@register(
+    "q111_ann_recall",
+    f"""
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           ROUND(count(*) / 10.0, 4) AS recall
+    FROM ({{q13}}) ex JOIN ({{q28}}) ap USING (vec_id)
+    """.format(q13=ORACLE["q13_knn_cosine"], q28=ORACLE["q28_ivf_ann"]),
+)
+def q111_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN the engine: recall@10 of the IVF probe
+    (q28) against the exact brute-force top-10 (q13) — the metric every
+    ANN deployment monitors (cell count / n_probe tuning is a recall
+    <-> cost dial; this query is the dial's readout).  Composes the two
+    existing plans and intersects their result sets; the oracle
+    composes the same two oracles, so the measurement itself is
+    hash-checked."""
+    exact = QUERIES["q13_knn_cosine"](spark, sf_dir).select("vec_id")
+    approx = QUERIES["q28_ivf_ann"](spark, sf_dir).select("vec_id")
+    overlap = exact.join(approx, "vec_id")
+    return overlap.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count("*").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 4).alias("recall"),
+    )

@@ -92,3 +92,34 @@ def test_kmeans_stable_under_repartition(spark, sf_dir):
         map(tuple, kmeans_lloyd(emb.repartition(13), k=4, iters=2).collect())
     )
     assert a == b
+
+
+def test_jl_projection_preserves_distances_roughly(spark, sf_dir):
+    """JL sanity on real vectors: for sampled pairs, the projected/
+    original distance ratio stays within a loose band for most pairs
+    (16 dims is aggressive; the bound here is the smoke guarantee the
+    ANN-over-projection path rests on, not the epsilon theorem)."""
+    import math
+
+    from real_time_stream_processing_engine_spark.queries import QUERIES
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    rows = QUERIES["q110_jl_projection"](spark, sf_dir).collect()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r["vec_id"], [0.0] * 16)[r["dim"] - 1] = r["v"]
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .collect()
+    }
+    ids = sorted(emb)
+    ok = tot = 0
+    for a, b in zip(ids[:-1], ids[1:]):
+        d0 = math.dist(emb[a], emb[b])
+        d1 = math.dist(proj[a], proj[b])
+        tot += 1
+        if d0 > 0 and 0.3 <= d1 / d0 <= 2.0:
+            ok += 1
+    assert tot >= 30 and ok / tot >= 0.8, (ok, tot)

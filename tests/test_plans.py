@@ -459,3 +459,11 @@ def test_large_volume_orders_aggregates_before_joining(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q109_large_volume_orders")
     assert _count(plan, "BroadcastHashJoin") == 2
     assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_jl_projection_scan_side_no_exchange(spark, sf_dir):
+    """q110: all 16 projected dims are codegen expressions riding the
+    scan; the flat emission is one Generate — zero exchanges."""
+    plan = _plan(spark, sf_dir, "q110_jl_projection")
+    assert _count(plan, "Exchange") == 0, plan
+    assert _count(plan, "Generate") == 1
