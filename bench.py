@@ -67,6 +67,7 @@ def main() -> None:
         "q62_bm25_indexed",
         "q73_time_partitioned_scan",
         "q87_ivfpq_indexed",
+        "q97_zorder_probe",
     ):
         if idx_q in QUERIES:
             t0 = time.monotonic()
