@@ -4169,3 +4169,151 @@ def q111_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_overlap"),
         F.round(F.count("*") / 10.0, 4).alias("recall"),
     )
+
+
+@register(
+    "q112_temporal_dim_join",
+    """
+    WITH dim AS ({q102}),
+    p AS (SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.user_id, p.event_id, p.ts_sec, d.version, d.val,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.event_id
+               ORDER BY d.valid_from DESC, d.version DESC, d.val DESC
+             ) AS rk
+      FROM p JOIN dim d
+        ON d.user_id = p.user_id AND d.valid_from <= p.ts_sec
+    )
+    SELECT user_id, event_id, ts_sec, version,
+           ROUND(val, 2) AS val_at_purchase
+    FROM cand WHERE rk = 1
+    """.format(q102=ORACLE["q102_scd2_dimension"]),
+)
+def q112_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) dimension join — the query every SCD2
+    table exists FOR: each purchase joined to the dimension version
+    that was valid AT ITS TIMESTAMP, never the current one (the
+    look-ahead-bias bug backtesting/feature pipelines guard against).
+
+    Shape: the as-of union-sort-carry (q26/q48's ONE-exchange pattern,
+    ``operators/windows.py:asof_join``) against q102's oracle-verified
+    version table: probes and version-starts union, sort once per user,
+    carry the latest (valid_from, version, val) struct — no interval
+    join, no per-probe range scan.  Equal-timestamp version ties break
+    by max (version, val) struct order, mirrored in the oracle's DESC
+    ranking.  The oracle composes q102's SQL verbatim, so the
+    dimension build and its consumption are checked END-TO-END."""
+    from .operators.windows import asof_join
+
+    dim = QUERIES["q102_scd2_dimension"](spark, sf_dir).select(
+        "user_id",
+        "version",
+        "val",
+        F.timestamp_seconds(F.col("valid_from")).alias("vf_ts"),
+    )
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.col("ts"))
+    )
+    j = asof_join(
+        probes,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="vf_ts",
+        value_cols=["version", "val"],
+        direction="backward",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.col("asof_version").alias("version"),
+        F.round("asof_val", 2).alias("val_at_purchase"),
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q113_sql() -> str:
+    stats = []
+    for c in _PROFILE_COLS:
+        stats.append(
+            f"""
+    SELECT 'stat' AS kind, '{c}' AS a, '{c}' AS b,
+           CAST(count({c}) AS DOUBLE) AS v1,
+           ROUND(avg({c}), 6) AS v2,
+           ROUND(stddev_samp({c}), 6) AS v3
+    FROM lineitem"""
+        )
+    corrs = []
+    for i, a in enumerate(_PROFILE_COLS):
+        for b in _PROFILE_COLS[i + 1 :]:
+            corrs.append(
+                f"""
+    SELECT 'corr' AS kind, '{a}' AS a, '{b}' AS b,
+           ROUND(corr({a}, {b}), 6) AS v1,
+           0.0 AS v2, 0.0 AS v3
+    FROM lineitem"""
+            )
+    return "\nUNION ALL".join(stats + corrs)
+
+
+@register("q113_numeric_profile", _q113_sql())
+def q113_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profiling + correlation matrix — the statistics
+    block of a data card (and the drift-detection baseline a feature
+    pipeline snapshots per release): per-column count/mean/stddev and
+    all pairwise Pearson correlations over lineitem's numeric columns.
+
+    Shape: ALL 4 column profiles and ALL 6 correlations compute in ONE
+    scan + ONE partial-aggregated reduce — `corr` and `stddev_samp`
+    are algebraic aggregates (sum / sum-of-squares / cross-product
+    partials), so the shuffle carries a constant ~20 doubles total
+    regardless of row count.  The row-per-statistic UNION layout in
+    the oracle is presentation; Spark computes the partials once and
+    emits the same rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("double").alias(f"cnt_{c}"),
+            F.round(F.avg(c), 6).alias(f"avg_{c}"),
+            F.round(F.stddev_samp(c), 6).alias(f"sd_{c}"),
+        ]
+    for i, a in enumerate(_PROFILE_COLS):
+        for b in _PROFILE_COLS[i + 1 :]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}"))
+    one = li.agg(*aggs)
+    rows = []
+    for c in _PROFILE_COLS:
+        rows.append(
+            F.struct(
+                F.lit("stat").alias("kind"),
+                F.lit(c).alias("a"),
+                F.lit(c).alias("b"),
+                F.col(f"cnt_{c}").alias("v1"),
+                F.col(f"avg_{c}").alias("v2"),
+                F.col(f"sd_{c}").alias("v3"),
+            )
+        )
+    for i, a in enumerate(_PROFILE_COLS):
+        for b in _PROFILE_COLS[i + 1 :]:
+            rows.append(
+                F.struct(
+                    F.lit("corr").alias("kind"),
+                    F.lit(a).alias("a"),
+                    F.lit(b).alias("b"),
+                    F.col(f"corr_{a}_{b}").alias("v1"),
+                    F.lit(0.0).alias("v2"),
+                    F.lit(0.0).alias("v3"),
+                )
+            )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.kind", "r.a", "r.b", "r.v1", "r.v2", "r.v3"
+    )

@@ -467,3 +467,20 @@ def test_jl_projection_scan_side_no_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q110_jl_projection")
     assert _count(plan, "Exchange") == 0, plan
     assert _count(plan, "Generate") == 1
+
+
+def test_temporal_dim_join_carries_not_joins(spark, sf_dir):
+    """q112: the point-in-time lookup is the union-sort-carry — no join
+    operator anywhere (probes and version-starts share one sort)."""
+    plan = _plan(spark, sf_dir, "q112_temporal_dim_join")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert _count(plan, op) == 0, op
+
+
+def test_numeric_profile_one_scan_one_reduce(spark, sf_dir):
+    """q113: all 4 profiles + 6 correlations are algebraic aggregates
+    computed in ONE scan and ONE partial-aggregated reduce."""
+    plan = _plan(spark, sf_dir, "q113_numeric_profile")
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "HashAggregate") == 2
