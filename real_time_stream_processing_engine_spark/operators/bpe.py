@@ -1,0 +1,108 @@
+"""Byte-pair-encoding merge learning over a distributed corpus —
+tokenizer preparation as DataFrame iterations.
+
+BPE's training loop (Sennrich et al. 2016) is: count adjacent symbol
+pairs across the (frequency-weighted) vocabulary, merge the most
+frequent pair everywhere, repeat.  Each round here is two distributed
+steps over the VOCAB-sized word table (never the corpus — word
+frequencies are aggregated once up front, the classic optimization):
+
+- pair counting: one scan-side ``transform`` building adjacent pairs +
+  one partial-aggregated sum weighted by word frequency; the argmax
+  pair is a 1-row driver read (bounded, like the k-means centroids);
+- merge application: a codegen ``aggregate`` fold over each word's
+  symbol array — greedy left-to-right exactly like the reference
+  algorithm (a merged symbol cannot re-merge with the next char in the
+  same pass), no Python, no shuffle.
+
+Determinism: pair ties break by (count DESC, left, right).  The merge
+TABLE is rows-only at the driver contract (the apply step's
+sequential fold has no DuckDB equivalent — ``list_reduce`` cannot
+carry a list accumulator); the classic worked example and the
+reconstruction/length invariants are pinned in
+``tests/test_bpe.py`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_symbols(word: Column) -> Column:
+    """Initial symbol sequence: one char per symbol (split on the
+    empty pattern leaves a trailing empty string — filtered)."""
+    return F.filter(F.split(word, ""), lambda x: x != "")
+
+
+def apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b, as a
+    codegen fold: a freshly merged symbol is not re-considered as the
+    left side within the same pass (run semantics match reference
+    BPE: 'aaa' under (a,a) -> ['aa', 'a'])."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(x, y, cnt): adjacent-pair frequencies weighted by word count —
+    scan-side transform + one partial-aggregated exchange."""
+    pairs = vocab.select(
+        "w",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS x, syms[i] AS y))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<x:string,y:string>>)"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.x", "p.y").agg(F.sum("w").alias("cnt"))
+
+
+def bpe_learn(
+    words: DataFrame,
+    n_merges: int = 3,
+    word_col: str = "word",
+    weight_col: str = "w",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from a (word, frequency) table.
+
+    Returns (merges, final_vocab): merges as [(left, right, count)] in
+    learned order; final_vocab as (word, w, syms) with all merges
+    applied.  Each round touches only the vocab table; the only driver
+    traffic is ONE (pair, count) row per round."""
+    vocab = words.select(
+        F.col(word_col).alias("word"),
+        F.col(weight_col).alias("w"),
+        char_symbols(F.col(word_col)).alias("syms"),
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), a, b))
+        # lineage stays shallow (one fold per round); deep merge runs
+        # would checkpoint every K rounds like the graph fixpoints
+    return merges, vocab

@@ -4317,3 +4317,32 @@ def q113_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.kind", "r.a", "r.b", "r.v1", "r.v2", "r.v3"
     )
+
+
+@register("q114_bpe_merges", None)
+def q114_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning over the corpus — tokenizer preparation as
+    DataFrame iterations (``operators/bpe.py``): aggregate word
+    frequencies ONCE (the corpus is never re-touched), then each round
+    counts adjacent symbol pairs over the vocab-sized table and applies
+    the winning merge as a codegen fold.  Output: the first 8 learned
+    merges in order with their pair counts.
+
+    Rows-only at the driver contract (the greedy merge fold has no
+    DuckDB equivalent — list_reduce cannot carry a list accumulator);
+    the classic worked example (lowest/newest/widest -> 'es', 'est',
+    ...), run-handling ('aaa' under (a,a)), reconstruction, and
+    length-accounting invariants are pinned in ``tests/test_bpe.py``."""
+    from .operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("w"))
+    )
+    merges, _ = bpe_learn(words, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
+        "step: long, left: string, right: string, merged: string, pair_count: long",
+    )
