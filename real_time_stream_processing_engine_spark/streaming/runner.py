@@ -732,6 +732,7 @@ def stream_countmin(
     item_col: str = "user_id",
     target_path: str | None = None,
     checkpoint: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> DataFrame:
     """Maintain a count-min sketch OVER A STREAM: each micro-batch
     builds its own (row, bucket, c) grid and bucket-sum-merges it into
@@ -757,7 +758,14 @@ def stream_countmin(
         )
     recover_swap(spark, target_path)
 
+    n_applied = {"n": 0}
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if (
+            fail_after_batches is not None
+            and n_applied["n"] >= fail_after_batches
+        ):
+            raise RuntimeError("injected sink crash (fail_after_batches)")
         s = batch.sparkSession
         items = batch.select(F.col(item_col).cast("string").alias("tok"))
         delta = countmin_build(items)
@@ -772,6 +780,7 @@ def stream_countmin(
         replace_contents(
             merged.withColumn("last_batch", F.lit(batch_id)), target_path
         )
+        n_applied["n"] += 1
 
     schema, conv = read_schema_for("events", src_path)
     src = convert_ts_cols(

@@ -169,3 +169,70 @@ def test_cdc_recovery_through_interrupted_swap(spark, sf_dir, tmp_path):
     assert not [
         d for d in os.listdir(tmp_path) if d.startswith("cdc_target__swap_")
     ]
+
+
+def test_stream_countmin_recovers_from_sink_crash(spark, sf_dir, tmp_path):
+    """q105's exactly-once for NON-idempotent (additive) state: crash
+    before the first apply, restart from the same checkpoint + target —
+    the replayed batch applies exactly once and the final sketch equals
+    the batch-built sketch."""
+    import pytest
+
+    from real_time_stream_processing_engine_spark.operators.sketches import (
+        countmin_build,
+    )
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_countmin,
+    )
+
+    target = str(tmp_path / "cms_target")
+    ckpt = str(tmp_path / "cms_ckpt")
+    with pytest.raises(Exception):
+        stream_countmin(
+            spark, sf_dir, target_path=target, checkpoint=ckpt,
+            fail_after_batches=0,
+        )
+    streamed = stream_countmin(
+        spark, sf_dir, target_path=target, checkpoint=ckpt
+    )
+    batch = countmin_build(
+        load_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("tok")
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_countmin_rerun_is_ledger_noop(spark, sf_dir, tmp_path):
+    """Re-running the whole job against an already-complete target
+    (fresh checkpoint, so every batch redelivers with the same ids)
+    must change nothing: the last_batch ledger makes each replayed
+    batch a whole-batch no-op — double-counting is the failure mode
+    this guards against for additive state."""
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_countmin,
+    )
+
+    target = str(tmp_path / "cms_target2")
+    first = sorted(
+        map(
+            tuple,
+            stream_countmin(
+                spark, sf_dir, target_path=target,
+                checkpoint=str(tmp_path / "ck_a"),
+            ).collect(),
+        )
+    )
+    second = sorted(
+        map(
+            tuple,
+            stream_countmin(
+                spark, sf_dir, target_path=target,
+                checkpoint=str(tmp_path / "ck_b"),
+            ).collect(),
+        )
+    )
+    assert first == second
