@@ -378,3 +378,123 @@ def resize_images_real(
     if min_parallelism:
         df = df.repartition(min_parallelism)
     return df.mapInPandas(make_real_resizer(out_w, out_h), THUMB_SCHEMA)
+
+
+# ---------------------------------------------------------------- audio (WAV)
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pure-numpy WAV (RIFF/PCM) decoder: parses the chunk tree
+    (fmt + data, tolerating extra chunks), validates PCM 16-bit, and
+    returns (sample_rate, n_channels, samples[int16, frames x ch]).
+    The audio analogue of the PPM/PGM/BMP image codecs — uncompressed
+    formats need no external libs, so the decode is real, not a stub;
+    compressed audio (mp3/ogg/aac) stays behind the same env-gated
+    boundary as JPEG/PNG."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    samples = np.frombuffer(
+        data[: (len(data) // (2 * n_ch)) * 2 * n_ch], dtype="<i2"
+    ).reshape(-1, n_ch)
+    return rate, n_ch, samples
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def real_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL WAV decode -> features (rate, frames, duration, mean |amp|,
+    peak) per payload; undecodable payloads quarantine in
+    ``decode_error`` instead of failing the stage."""
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "sample_rate", "n_channels", "n_frames",
+            "duration_s", "mean_abs", "peak_abs", "decode_error",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            out["doc_id"].append(int(doc_id))
+            try:
+                rate, n_ch, samples = decode_wav(bytes(payload))
+                amp = np.abs(samples.astype(np.int64))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_frames"].append(samples.shape[0])
+                out["duration_s"].append(round(samples.shape[0] / rate, 6))
+                out["mean_abs"].append(round(float(amp.mean()), 6))
+                out["peak_abs"].append(int(amp.max()))
+                out["decode_error"].append(None)
+            except Exception as e:
+                for k in ("sample_rate", "n_channels", "n_frames",
+                          "duration_s", "mean_abs", "peak_abs"):
+                    out[k].append(None)
+                out["decode_error"].append(f"{type(e).__name__}: {e}"[:120])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                "n_channels": pd.Series(out["n_channels"], dtype="Int32"),
+                "n_frames": pd.Series(out["n_frames"], dtype="Int32"),
+                "duration_s": pd.Series(out["duration_s"], dtype="float64"),
+                "mean_abs": pd.Series(out["mean_abs"], dtype="float64"),
+                "peak_abs": pd.Series(out["peak_abs"], dtype="Int32"),
+                "decode_error": out["decode_error"],
+            }
+        )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal PCM-16 mono/stereo WAV encoder (bit-exact round-trip
+    partner of :func:`decode_wav`)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    block = 2 * n_ch
+    hdr = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def extract_audio_features(
+    audio: DataFrame, payload_col: str = "payload", min_parallelism: int | None = None
+) -> DataFrame:
+    """Real audio feature extraction over a (doc_id, payload) frame of
+    WAV bytes — same Arrow mapInPandas shape as the image path."""
+    df = audio.select("doc_id", F.col(payload_col).alias("payload"))
+    if min_parallelism:
+        df = df.repartition(min_parallelism)
+    return df.mapInPandas(real_audio_features, AUDIO_SCHEMA)

@@ -4346,3 +4346,66 @@ def q114_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
         "step: long, left: string, right: string, merged: string, pair_count: long",
     )
+
+
+@register(
+    "q115_audio_decode",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+      SELECT doc_id,
+             ('0x' || substr(hx, 4 * g.i - 3, 2))::BIGINT
+               + 256 * ('0x' || substr(hx, 4 * g.i - 1, 2))::BIGINT AS raw
+      FROM h CROSS JOIN generate_series(1, 8) g(i)
+    ),
+    a AS (SELECT doc_id,
+                 abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
+                   AS amp
+          FROM s)
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8 AS INTEGER) AS n_frames,
+           ROUND(8 / 8000.0, 6) AS duration_s,
+           ROUND(avg(amp), 6) AS mean_abs,
+           CAST(max(amp) AS INTEGER) AS peak_abs
+    FROM a GROUP BY doc_id
+    """,
+)
+def q115_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, driver-verified — the audio leg of the
+    multimodal family beside q76's images: each document gets a PCM-16
+    mono WAV payload whose 8 samples are the 16 bytes of
+    ``unhex(md5(text))`` little-endian, built as a JVM binary
+    projection; the pure-numpy RIFF parser
+    (``multimodal.decode_wav``) decodes actual samples in the Arrow
+    mapInPandas stage and reports rate / frames / duration / mean |amp|
+    / peak.  The oracle recomputes the same int16 arithmetic from the
+    md5 hex in SQL, so a hash match proves the DECODER (chunk walk,
+    sample layout, sign handling) — not a fake.  Compressed audio
+    (mp3/ogg) stays behind the same env-gated boundary as JPEG/PNG."""
+    from .operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    data_len = 16
+    hdr = (
+        b"RIFF" + (36 + data_len).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + data_len.to_bytes(4, "little")
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.lit(hdr), F.unhex(F.md5("text"))).alias("payload"),
+    )
+    return extract_audio_features(payloads).select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_s",
+        "mean_abs",
+        "peak_abs",
+    )

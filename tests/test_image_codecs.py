@@ -129,3 +129,63 @@ def test_spark_real_resize_roundtrip(spark):
     assert thumb.shape == (4, 4, 3)
     assert np.array_equal(thumb, resize_image(img, 4, 4))
     assert got[2]["thumb"] is None  # quarantined, not failed
+
+
+# ---------------------------------------------------------------- WAV audio
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    mono = (np.arange(-100, 100) * 163).astype(np.int16)
+    r, ch, got = decode_wav(encode_wav(mono, 44100))
+    assert (r, ch) == (44100, 1) and (got[:, 0] == mono).all()
+    stereo = np.stack([mono, mono[::-1]], axis=1)
+    r, ch, got = decode_wav(encode_wav(stereo, 8000))
+    assert (r, ch) == (8000, 2) and (got == stereo).all()
+
+
+def test_wav_tolerates_extra_chunks():
+    """Real-world WAVs carry LIST/INFO chunks between fmt and data —
+    the chunk walk must skip them (with word alignment)."""
+    import numpy as np
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = (np.arange(8) * 1000).astype(np.int16)
+    b = encode_wav(s, 8000)
+    # splice an odd-sized LIST chunk after fmt (ends at byte 36)
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = b[:36] + extra + b[36:]
+    # fix the RIFF size
+    spliced = (
+        b"RIFF"
+        + (len(spliced) - 8).to_bytes(4, "little")
+        + spliced[8:]
+    )
+    r, ch, got = decode_wav(spliced)
+    assert (got[:, 0] == s).all()
+
+
+def test_wav_decode_quarantines_garbage(spark):
+    """Poison payloads land in decode_error, never fail the stage."""
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")), (2, None)],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["decode_error"] is not None
+    assert rows[1]["mean_abs"] is None
+    assert rows[2]["decode_error"] is not None
