@@ -85,3 +85,36 @@ def stream_to_files(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_cols: list[str],
+    order_cols: list[str],
+    max_records_per_file: int,
+    mode: str = "overwrite",
+) -> None:
+    """Export the last mile of a curation pipeline as training shards
+    with CONTROLLED file geometry — the two failure modes at 100 TB
+    are mirror images: thousands of tiny files (per-task dribble) that
+    crush the downstream loader's open() rate, and single giant files
+    that serialize it.  This pins both:
+
+    - ONE range exchange on ``shard_cols`` clusters each shard's rows
+      into the same tasks (no per-task file dribble);
+    - an in-partition sort on ``order_cols`` makes every file's row
+      order deterministic (resumable loaders index by offset);
+    - ``maxRecordsPerFile`` splits oversized partitions at write time,
+      bounding the largest file without another shuffle.
+
+    The reference's results sink appends per-tuple lines with no
+    geometry control at all (``Node.java`` results append path); this
+    is the posture a petabyte export actually ships with."""
+    (
+        df.repartitionByRange(*[F.col(c) for c in shard_cols])
+        .sortWithinPartitions(*shard_cols, *order_cols)
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .mode(mode)
+        .parquet(path)
+    )

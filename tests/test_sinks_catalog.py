@@ -157,3 +157,41 @@ def test_catalog_merge_compacts(spark, tmp_path):
     assert n_before == 10 and n_after == 1
     got = sorted(r.k for r in catalog.get(spark, p).collect())
     assert got == list(range(100))
+
+
+def test_training_shards_bound_file_geometry(spark, sf_dir, tmp_path):
+    """write_training_shards pins BOTH file-geometry failure modes:
+    no file exceeds maxRecordsPerFile, the file count stays near
+    rows/max (no per-task dribble of tiny files), and re-reading
+    preserves every row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from real_time_stream_processing_engine_spark.sinks.writers import (
+        write_training_shards,
+    )
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    n = ev.count()
+    out = str(tmp_path / "shards")
+    cap = 400
+    write_training_shards(
+        ev, out, shard_cols=["user_id"], order_cols=["event_id"],
+        max_records_per_file=cap,
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    counts = [pq.read_metadata(os.path.join(out, f)).num_rows for f in files]
+    assert max(counts) <= cap
+    # dribble guard: within 4x of the ideal file count
+    assert len(files) <= 4 * (n // cap + 1)
+    assert sum(counts) == n
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # deterministic in-file order: events sorted by (user, event) per file
+    first = pq.read_table(os.path.join(out, sorted(files)[0])).to_pydict()
+    pairs = list(zip(first["user_id"], first["event_id"]))
+    assert pairs == sorted(pairs)
