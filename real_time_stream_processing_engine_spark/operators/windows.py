@@ -194,3 +194,68 @@ def asof_join_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     return carried.filter(F.col("_is_order") == 0).select(
         "event_id", "user_id", "last_order_epoch"
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Two-phase grid skyline (Pareto frontier): keep rows no other row
+    beats on BOTH ``minimize`` (lower better) and ``maximize`` (higher
+    better); exact ties on both survive together.
+
+    Phase 1 bins the minimized column into fixed-width cells (bounds
+    from one 1-row agg) and broadcasts the strictly-lower-cell prefix
+    maxima of the maximized column — dominated rows die AT THE SCAN.
+    Every true skyline row provably survives (its dominator would sit
+    in a cheaper cell).  Phase 2 runs the exact single-pass sweep over
+    the surviving sliver's distinct value pairs (ascending sort +
+    running max over strictly-preceding rows) and joins survivors back
+    by pair.  The quadratic NOT-EXISTS definition is the oracle
+    contract; this is its linear-ish distributed evaluation."""
+    from pyspark.sql import Window
+
+    lo, hi = df.agg(F.min(minimize), F.max(minimize)).head()
+    width = (float(hi) - float(lo)) / n_bins or 1.0
+    binned = df.withColumn(
+        "_sk_bin",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col(minimize) - F.lit(float(lo))) / F.lit(width)),
+        ).cast("int"),
+    )
+    cell_max = {
+        int(r["_sk_bin"]): r["mx"]
+        for r in binned.groupBy("_sk_bin").agg(F.max(maximize).alias("mx")).collect()
+    }
+    prefix, run = {}, None
+    for b in range(n_bins):
+        prefix[b] = run
+        if b in cell_max:
+            run = cell_max[b] if run is None else max(run, cell_max[b])
+    sentinel = float("-inf")
+    pref_arr = F.array(
+        *[
+            F.lit(sentinel if prefix[b] is None else float(prefix[b]))
+            for b in range(n_bins)
+        ]
+    )
+    survivors = binned.filter(
+        F.col(maximize).cast("double")
+        > F.element_at(pref_arr, F.col("_sk_bin") + 1)
+    ).drop("_sk_bin")
+    pairs = survivors.select(minimize, maximize).distinct()
+    w = Window.orderBy(F.asc(minimize), F.desc(maximize)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_pairs = (
+        pairs.withColumn("_sk_runmax", F.max(maximize).over(w))
+        .filter(
+            F.col("_sk_runmax").isNull()
+            | (F.col(maximize) > F.col("_sk_runmax"))
+        )
+        .select(minimize, maximize)
+    )
+    return survivors.join(F.broadcast(sky_pairs), [minimize, maximize])

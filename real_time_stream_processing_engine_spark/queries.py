@@ -4409,3 +4409,56 @@ def q115_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_abs",
         "peak_abs",
     )
+
+
+@register(
+    "q116_skyline",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice AS price,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT a.o_orderkey, ROUND(a.price, 2) AS price, a.d AS date_sec
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.price <= a.price AND b.d >= a.d
+        AND (b.price < a.price OR b.d > a.d)
+    )
+    """,
+)
+def q116_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of urgent orders — cheapest-yet-most-
+    recent: rows no other row beats on BOTH price (lower better) and
+    order date (later better).  The multi-objective shortlist shape
+    (candidate selection, quality-vs-cost curation cuts) that naive SQL
+    writes as the O(n^2) NOT EXISTS the oracle uses.
+
+    Distributed shape — the two-phase grid skyline: phase 1 bins price
+    into 64 fixed-width cells (bounds from ONE 1-row agg), takes each
+    cell's max date, and broadcasts the 64-entry strictly-lower-cell
+    prefix maxima — any row an earlier cell already beats dies AT THE
+    SCAN (a cheaper cell containing a later date dominates it).  Only
+    the surviving sliver (frontier-adjacent rows, ~cells x a few) takes
+    the exact pass: distinct (price, date) pairs through one ascending
+    sort with a running date maximum.  Every true skyline row provably
+    survives phase 1 (its dominator would have to exist in a cheaper
+    cell), so the two-phase answer EQUALS the quadratic definition —
+    which is exactly what the oracle checks."""
+    from .operators.windows import skyline_2d
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.unix_timestamp("o_orderdate").alias("d"),
+        )
+    )
+    return skyline_2d(o, minimize="price", maximize="d").select(
+        "o_orderkey",
+        F.round("price", 2).alias("price"),
+        F.col("d").alias("date_sec"),
+    )
