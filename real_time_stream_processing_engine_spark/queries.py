@@ -4462,3 +4462,4 @@ def q116_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 2).alias("price"),
         F.col("d").alias("date_sec"),
     )
+

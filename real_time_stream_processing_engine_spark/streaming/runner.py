@@ -800,3 +800,82 @@ def stream_countmin(
     )
     q.awaitTermination()
     return spark.read.parquet(target_path).drop("last_batch")
+
+
+def stream_lifetime_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime stats via ``transformWithStateInPandas`` — the
+    MODERN custom-state API (Spark 4 StatefulProcessor: typed state
+    handles, TTL, timers, RocksDB-only) beside q32's classic
+    ``applyInPandasWithState``.  ValueState holds (n, sum) per user;
+    each micro-batch emits the updated totals (update semantics), and
+    the final answer per user is the row with the maximal monotone
+    count — which equals the batch groupBy (the oracle).
+
+    transformWithState requires the RocksDB state store, so this query
+    pins the provider for its own drain regardless of the session
+    default (the in-heap default stays for everything else)."""
+    try:  # transformWithState speaks protobuf to the JVM driver worker
+        from google.protobuf import descriptor  # noqa: F401
+    except Exception as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "runtime, which this environment does not provide (same "
+            "env-gated posture as the Kafka connector); q32's "
+            "applyInPandasWithState path covers custom state without it."
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class LifetimeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get()
+            n, s = (prev[0], prev[1]) if prev else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._agg.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = stream_events(spark, sf_dir)
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        LifetimeStats(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        drained = run_to_memory_available_now(out, output_mode="update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
