@@ -4463,3 +4463,123 @@ def q116_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("date_sec"),
     )
 
+
+@register(
+    "q117_weighted_topk_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5('esk' || '|' || CAST(doc_id AS VARCHAR)),
+                              1, 13))::BIGINT + 0.5)
+               / 4503599627370496.0 AS u
+      FROM documents),
+    k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 ROUND(ln(u) / n_chars, 9) AS es_key
+          FROM d)
+    SELECT doc_id, weight, es_key FROM k
+    ORDER BY es_key DESC, doc_id LIMIT 20
+    """,
+)
+def q117_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact-k — the
+    Efraimidis-Spirakis A-Res scheme: each row draws key
+    u^(1/weight) (evaluated as ln(u)/weight, same ordering, better
+    conditioning) and the k largest keys ARE a weighted k-sample.
+    Complements q85's weighted Bernoulli (random size) with the
+    fixed-size draw every mixture builder actually requests.
+
+    Scale shape: the key is one codegen expression over the same
+    md5(seed|id) 52-bit draw family as every sampler here (+0.5 keeps
+    u strictly inside (0,1)); top-k is TakeOrdered on the ROUNDED key
+    with id tie-break — no shuffle, no rand(), retry/repartition-
+    stable, and the oracle replays the identical arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("esk|"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    return keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "q118_split_leakage_audit",
+    None,  # placeholder replaced below with the q58-threshold SQL
+)
+def q118_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit — the check every dataset release runs
+    after splitting: exact-content fingerprints that appear in more
+    than one split (an eval doc with a training twin inflates scores).
+    Composes the deterministic split assignment (q58's md5 thresholds)
+    with the 100-char normalized-prefix fingerprint — the cheap
+    near-dup BLOCKING key (raw exact hashes miss the paraphrased twin;
+    the full near-dup audit swaps in a MinHash band key on the same
+    one-exchange plan) — so the audit is reproducible across reruns
+    and corpus growth, and the leakage path is LIVE on this corpus
+    (prefix twins do straddle the split boundary).
+
+    Shape: fingerprint + split are scan-side projections; ONE
+    partial-aggregated groupBy(fingerprint) carrying (distinct-split,
+    count) partials; the HAVING filter keeps only leaking groups.  At
+    100 TB this is the same one-exchange profile as exact dedup (q11)
+    — and the near-dup generalization just swaps the fingerprint for
+    a MinHash band key."""
+    from .operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    )
+    norm_prefix = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.substring("text", 1, 100)), r"\s+", " ")
+        )
+    )
+    fp = assigned.select(norm_prefix.alias("fp"), "split")
+    g = fp.groupBy("fp").agg(
+        F.countDistinct("split").cast("long").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+        F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias(
+            "splits"
+        ),
+    )
+    return g.filter(F.col("n_splits") > 1).select(
+        "fp", "n_splits", "n_docs", "splits"
+    )
+
+
+def _q118_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    t80, t90 = fraction_threshold_hex(0.8), fraction_threshold_hex(0.9)
+    return f"""
+    WITH d AS (
+      SELECT md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                     '\s+', ' ', 'g'))) AS fp,
+             CASE WHEN substr(md5('split1' || '|' || CAST(doc_id AS VARCHAR)),
+                              1, 28) < '{t80}' THEN 'train'
+                  WHEN substr(md5('split1' || '|' || CAST(doc_id AS VARCHAR)),
+                              1, 28) < '{t90}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT fp, CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+    FROM d GROUP BY fp HAVING count(DISTINCT split) > 1
+    """
+
+
+ORACLE["q118_split_leakage_audit"] = _q118_sql()
+
