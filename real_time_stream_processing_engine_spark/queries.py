@@ -4560,6 +4560,122 @@ def q118_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q119_decile_profile",
+    """
+    WITH c AS (
+      SELECT o_totalprice AS price,
+             cume_dist() OVER (ORDER BY o_totalprice) AS cd
+      FROM orders
+    ),
+    b AS (SELECT price,
+                 LEAST(9, CAST(floor(cd * 10) AS BIGINT)) AS decile
+          FROM c)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(price), 2) AS lo,
+           ROUND(max(price), 2) AS hi,
+           ROUND(avg(price), 6) AS mean
+    FROM b GROUP BY decile
+    """,
+)
+def q119_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile profile of order prices WITHOUT a global sort — the
+    rank-bucket report (deciles/percentile bands) every distribution
+    dashboard shows, built scale-right: NTILE/cume_dist windows order
+    the WHOLE table in one task; here cume_dist(price) is computed as
+    cnt_le(price)/n from a per-price histogram + cumulative pass over
+    the DISTINCT price table (q84's histogram-crossing posture —
+    cardinality bounded by price granularity, not row count), joined
+    back broadcast.  Tie-stable by construction (tied prices share a
+    cume_dist, unlike NTILE's arbitrary tie split), so the oracle's
+    window formulation matches exactly."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.count("*").alias("cnt")
+    )
+    n = orders.count()
+    w = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cumulative pass over the DISTINCT-price table (bounded), not rows
+    cum = hist.withColumn("cnt_le", F.sum("cnt").over(w)).select(
+        "price", "cnt_le"
+    )
+    bucketed = orders.join(
+        F.broadcast(cum), orders["o_totalprice"] == cum["price"]
+    ).select(
+        "o_totalprice",
+        F.least(
+            F.lit(9),
+            F.floor(F.col("cnt_le") / F.lit(float(n)) * 10).cast("long"),
+        ).alias("decile"),
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean"),
+    )
+
+
+@register(
+    "q120_markov_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (SELECT prev, event_type AS nxt FROM o WHERE prev IS NOT NULL),
+    c AS (SELECT prev, nxt, count(*) AS n FROM t GROUP BY 1, 2),
+    r AS (SELECT prev, sum(n) AS row_n FROM c GROUP BY 1)
+    SELECT c.prev, c.nxt, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / r.row_n, 6) AS p
+    FROM c JOIN r USING (prev)
+    """,
+)
+def q120_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts
+    and row-normalized probabilities of (previous event type -> next
+    event type) over per-user ordered histories — the behavioral model
+    behind next-action prediction baselines and anomaly scoring (a
+    session whose transitions are improbable under this matrix is the
+    sequence-level analogue of q95's improbable bigrams).
+
+    Shape: ONE shuffle by user feeds the lag; the transition counts
+    and row totals are two partial-aggregated groupBys over the
+    |types|^2-bounded matrix; normalization joins broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select("prev", F.col("event_type").alias("nxt"))
+    )
+    # the |types|^2 matrix is consumed twice (probabilities + row
+    # totals); caching it runs the lag pipeline ONCE (q100's posture)
+    c = t.groupBy("prev", "nxt").agg(F.count("*").alias("n")).cache()
+    r = c.groupBy("prev").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(r), "prev")
+        .select(
+            "prev",
+            "nxt",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+        )
+    )
+
+
 def _q118_sql() -> str:
     from .operators.sampling import fraction_threshold_hex
 

@@ -489,3 +489,27 @@ def test_numeric_profile_one_scan_one_reduce(spark, sf_dir):
     assert _count(plan, "Scan parquet") == 1
     assert _count(plan, "Exchange") == 1
     assert _count(plan, "HashAggregate") == 2
+
+
+def test_markov_single_window_broadcast_normalize(spark, sf_dir):
+    """q120: one user-keyed Window feeds the lag; the cached |types|^2
+    matrix serves both the probabilities and the row totals (the lag
+    pipeline never runs twice); normalization joins broadcast."""
+    from .conftest import SF_T2
+
+    plan = _plan(spark, SF_T2, "q120_markov_transitions")
+    assert _count(plan, "Window") <= 1
+    assert "InMemoryTableScan" in plan
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_decile_cumulative_pass_is_over_aggregated_prices(spark, sf_dir):
+    """q119: the cume-dist cumulative window consumes the DISTINCT
+    price histogram (HashAggregate below the Window), never raw rows —
+    the q84 posture; the bucket join broadcasts."""
+    plan = _plan(spark, sf_dir, "q119_decile_profile")
+    assert _count(plan, "Window") == 1
+    assert _count(plan, "BroadcastHashJoin") == 1
+    # the window's subtree aggregates first: at least hist partial+final
+    assert _count(plan, "HashAggregate") >= 4
