@@ -28,7 +28,7 @@ _RISK_ORDER = [
     # outer joins, label centroids, bigram LM, streaming outer join,
     # z-order layout, k-means, normalization, PMI
     "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103", "q104",
-    "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112", "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120",
+    "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112", "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
     "q90", "q91", "q92", "q93", "q94", "q95",
     # round 3: rolling windows, CDC upsert (batch + streaming), LM
     # score, JSON extraction, chunking

@@ -4676,6 +4676,87 @@ def q120_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q121_psi_drift",
+    """
+    WITH b AS (
+      SELECT source, LEAST(9, CAST(floor(n_chars / 400.0) AS BIGINT)) AS bin
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (SELECT source, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+    bins AS (SELECT g.i - 1 AS bin FROM generate_series(1, 10) g(i)),
+    p AS (
+      SELECT bins.bin,
+             COALESCE(c0.n, 0) / CAST(t0.tot AS DOUBLE) + 1e-6 AS p0,
+             COALESCE(c1.n, 0) / CAST(t1.tot AS DOUBLE) + 1e-6 AS p1
+      FROM bins
+      LEFT JOIN (SELECT * FROM c WHERE source = 'src0') c0 USING (bin)
+      LEFT JOIN (SELECT * FROM c WHERE source = 'src1') c1 USING (bin)
+      CROSS JOIN (SELECT tot FROM t WHERE source = 'src0') t0
+      CROSS JOIN (SELECT tot FROM t WHERE source = 'src1') t1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           ROUND(p0, 6) AS p_base, ROUND(p1, 6) AS p_new,
+           ROUND((p1 - p0) * ln(p1 / p0), 6) AS psi_term
+    FROM p
+    """,
+)
+def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two sources' length
+    distributions — THE production drift monitor (did the new crawl
+    shift the distribution the filters were tuned on?): fixed 400-char
+    bins, per-bin proportions with a 1e-6 floor (the standard PSI
+    smoothing so empty bins don't blow up the log), per-bin PSI terms
+    whose sum is the drift score (< 0.1 stable, > 0.25 action).
+
+    Shape: ONE partial-aggregated (source, bin) count over the scan,
+    tiny totals crossJoin-broadcast, per-bin arithmetic over a 10-row
+    frame — at 100 TB this is a fixed-size report off one pass, and
+    pairing it with q113's profile gives the full drift dashboard."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    b = docs.select(
+        "source",
+        F.least(F.lit(9), F.floor(F.col("n_chars") / 400.0)).cast("long").alias(
+            "bin"
+        ),
+    )
+    c = b.groupBy("source", "bin").agg(F.count("*").alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    c0 = c.filter(F.col("source") == "src0").select("bin", F.col("n").alias("n0"))
+    c1 = c.filter(F.col("source") == "src1").select("bin", F.col("n").alias("n1"))
+    t0 = t.filter(F.col("source") == "src0").select(F.col("tot").alias("tot0"))
+    t1 = t.filter(F.col("source") == "src1").select(F.col("tot").alias("tot1"))
+    p = (
+        bins.join(F.broadcast(c0), "bin", "left")
+        .join(F.broadcast(c1), "bin", "left")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            "bin",
+            (
+                F.coalesce("n0", F.lit(0)) / F.col("tot0").cast("double")
+                + F.lit(1e-6)
+            ).alias("p0"),
+            (
+                F.coalesce("n1", F.lit(0)) / F.col("tot1").cast("double")
+                + F.lit(1e-6)
+            ).alias("p1"),
+        )
+    )
+    return p.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("p0", 6).alias("p_base"),
+        F.round("p1", 6).alias("p_new"),
+        F.round(
+            (F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0")), 6
+        ).alias("psi_term"),
+    )
+
+
 def _q118_sql() -> str:
     from .operators.sampling import fraction_threshold_hex
 
