@@ -4780,3 +4780,237 @@ def _q118_sql() -> str:
 
 ORACLE["q118_split_leakage_audit"] = _q118_sql()
 
+
+
+# --------------------------------------------------------------------------
+# Round-4 continuation: time-series completeness, anomaly detection,
+# interval concurrency
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q122_gapfill_daily",
+    """
+    WITH o AS (SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+                      o_custkey, o_totalprice FROM orders),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+    spine AS (SELECT n_name, unnest(generate_series(b.lo, b.hi)) AS day
+              FROM nation, b),
+    rev AS (SELECT n.n_name, o.day,
+                   sum(o.o_totalprice) AS rev, count(*) AS n
+            FROM o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2)
+    SELECT s.n_name, CAST(s.day AS BIGINT) AS day,
+           ROUND(COALESCE(r.rev, 0.0), 4) AS revenue,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN rev r ON s.n_name = r.n_name AND s.day = r.day
+    """,
+)
+def q122_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue series per nation — the time-series
+    completeness primitive every downstream window/forecast step needs
+    (a missing day must be an explicit zero row, not an absent row, or
+    every moving average silently shortens its denominator).
+
+    Shape: the (lo, hi) day bounds are ONE 1-row aggregate broadcast
+    into a ``sequence()`` + ``explode`` spine generated scan-free on
+    the 25-row nation dim — |nations| x |days| rows materialized
+    distributed, never on the driver.  The revenue side partial-
+    aggregates to (nation, day) BEFORE the spine join, so the left
+    join's build side is the small aggregate, not raw orders.  At
+    100 TB the spine is still only dims x days (~1e6 rows/decade) —
+    this plan is scale-invariant."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.select(
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        nation.select("n_name")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "n_name",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    rev = (
+        o.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "day")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    )
+    return spine.join(rev, ["n_name", "day"], "left").select(
+        "n_name",
+        F.col("day").cast("long").alias("day"),
+        F.round(F.coalesce("rev", F.lit(0.0)), 4).alias("revenue"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "q123_moving_anomaly",
+    """
+    WITH o AS (SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+                      o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    rev AS (SELECT n.n_name, o.day, sum(o.cents) AS rev_cents
+            FROM o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+    w AS (SELECT n_name, day, rev_cents,
+                 CAST(sum(rev_cents) OVER win AS BIGINT) AS s,
+                 count(*) OVER win AS n_win
+          FROM rev
+          WINDOW win AS (PARTITION BY n_name ORDER BY day
+                         RANGE BETWEEN 27 PRECEDING AND 1 PRECEDING))
+    SELECT n_name, CAST(day AS BIGINT) AS day,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           CAST(s AS BIGINT) AS trailing_cents,
+           CAST(n_win AS BIGINT) AS n_win,
+           CAST((rev_cents * n_win * 1000) // s AS BIGINT) AS ratio_permille
+    FROM w
+    WHERE n_win >= 7 AND s > 0
+      AND (rev_cents * n_win > 2 * s OR 2 * rev_cents * n_win < s)
+    """,
+)
+def q123_moving_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: per (nation, day) revenue
+    versus the PRECEDING 28-day mean (RANGE frame 27..1 PRECEDING —
+    the current day is excluded so a spike cannot mask itself),
+    flagging days over 2x or under 0.5x the trailing mean once at
+    least 7 trailing days exist.  The drift/incident monitor a
+    pipeline runs on every ingest batch.
+
+    Exactness is engineered, not hoped for: money is summed as
+    INTEGER CENTS (doubles with 2dp are exact once scaled), the
+    trailing sum S stays a BIGINT through the window frame, and the
+    anomaly predicate is the integer comparison rev*n > 2S, and every
+    output column is either exact integers or a 2dp-stable quotient —
+    so neither the flagged row SET nor the displayed values can drift
+    between engines no matter the accumulation order or the engine's
+    ROUND tie-break rule (a float z-score filter flips boundary rows,
+    and ROUND(S/n) flips .xxxx5 ties: both observed live against
+    DuckDB before this formulation).
+
+    Shape: aggregate-first (orders partial-aggregate to nation x day
+    BEFORE any window), then one exchange on n_name (~25 keys at any
+    scale) and a per-key event-time RANGE frame.  The window input is
+    dims x days, not raw facts, so the skew ceiling is days-per-nation
+    — bounded and identical at 100 TB."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.select(
+            F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    win = Window.partitionBy("n_name").orderBy("day").rangeBetween(-27, -1)
+    w = rev.select(
+        "n_name",
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(win).cast("long").alias("s"),
+        F.count("*").over(win).alias("n_win"),
+    )
+    spike = F.col("rev_cents") * F.col("n_win") > 2 * F.col("s")
+    drop = 2 * F.col("rev_cents") * F.col("n_win") < F.col("s")
+    return w.filter(
+        (F.col("n_win") >= 7) & (F.col("s") > 0) & (spike | drop)
+    ).select(
+        "n_name",
+        F.col("day").cast("long").alias("day"),
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.col("s").cast("long").alias("trailing_cents"),
+        F.col("n_win").cast("long").alias("n_win"),
+        F.expr("(rev_cents * n_win * 1000) div s")
+        .cast("long")
+        .alias("ratio_permille"),
+    )
+
+
+@register(
+    "q124_session_concurrency",
+    """
+    WITH lagd AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             epoch_us(ts) AS us, event_id
+      FROM events),
+    marked AS (SELECT user_id, sec, us, event_id,
+                      CASE WHEN prev IS NULL OR us - prev > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+               FROM lagd),
+    sess AS (SELECT user_id, sec,
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) AS BIGINT)
+                      AS session_id
+             FROM marked),
+    iv AS (SELECT min(sec) AS s, max(sec) AS e
+           FROM sess GROUP BY user_id, session_id),
+    d AS (SELECT s AS t, 1 AS nd FROM iv
+          UNION ALL SELECT e + 1, -1 FROM iv),
+    net AS (SELECT t, sum(nd) AS nd FROM d GROUP BY t),
+    run AS (SELECT t, sum(nd) OVER (ORDER BY t) AS conc,
+                   COALESCE(sum(nd) OVER (ORDER BY t ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_conc
+            FROM net),
+    hb AS (SELECT CAST(floor(t / 3600) * 3600 AS BIGINT) AS bucket_start,
+                  conc, prev_conc, t
+           FROM run)
+    SELECT bucket_start,
+           CAST(CASE WHEN min(t) > bucket_start
+                     THEN greatest(max(conc), min_by(prev_conc, t))
+                     ELSE max(conc) END AS BIGINT) AS max_concurrent
+    FROM hb GROUP BY bucket_start
+    """,
+)
+def q124_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per hour — the capacity-planning
+    query (how many sessions were simultaneously open at the worst
+    moment of each hour?).  Sessions are q24's 30-minute-gap intervals;
+    concurrency is the sweep-line over their [start, end] spans.
+
+    Spark side runs :func:`operators.windows.interval_concurrency` —
+    the two-phase distributed sweep (per-bucket prefix maxima in
+    parallel + one |buckets|-sized cumulative offset).  The oracle
+    deliberately computes it the NAIVE way (one global running sum,
+    then per-hour max with carry-in via lag) so the hash match proves
+    the decomposition exact, not just plausible."""
+    from .operators.windows import interval_concurrency, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev)
+    iv = sess.select(
+        (F.col("session_start_us") / 1_000_000).cast("long").alias("s"),
+        ((F.col("session_start_us") + F.col("duration_us")) / 1_000_000)
+        .cast("long")
+        .alias("e"),
+    )
+    return interval_concurrency(iv, "s", "e", bucket_sec=3600).select(
+        "bucket_start", "max_concurrent"
+    )
