@@ -92,3 +92,73 @@ def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> list[int]:
+    """Build a Bloom filter over ``key_col`` as a packed word array —
+    the RUNTIME FILTER for joins whose build side is too big to
+    broadcast as an exact key set.
+
+    Each key sets ``num_hashes`` bit positions (``xxhash64(key, seed)
+    pmod m``); positions pack into 64-bit words via a partial-aggregated
+    ``bit_or`` groupBy — so the driver receives at most ``num_bits/64``
+    longs (8 KiB at the default m=65536) regardless of key count.
+    That bounded collect is the point: at 100 TB the exact key set of a
+    selective dimension filter can be tens of GB (unbroadcastable), but
+    its Bloom image is still 8 KiB, and shipping it into the fact scan
+    turns a full-shuffle join into a pre-pruned one.  False positives
+    only (never false negatives), so an exact join downstream keeps
+    results exact — the filter is pure bandwidth savings, which is how
+    Spark's own ``spark.sql.optimizer.runtime.bloomFilter`` applies it."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("p")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (num_bits // 64)
+    for r in words:
+        arr[int(r["w"])] = int(r["bits"])
+    return arr
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    bitmap: list[int],
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Filter ``df`` to rows whose key MAY be in the Bloom filter
+    (all ``num_hashes`` bits set).  Pure codegen — the bitmap rides as
+    an array literal in the plan and each probe is element_at + AND,
+    no Python, no join, no shuffle; apply BEFORE the exact join."""
+    arr = F.lit(bitmap)
+    cond = None
+    for i in range(num_hashes):
+        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+        w = (p / 64).cast("int")
+        bit = F.expr(
+            f"shiftleft(1L, cast(pmod(xxhash64({key_col}, {i}), {num_bits})"
+            " % 64 AS INT))"
+        )
+        check = F.element_at(arr, w + 1).bitwiseAND(bit) != 0
+        cond = check if cond is None else cond & check
+    return df.filter(cond)

@@ -5014,3 +5014,145 @@ def q124_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency(iv, "s", "e", bucket_sec=3600).select(
         "bucket_start", "max_concurrent"
     )
+
+
+@register(
+    "q125_fuzzy_part_match",
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q125_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-resolution join: near-identical part names
+    (edit distance <= 3) found WITHOUT an all-pairs comparison — the
+    catalog-dedup / record-linkage primitive.
+
+    Shape: candidates come only from equality BLOCKS on
+    (p_brand, p_size) — a plain hash join on the blocking key — so the
+    quadratic edit-distance work is Σ|block|², never |corpus|²; the
+    same cap-and-block posture as the MinHash/SimHash families
+    (``operators/dedup.py``).  ``levenshtein`` is a JVM built-in inside
+    whole-stage codegen; no Python touches the hot path.  At 100 TB
+    you'd widen blocking to (brand, size, name-prefix) the same way —
+    the pattern, not the constant, is what scales."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        "p_brand",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        "p_brand",
+        "p_size",
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(dist <= 3)
+        .select(
+            "a_key", "b_key", "a_name", "b_name",
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+@register(
+    "q126_sliding_distinct_users",
+    """
+    WITH du AS (SELECT DISTINCT
+                  CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q126_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users per day (the WAU curve) WITHOUT the
+    range self-join the oracle runs: each distinct (day, user) is
+    exploded to the <= 7 future days it covers, then one distinct count
+    per cover day.  COUNT DISTINCT over a sliding frame has no
+    window-function form (distinct is not decomposable), so the naive
+    shape is a range join re-scanning 7x — the cover-expansion turns it
+    into two exchanges over |active-days x users| rows with map-side
+    combine, the standard scalable form.
+
+    The oracle IS the naive range join, so the hash match proves the
+    expansion exact."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    covered = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        "user_id",
+    )
+    return (
+        covered.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+
+
+@register(
+    "q127_bloom_semi_join",
+    """
+    WITH hv AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l SEMI JOIN hv ON l.l_orderkey = hv.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def q127_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of line items belonging to high-value orders, probed
+    through an explicit BLOOM RUNTIME FILTER: the selective order-key
+    set is compressed to an 8 KiB bitmap (``bloom_build``), the fact
+    scan pre-filters on it in pure codegen, and an exact semi join
+    afterwards removes the false positives — result identical to the
+    plain semi join the oracle runs, which is the whole contract of a
+    Bloom filter (false positives only, never false negatives).
+
+    At local scale the exact key set would broadcast fine; the point is
+    the 100 TB posture, where a selective dim filter still yields tens
+    of GB of keys (unbroadcastable) but an 8 KiB Bloom image prunes the
+    fact shuffle by the true selectivity before the join pays for the
+    survivors.  Spark's own runtime bloomFilter rewrite applies exactly
+    this; here it is explicit, testable, and composable with any
+    downstream op (``tests/test_bloom.py`` pins the no-false-negative
+    guarantee and the measured pruning)."""
+    from .operators.sketches import bloom_build, bloom_prefilter
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    hv = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
+    bitmap = bloom_build(hv, "o_orderkey")
+    pruned = bloom_prefilter(lineitem, "l_orderkey", bitmap)
+    exact = pruned.join(
+        F.broadcast(hv), pruned.l_orderkey == hv.o_orderkey, "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
