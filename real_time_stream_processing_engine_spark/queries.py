@@ -5156,3 +5156,205 @@ def q127_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@register(
+    "q128_triangle_parts",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    FROM e e1 JOIN e e2 ON e1.y = e2.x
+              JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    """,
+)
+def q128_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts bought together
+    in >= 2 orders) — the community/cohesion primitive behind bundle
+    mining and graph features.
+
+    The Spark side runs the DEGREE-ORIENTED enumeration: every
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher one, wedges are built only from each vertex's OUT-edges,
+    and a final edge-join closes them.  Out-degree under this
+    orientation is O(sqrt(m)) regardless of hot vertices — the classic
+    bound that keeps the wedge join from exploding on a power-law
+    graph, where the naive a<b<c join (which the ORACLE deliberately
+    runs) builds every wedge under the hottest vertex.  Triangles are
+    re-canonicalized to sorted (a, b, c), so the hash match proves the
+    orientation enumerates each triangle exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("x"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("y"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("x", "y")
+    )
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    ranked = edges.join(dx, "x").join(dy, "y")
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("w"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = oriented.select(
+        F.least("u", "w").alias("cx"), F.greatest("u", "w").alias("cy")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("v1", "v2") == F.col("cx"))
+        & (F.greatest("v1", "v2") == F.col("cy")),
+    )
+    arr = F.array_sort(F.array("u", "v1", "v2"))
+    return tri.select(
+        arr[0].alias("a"), arr[1].alias("b"), arr[2].alias("c")
+    )
+
+
+@register(
+    "q129_basket_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+    item AS (SELECT l_partkey, count(*) AS ni FROM op GROUP BY 1
+             HAVING count(*) >= 5),
+    pair AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS nab
+             FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+             JOIN item ia ON ia.l_partkey = a.l_partkey
+             JOIN item ib ON ib.l_partkey = b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT p.pa, p.pb, CAST(p.nab AS BIGINT) AS support,
+           CAST((p.nab * o.n * 1000000) // (ia.ni * ib.ni) AS BIGINT)
+             AS lift_ppm
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.pa
+    JOIN item ib ON ib.l_partkey = p.pb
+    CROSS JOIN n_orders o
+    """,
+)
+def q129_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs with lift — market-basket mining, the
+    association step of a recommender / bundling pipeline.
+
+    Apriori pruning does the scaling: items below min-support are
+    removed BEFORE pair expansion (a pair can never out-support its
+    rarest item, so the prune is lossless — the oracle applies the
+    same algebra), which bounds the per-order pair fan-out to frequent
+    items only; baskets bound it further (<= C(|basket|, 2)).  Lift is
+    emitted as exact integer parts-per-million ((nab*N*1e6) div
+    (na*nb)) so no float division can wobble the hash.  Item counts
+    broadcast back onto pairs; the 1-row order total rides a broadcast
+    crossJoin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item = (
+        op.groupBy("l_partkey")
+        .agg(F.count("*").alias("ni"))
+        .filter(F.col("ni") >= 5)
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("ni").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("ni").alias("nb"))
+    pairs = (
+        a.join(F.broadcast(ia), "pa")
+        .join(b, "k")
+        .join(F.broadcast(ib), "pb")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb", "na", "nb")
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= 3)
+    )
+    return pairs.crossJoin(F.broadcast(n_orders)).select(
+        "pa",
+        "pb",
+        F.col("nab").cast("long").alias("support"),
+        F.expr("(nab * n * 1000000) div (na * nb)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )
+
+
+@register(
+    "q130_unpivot_metrics",
+    """
+    WITH c AS (SELECT n.n_name, ROUND(avg(c_acctbal), 6) AS avg_cust_bal,
+                      CAST(count(*) AS DOUBLE) AS n_customers
+               FROM customer JOIN nation n ON c_nationkey = n_nationkey
+               GROUP BY 1),
+    s AS (SELECT n.n_name, ROUND(avg(s_acctbal), 6) AS avg_supp_bal,
+                 CAST(count(*) AS DOUBLE) AS n_suppliers
+          FROM supplier JOIN nation n ON s_nationkey = n_nationkey
+          GROUP BY 1)
+    SELECT c.n_name, m.metric, m.value FROM c JOIN s ON c.n_name = s.n_name
+    CROSS JOIN LATERAL (VALUES ('avg_cust_bal', c.avg_cust_bal),
+                               ('n_customers', c.n_customers),
+                               ('avg_supp_bal', s.avg_supp_bal),
+                               ('n_suppliers', s.n_suppliers))
+      AS m(metric, value)
+    """,
+)
+def q130_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT of a per-nation metric table — the melt
+    that feeds generic metric stores and dashboards (q54 is the
+    pivot; this is its inverse).
+
+    ``DataFrame.unpivot`` (Spark's melt) turns the 4 metric columns
+    into (metric, value) rows as a pure scan-side transform — no
+    shuffle beyond the two partial-aggregated dims being melted, and
+    row growth is x|metrics|, a constant.  The averages round BEFORE
+    the melt so both engines stringify identical doubles."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    c = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg("c_acctbal"), 6).alias("avg_cust_bal"),
+            F.count("*").cast("double").alias("n_customers"),
+        )
+    )
+    s = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg("s_acctbal"), 6).alias("avg_supp_bal"),
+            F.count("*").cast("double").alias("n_suppliers"),
+        )
+    )
+    wide = c.join(s, "n_name")
+    return wide.unpivot(
+        "n_name",
+        ["avg_cust_bal", "n_customers", "avg_supp_bal", "n_suppliers"],
+        "metric",
+        "value",
+    )
