@@ -106,3 +106,25 @@ def bpe_learn(
         # lineage stays shallow (one fold per round); deep merge runs
         # would checkpoint every K rounds like the graph fixpoints
     return merges, vocab
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Encode each distinct word with a FROZEN merge list (the
+    production posture: the tokenizer is trained once — q114 /
+    :func:`bpe_learn` — then applied everywhere).  Adds ``syms``
+    (token array) and ``n_tokens``.
+
+    All merges apply as chained codegen folds over the symbol array —
+    no Python, no shuffle; run this on the DISTINCT-WORD table (vocab,
+    ~1e6 rows at any corpus size) and broadcast-join the per-word token
+    counts back onto the corpus, never fold per occurrence."""
+    syms = char_symbols(F.col(word_col))
+    for a, b in merges:
+        syms = apply_merge(syms, a, b)
+    return words.withColumn("syms", syms).withColumn(
+        "n_tokens", F.size("syms").cast("long")
+    )

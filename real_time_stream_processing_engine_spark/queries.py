@@ -5358,3 +5358,164 @@ def q130_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# Frozen tokenizer for q131: learned once (the q114 path), then applied
+# as a constant — suffix-building merges over the corpus's frequent words.
+_BPE_MERGES = [
+    ("d", "a"), ("da", "t"), ("dat", "a"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("r", "o"), ("ro", "w"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+]
+
+
+def _q131_sql() -> str:
+    # Independent formulation: symbols as a space-joined string
+    # (' d a t a '), each merge a string replace applied twice (a
+    # single non-overlapping replace pass misses back-to-back pattern
+    # repeats that the greedy fold catches — the second pass closes
+    # them for any word this corpus can hold).
+    expr = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+    for a, b in _BPE_MERGES:
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        expr = f"replace({expr}, {pat}, {rep})"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      unnest(list_filter(regexp_split_to_array(lower(text),
+                                                               '\\s+'),
+                                         x -> x <> '')) AS word
+               FROM documents),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+    enc AS (SELECT word,
+                   len(list_filter(string_split({expr}, ' '),
+                                   x -> x <> '')) AS k
+            FROM (SELECT DISTINCT word FROM wc))
+    SELECT wc.doc_id, CAST(sum(wc.c) AS BIGINT) AS n_words,
+           CAST(sum(wc.c * enc.k) AS BIGINT) AS n_tokens
+    FROM wc JOIN enc ON wc.word = enc.word
+    GROUP BY 1
+    """
+
+
+@register("q131_bpe_encode", _q131_sql())
+def q131_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a FROZEN BPE merge table — the apply
+    side of q114's learn side, and the token-count accounting every
+    training-data pipeline runs before packing (q61) or pricing.
+
+    Scale shape is vocab-factored: the greedy merge folds run once per
+    DISTINCT word (vocab ~1e6 rows no matter how many TB the corpus
+    is), then per-word token counts broadcast-join back onto the
+    (doc, word, count) table — the fold never executes per occurrence.
+    The oracle is a genuinely independent formulation (symbols as
+    space-joined strings, merges as doubled non-overlapping string
+    replaces), so the hash match cross-checks the fold's greedy
+    left-to-right semantics, not just its arithmetic."""
+    from .operators.bpe import bpe_encode_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = wc.select("word").distinct()
+    enc = bpe_encode_words(vocab, _BPE_MERGES).select("word", "n_tokens")
+    return (
+        wc.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tokens")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q132_first_touch_attribution",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events),
+    marked AS (SELECT user_id, event_id, event_type, us,
+                      CASE WHEN prev IS NULL OR us - prev > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+               FROM lagd),
+    sess AS (SELECT user_id, event_type, us, event_id,
+                    CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) AS BIGINT)
+                      AS session_id
+             FROM marked),
+    ranked AS (SELECT user_id, session_id, event_type,
+                      row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY us, event_id) AS rn
+               FROM sess),
+    conv AS (SELECT user_id, session_id,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS converted
+             FROM sess GROUP BY 1, 2),
+    per AS (SELECT r.user_id, r.session_id, r.event_type AS first_touch,
+                   c.converted
+            FROM ranked r JOIN conv c USING (user_id, session_id)
+            WHERE r.rn = 1)
+    SELECT first_touch, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST((sum(converted) * 1000) // count(*) AS BIGINT)
+             AS conv_permille
+    FROM per GROUP BY first_touch
+    """,
+)
+def q132_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: which entry event type opens sessions
+    that convert to a purchase — the marketing/causal readout layered
+    on q24's 30-minute-gap sessions.
+
+    Shape: ONE exchange on user_id serves the lag, the session
+    numbering, and the per-session reduction (min_by first event +
+    converted flag ride the same aggregate); the final rollup is a
+    5-key groupBy.  Conversion rate is integer permille so the hash is
+    division-rule-proof.  min_by's (us, event_id) tie-break matches the
+    session ordering, so simultaneous first events cannot flip the
+    attribution between engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = base.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ).cast("long"),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct("us", "event_id")).alias("first_touch"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return per.groupBy("first_touch").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("(sum(converted) * 1000) div count(*)")
+        .cast("long")
+        .alias("conv_permille"),
+    )

@@ -89,3 +89,26 @@ def test_bpe_deterministic_under_repartition(spark, sf_dir):
     m1, _ = bpe_learn(words, n_merges=4)
     m2, _ = bpe_learn(words.repartition(7), n_merges=4)
     assert m1 == m2
+
+
+def test_encode_words_frozen_merges(spark):
+    from real_time_stream_processing_engine_spark.operators.bpe import (
+        bpe_encode_words,
+    )
+
+    words = spark.createDataFrame(
+        [("data",), ("scan",), ("hash",), ("dada",), ("x",)], "word string"
+    )
+    merges = [("d", "a"), ("da", "t"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+              ("h", "a"), ("ha", "s"), ("has", "h")]
+    got = {
+        r.word: (list(r.syms), r.n_tokens)
+        for r in bpe_encode_words(words, merges).collect()
+    }
+    assert got["data"] == (["dat", "a"], 2)
+    assert got["scan"] == (["scan"], 1)
+    assert got["hash"] == (["hash"], 1)
+    # back-to-back pattern repeats both merge (the greedy fold case a
+    # single replace pass would miss)
+    assert got["dada"] == (["da", "da"], 2)
+    assert got["x"] == (["x"], 1)
