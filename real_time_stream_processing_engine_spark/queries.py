@@ -5519,3 +5519,204 @@ def q132_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("conv_permille"),
     )
+
+
+@register(
+    "q133_group_median_mad",
+    """
+    WITH o AS (SELECT o_orderpriority AS pri,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    med AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+                   median(cents) AS med_cents
+            FROM o GROUP BY 1),
+    dev AS (SELECT o.pri, abs(o.cents - m.med_cents) AS d
+            FROM o JOIN med m ON o.pri = m.pri),
+    mad AS (SELECT pri, median(d) AS mad_cents FROM dev GROUP BY 1)
+    SELECT m.pri, m.n,
+           m.med_cents / 100.0 AS median_price,
+           a.mad_cents / 100.0 AS mad_price
+    FROM med m JOIN mad a ON m.pri = a.pri
+    """,
+)
+def q133_group_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median and median-absolute-deviation of order
+    value — the robust center/spread profile (immune to the outliers
+    that wreck mean/stddev) — computed WITHOUT any per-group sort or
+    per-group value buffering.
+
+    Both passes are value-HISTOGRAM crossings (the q84/q119 recipe,
+    now per group): groupBy (group, value-in-cents) bounds state by
+    distinct values, a cumulative window per group finds the ranks
+    floor((n+1)/2) and floor(n/2)+1, and their average is the exact
+    interpolated median (matching the oracle's ``median()``).  MAD
+    re-runs the same crossing on |x - median| after a broadcast join
+    of the 5 medians.  No task ever holds a group's raw values — the
+    ObjectHashAggregate percentile trap this repo retired in q84 —
+    and the histogram cardinality is |distinct prices|, not rows.
+    Deviations sit on a half-cent grid, so every emitted number is an
+    exact binary fraction: bit-identical across engines, no rounding
+    needed."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def crossing_median(df: DataFrame, group: str, val: str) -> DataFrame:
+        hist = df.groupBy(group, val).agg(F.count("*").alias("c"))
+        w = Window.partitionBy(group).orderBy(val).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            group, val, F.col("c"), F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(Window.partitionBy(group)).alias("n"),
+        )
+        lo_rank = (F.col("n") + 1) / 2
+        hi_rank = F.col("n") / 2 + 1
+        lo = (
+            cum.filter(F.col("cum") >= F.floor(lo_rank))
+            .groupBy(group, "n")
+            .agg(F.min(val).alias("lo"))
+        )
+        hi = (
+            cum.filter(F.col("cum") >= F.floor(hi_rank))
+            .groupBy(group)
+            .agg(F.min(val).alias("hi"))
+        )
+        return lo.join(hi, group).select(
+            group,
+            F.col("n"),
+            ((F.col("lo") + F.col("hi")) / 2.0).alias("med"),
+        )
+
+    med = crossing_median(o, "pri", "cents")
+    dev = o.join(F.broadcast(med), "pri").select(
+        "pri", F.abs(F.col("cents") - F.col("med")).alias("d")
+    )
+    mad = crossing_median(dev, "pri", "d").select(
+        "pri", F.col("med").alias("mad_cents")
+    )
+    return (
+        med.join(mad, "pri")
+        .select(
+            "pri",
+            F.col("n").cast("long").alias("n"),
+            (F.col("med") / 100.0).alias("median_price"),
+            (F.col("mad_cents") / 100.0).alias("mad_price"),
+        )
+    )
+
+
+@register(
+    "q134_above_nation_average",
+    """
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer)
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(c.cents / 100.0, 2) AS acctbal,
+           CAST(c.cents * s.n - s.s AS BIGINT) AS gap_cents_x_n
+    FROM c
+    JOIN (SELECT c_nationkey, sum(cents) AS s, count(*) AS n
+          FROM c GROUP BY 1) s ON c.c_nationkey = s.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.cents * s.n > s.s
+    """,
+)
+def q134_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers richer than their nation's average — the correlated
+    scalar subquery (``WHERE bal > (SELECT avg(..) ... same nation)``)
+    DECORRELATED into one partial-aggregated groupBy broadcast-joined
+    back onto the fact, the rewrite Catalyst applies and the only form
+    that scales (the correlated form re-runs the subquery per row).
+    The comparison is exact integer algebra (cents*n > sum) and the
+    emitted gap is cents*n - sum, so no float average ever exists to
+    disagree on."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    c = customer.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    stats = c.groupBy("c_nationkey").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        c.join(F.broadcast(stats), "c_nationkey")
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("cents") / 100.0, 2).alias("acctbal"),
+            (F.col("cents") * F.col("n") - F.col("s"))
+            .cast("long")
+            .alias("gap_cents_x_n"),
+        )
+    )
+
+
+@register(
+    "q135_revenue_share_rank",
+    """
+    WITH rev AS (SELECT n.n_name,
+                        sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+                 FROM orders o
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 GROUP BY 1)
+    SELECT n_name,
+           CAST(cents AS BIGINT) AS rev_cents,
+           CAST((cents * 1000000) // (sum(cents) OVER ()) AS BIGINT)
+             AS share_ppm,
+           CAST(rank() OVER (ORDER BY cents DESC, n_name) AS BIGINT) AS rnk,
+           CAST(ntile(4) OVER (ORDER BY cents DESC, n_name) AS BIGINT)
+             AS quartile
+    FROM rev
+    """,
+)
+def q135_revenue_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue with share-of-total (ratio-to-report), dense
+    league rank, and quartile tile — the report-window triple on ONE
+    25-row aggregate.  The windows run over the aggregate, never the
+    facts (the raw orders partial-aggregate to nation first), so the
+    unpartitioned window's single task sees |nations| rows at any data
+    scale; share is integer ppm off the exact cents total."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    whole = Window.partitionBy()
+    order = Window.orderBy(F.desc("cents"), F.asc("n_name"))
+    return rev.select(
+        "n_name",
+        F.col("cents").cast("long").alias("rev_cents"),
+        F.expr("cents * 1000000").cast("long").alias("_num"),
+        F.sum("cents").over(whole).alias("_tot"),
+        F.rank().over(order).cast("long").alias("rnk"),
+        F.ntile(4).over(order).cast("long").alias("quartile"),
+    ).select(
+        "n_name",
+        "rev_cents",
+        F.expr("_num div _tot").cast("long").alias("share_ppm"),
+        "rnk",
+        "quartile",
+    )
