@@ -5720,3 +5720,29 @@ def q135_revenue_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         "quartile",
     )
+
+
+@register(
+    "q136_stream_sliding_wau",
+    """
+    WITH du AS (SELECT DISTINCT
+                  CAST(floor(epoch(ts)/86400) AS BIGINT) AS day, user_id
+                FROM events),
+    cov AS (SELECT DISTINCT du.day + t.gs AS day, du.user_id
+            FROM du, unnest(generate_series(0, 6)) AS t(gs))
+    SELECT day, CAST(count(*) AS BIGINT) AS wau
+    FROM cov GROUP BY day
+    """,
+)
+def q136_stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 7-day sliding distinct users — cover-expansion +
+    watermarked dedup + tumbling count as a CHAINED stateful pipeline
+    (see :func:`streaming.runner.stream_sliding_wau`).  Unlike q126
+    the cover days are NOT clipped to observed days (a stream cannot
+    know the future day-spine), so the curve includes the 6 trailing
+    ramp-down days; the oracle expands covers the same way.  Day
+    boundaries here are wall-clock UTC days (``date_trunc``), matching
+    the oracle's epoch//86400."""
+    from .streaming.runner import stream_sliding_wau
+
+    return stream_sliding_wau(spark, sf_dir)

@@ -879,3 +879,48 @@ def stream_lifetime_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_value", 2).alias("sum_value"),
         )
     )
+
+
+def stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users (the WAU curve) ON THE STREAM —
+    q126's cover-expansion made continuous, and the repo's first
+    CHAINED-stateful-operator pipeline: each event explodes to the 7
+    day-windows it covers, a watermarked ``dropDuplicatesWithinWatermark``
+    on (cover_day, user) makes every (user, covered day) count once,
+    and a downstream tumbling window counts survivors per day — dedup
+    state and agg state both watermark-evicted (Spark's multi-stateful
+    append-mode support carries the watermark through the chain).
+
+    COUNT DISTINCT over a sliding frame has no incremental streaming
+    form; the cover-expansion turns it into dedup + tumbling count,
+    both of which DO.  Cover timestamps run up to 6 days ahead of the
+    event, so the watermark (from the ORIGINAL event times, minus the
+    2 h delay) finalizes a cover day only after its last contributing
+    source day has passed — the tail days stay open until stream end,
+    exactly the late-window semantics a batch backfill would see.
+    Stream-end output equals q126's batch answer plus the 6 trailing
+    cover days the batch day-spine filter drops (the oracle keeps
+    them; see the query docstring)."""
+    src = stream_events(spark, sf_dir)
+    covered = src.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("ts")),
+                F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cover_day"),
+        "user_id",
+    ).withWatermark("cover_day", "2 hours")
+    uniq = covered.dropDuplicatesWithinWatermark(["cover_day", "user_id"])
+    agg = (
+        uniq.groupBy(F.window("cover_day", "1 day").alias("w"))
+        .agg(F.count("*").alias("wau"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 86400)
+            .cast("long")
+            .alias("day"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )
+    return run_to_memory_available_now(agg)
