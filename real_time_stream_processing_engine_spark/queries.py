@@ -5746,3 +5746,168 @@ def q136_stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.runner import stream_sliding_wau
 
     return stream_sliding_wau(spark, sf_dir)
+
+
+@register(
+    "q137_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
+           CAST(floor(epoch(o.o_orderdate)/86400) AS BIGINT) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q137_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) THROUGH THE SQL FRONT DOOR — the
+    text below goes to ``spark.sql`` verbatim, proving the engine's
+    ANSI surface carries the classic 3-table join + group-by + top-k
+    without DataFrame help.  Catalyst broadcast-joins the filtered
+    customer segment, pushes both date predicates into the scans, and
+    TakeOrderedAndProject caps the sort at k=10 (no global sort).
+    Revenue aggregates as exact 1e-4-dollar integers (price-cents x
+    (100 - discount-points)) so the top-10 cut cannot flip on float
+    accumulation order — ties break by orderkey."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4,
+               CAST(floor(unix_timestamp(o.o_orderdate)/86400) AS BIGINT)
+                 AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_e4 DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "q138_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q138_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) through the SQL front door:
+    the 6-table star join with the Q5 twist — the supplier must sit in
+    the CUSTOMER's nation, a join predicate between two dimension
+    branches, not a star arm.  Catalyst broadcasts every dim
+    (region->nation prunes first), leaving ONE shuffle-free pass over
+    lineitem/orders; revenue is the same exact 1e-4-dollar integer as
+    q137."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "q139_time_weighted_avg",
+    """
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                      CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+                      event_id
+               FROM events),
+    seg AS (SELECT user_id, v_micro,
+                   lead(sec) OVER (PARTITION BY user_id
+                                   ORDER BY sec, event_id) - sec AS dur
+            FROM e)
+    SELECT user_id,
+           CAST(sum(v_micro * dur) AS BIGINT) AS vt_sum,
+           CAST(sum(dur) AS BIGINT) AS t_sum,
+           CAST(sum(v_micro * dur) // sum(dur) AS BIGINT) AS twa_micro
+    FROM seg WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id
+    """,
+)
+def q139_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's gauge value — each reading
+    holds until the next one, so it weighs by its holding duration
+    (the correct rollup for sampled metrics; the arithmetic mean
+    over-weights bursts).  The sensor/billing aggregation batch and
+    streaming monitoring both need.
+
+    One exchange on user_id carries the lead() and the per-user
+    reduction.  Values scale to exact integer micro-units and the
+    average is emitted as integer division of two exact sums —
+    zero-length segments (same-second readings) drop on both sides, so
+    no float ever forms."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seg = e.select(
+        "user_id",
+        "v_micro",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dur"),
+    )
+    return (
+        seg.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_micro") * F.col("dur")).cast("long").alias("vt_sum"),
+            F.sum("dur").cast("long").alias("t_sum"),
+            F.expr("sum(v_micro * dur) div sum(dur)")
+            .cast("long")
+            .alias("twa_micro"),
+        )
+    )
