@@ -5566,6 +5566,9 @@ def q133_group_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def crossing_median(df: DataFrame, group: str, val: str) -> DataFrame:
+        # ONE aggregation finds both crossing ranks via conditional
+        # mins (a lo/hi branch pair would recompute the whole
+        # histogram+window subtree twice — measured 2x on this query)
         hist = df.groupBy(group, val).agg(F.count("*").alias("c"))
         w = Window.partitionBy(group).orderBy(val).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
@@ -5574,22 +5577,17 @@ def q133_group_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             group, val, F.col("c"), F.sum("c").over(w).alias("cum"),
             F.sum("c").over(Window.partitionBy(group)).alias("n"),
         )
-        lo_rank = (F.col("n") + 1) / 2
-        hi_rank = F.col("n") / 2 + 1
-        lo = (
-            cum.filter(F.col("cum") >= F.floor(lo_rank))
-            .groupBy(group, "n")
-            .agg(F.min(val).alias("lo"))
-        )
-        hi = (
-            cum.filter(F.col("cum") >= F.floor(hi_rank))
-            .groupBy(group)
-            .agg(F.min(val).alias("hi"))
-        )
-        return lo.join(hi, group).select(
-            group,
-            F.col("n"),
-            ((F.col("lo") + F.col("hi")) / 2.0).alias("med"),
+        lo_rank = F.floor((F.col("n") + 1) / 2)
+        hi_rank = F.floor(F.col("n") / 2 + 1)
+        return cum.groupBy(group).agg(
+            F.max("n").cast("long").alias("n"),
+            (
+                (
+                    F.min(F.when(F.col("cum") >= lo_rank, F.col(val)))
+                    + F.min(F.when(F.col("cum") >= hi_rank, F.col(val)))
+                )
+                / 2.0
+            ).alias("med"),
         )
 
     med = crossing_median(o, "pri", "cents")
