@@ -513,3 +513,93 @@ def test_decile_cumulative_pass_is_over_aggregated_prices(spark, sf_dir):
     assert _count(plan, "BroadcastHashJoin") == 1
     # the window's subtree aggregates first: at least hist partial+final
     assert _count(plan, "HashAggregate") >= 4
+
+
+# ---- round-4 continuation queries ----
+
+
+def test_gapfill_aggregates_before_spine_join(spark, sf_dir):
+    """q122: orders partial-aggregate to (nation, day) BEFORE the spine
+    left join; both dims broadcast; no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "q122_gapfill_daily")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "BroadcastHashJoin") >= 3  # cust, nation, spine-rev
+    assert _count(plan, "HashAggregate") >= 2  # partial + final rev agg
+
+
+def test_anomaly_windows_over_aggregate_not_facts(spark, sf_dir):
+    """q123: the RANGE window's exchange is on n_name AFTER the
+    (nation, day) aggregate — exactly one agg exchange + one window
+    exchange, none on raw orders."""
+    plan = _plan(spark, sf_dir, "q123_moving_anomaly")
+    assert _count(plan, "Window") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_sweepline_two_phase(spark, sf_dir):
+    """q124: the distributed sweep has the per-bucket window AND the
+    tiny across-bucket window — two Window nodes, no more."""
+    plan = _plan(spark, sf_dir, "q124_session_concurrency")
+    # sessionize (lag, boundary-sum, per-session reduce windows) feeds
+    # the sweep's per-bucket prefix window + the across-bucket offset
+    # window; 6 total today — growth here means a lost fusion
+    assert _count(plan, "Window") == 6
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_is_blocked_hash_join(spark, sf_dir):
+    """q125: candidates come from an equi-join on the blocking key —
+    never a cartesian/broadcast-nested-loop over all pairs."""
+    plan = _plan(spark, sf_dir, "q125_fuzzy_part_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_stays_codegen(spark, sf_dir):
+    """q127: the bitmap probe adds NO exchange and NO Python — the
+    only joins are broadcast."""
+    plan = _plan(spark, sf_dir, "q127_bloom_semi_join")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "Python" not in plan
+
+
+def test_bpe_encode_no_python_vocab_broadcast(spark, sf_dir):
+    """q131: merge folds are pure codegen (no Python boundary) and the
+    per-word token counts broadcast back onto the doc-word table."""
+    plan = _plan(spark, sf_dir, "q131_bpe_encode")
+    assert "Python" not in plan
+    assert _count(plan, "BroadcastHashJoin") >= 1
+
+
+def test_attribution_single_user_exchange(spark, sf_dir):
+    """q132: lag, session numbering, and the per-session reduction all
+    ride ONE exchange on user_id (plus the final 5-key rollup)."""
+    plan = _plan(spark, sf_dir, "q132_first_touch_attribution")
+    assert _count(plan, "Window") == 2  # lag + running boundary sum
+    assert _count(plan, "Exchange") <= 3
+
+
+def test_tpch_q3_broadcasts_and_caps_topk(spark, sf_dir):
+    """q137: dims broadcast, dates pushed to the scans, and the top-10
+    runs as TakeOrderedAndProject — never a global sort."""
+    plan = _plan(spark, sf_dir, "q137_shipping_priority")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "l_shipdate" in plan and "PushedFilters" in plan
+
+
+def test_tpch_q5_single_fact_pass(spark, sf_dir):
+    """q138: every dimension broadcasts — the lineitem/orders branch is
+    the only big input and it is never exchanged for a join."""
+    plan = _plan(spark, sf_dir, "q138_local_supplier_volume")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "BroadcastHashJoin") >= 4
+
+
+def test_median_mad_no_value_buffering(spark, sf_dir):
+    """q133: both passes are histogram aggregates + windows — no
+    ObjectHashAggregate holding raw per-group values (the retired q84
+    trap), no sort-based fallback."""
+    plan = _plan(spark, sf_dir, "q133_group_median_mad")
+    assert "ObjectHashAggregate" not in plan
+    assert "percentile" not in plan.lower()
