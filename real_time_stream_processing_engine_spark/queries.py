@@ -4848,7 +4848,9 @@ def q122_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "day")
         .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
     )
-    return spine.join(rev, ["n_name", "day"], "left").select(
+    # rev is bounded by dims x days (like the spine itself) — broadcast
+    # it so the left join never sorts, at any fact-table scale
+    return spine.join(F.broadcast(rev), ["n_name", "day"], "left").select(
         "n_name",
         F.col("day").cast("long").alias("day"),
         F.round(F.coalesce("rev", F.lit(0.0)), 4).alias("revenue"),
