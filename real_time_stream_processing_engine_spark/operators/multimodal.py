@@ -498,3 +498,75 @@ def extract_audio_features(
     if min_parallelism:
         df = df.repartition(min_parallelism)
     return df.mapInPandas(real_audio_features, AUDIO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sumsq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def real_audio_frames(frame_size: int):
+    """Row-exploding WAV decode: each payload yields one row per
+    fixed-size analysis frame with its exact int64 energy (sum of
+    squared samples, channel-summed) and RMS.  sumsq is EXACT integer
+    arithmetic and rms = sqrt(sumsq/n) is one IEEE op on it, so the
+    frames hash-match any engine recomputing the same samples."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "n_samples", "sumsq", "rms",
+                "decode_error",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _rate, _n_ch, samples = decode_wav(bytes(payload))
+                    flat = samples.astype(np.int64)
+                    for f in range(0, flat.shape[0], frame_size):
+                        chunk = flat[f : f + frame_size]
+                        ssq = int((chunk * chunk).sum())
+                        n = int(chunk.shape[0] * chunk.shape[1])
+                        rows["doc_id"].append(int(doc_id))
+                        rows["frame_idx"].append(f // frame_size)
+                        rows["n_samples"].append(n)
+                        rows["sumsq"].append(ssq)
+                        rows["rms"].append(float(np.sqrt(ssq / n)))
+                        rows["decode_error"].append(None)
+                except Exception as e:  # quarantine, never fail the stage
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(-1)
+                    for k in ("n_samples", "sumsq", "rms"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(
+                        f"{type(e).__name__}: {e}"[:120]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="Int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="Int32"),
+                    "sumsq": pd.Series(rows["sumsq"], dtype="Int64"),
+                    "rms": pd.Series(rows["rms"], dtype="float64"),
+                    "decode_error": rows["decode_error"],
+                }
+            )
+
+    return gen
+
+
+def extract_audio_frames(
+    audio: DataFrame, frame_size: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame energy extraction over (doc_id, payload) WAV bytes —
+    the framing step every audio featurizer (VAD, loudness
+    normalization, spectrogram prep) starts from, as the same Arrow
+    mapInPandas shape as the image/audio feature paths."""
+    df = audio.select("doc_id", F.col(payload_col).alias("payload"))
+    return df.mapInPandas(real_audio_frames(frame_size), FRAME_SCHEMA)

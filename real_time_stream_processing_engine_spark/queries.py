@@ -5911,3 +5911,129 @@ def q139_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twa_micro"),
         )
     )
+
+
+@register(
+    "q140_audio_frame_energy",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+      SELECT doc_id, g.i - 1 AS si,
+             ('0x' || substr(hx, 4 * g.i - 3, 2))::BIGINT
+               + 256 * ('0x' || substr(hx, 4 * g.i - 1, 2))::BIGINT AS raw
+      FROM h CROSS JOIN generate_series(1, 8) g(i)
+    ),
+    v AS (SELECT doc_id, si,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS amp
+          FROM s)
+    SELECT doc_id, CAST(si // 2 AS INTEGER) AS frame_idx,
+           CAST(2 AS INTEGER) AS n_samples,
+           CAST(sum(amp * amp) AS BIGINT) AS sumsq,
+           sqrt(sum(amp * amp) / 2.0) AS rms
+    FROM v GROUP BY doc_id, si // 2
+    """,
+)
+def q140_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy over the q115 WAV payloads: the decoder
+    explodes each clip into fixed-size analysis frames with EXACT
+    integer energy (sum of squared int16 samples) and its RMS — the
+    framing primitive under VAD / loudness normalization /
+    spectrogram prep, and the multimodal family's first
+    row-EXPLODING decode (q76/q115 reduce; this one fans out).
+
+    The Arrow mapInPandas stage emits (doc, frame) rows; energy stays
+    int64 so the hash cannot drift, and rms is a single IEEE sqrt on
+    the exact ratio — bit-identical across engines.  The oracle
+    re-derives the same samples from the md5 bytes in SQL, proving
+    the decoder's chunk walk, sample order, and sign handling frame by
+    frame."""
+    from .operators.multimodal import extract_audio_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    data_len = 16
+    hdr = (
+        b"RIFF" + (36 + data_len).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + data_len.to_bytes(4, "little")
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.lit(hdr), F.unhex(F.md5("text"))).alias("payload"),
+    )
+    return extract_audio_frames(payloads, frame_size=2).select(
+        "doc_id", "frame_idx", "n_samples", "sumsq", "rms"
+    )
+
+
+@register(
+    "q141_basket_similarity",
+    """
+    WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    sz AS (SELECT c, count(*) AS n FROM cp GROUP BY 1),
+    inter AS (SELECT a.c AS ca, b.c AS cb, count(*) AS i
+              FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT ca, cb, CAST(i AS BIGINT) AS n_common,
+           CAST((i * 1000000) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sz sa ON inter.ca = sa.c
+    JOIN sz sb ON inter.cb = sb.c
+    ORDER BY jaccard_ppm DESC, ca, cb
+    LIMIT 50
+    """,
+)
+def q141_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar customer purchase baskets by exact Jaccard
+    — collaborative-filtering candidate generation over the
+    customer x part bipartite graph.
+
+    Candidates come from the INVERTED index (pairs sharing a part),
+    so the work is Σ|part-customers|² over parts, never |customers|²
+    — the same bucket-bounded posture as the MinHash/SimHash dedup
+    families, with the min-intersection HAVING pruning the pair tail
+    before the size join.  Set sizes broadcast back; Jaccard is exact
+    integer ppm; the top-50 cut runs as TakeOrdered with full
+    tie-break (jppm, ca, cb), no global sort.  At 100 TB the one added
+    step is a part-popularity cap before pairing (the q15/q16 bucket
+    cap) — the data here has no hot part, so the exact form is the
+    honest one."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sz = cp.groupBy("c").agg(F.count("*").alias("n"))
+    a = cp.select(F.col("p"), F.col("c").alias("ca"))
+    b = cp.select(F.col("p"), F.col("c").alias("cb"))
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("i"))
+        .filter(F.col("i") >= 3)
+    )
+    sa = sz.select(F.col("c").alias("ca"), F.col("n").alias("na"))
+    sb = sz.select(F.col("c").alias("cb"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "ca")
+        .join(F.broadcast(sb), "cb")
+        .select(
+            "ca",
+            "cb",
+            F.col("i").cast("long").alias("n_common"),
+            F.expr("(i * 1000000) div (na + nb - i)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return j.orderBy(
+        F.desc("jaccard_ppm"), F.asc("ca"), F.asc("cb")
+    ).limit(50)
