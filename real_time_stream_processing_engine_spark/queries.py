@@ -6037,3 +6037,227 @@ def q141_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.orderBy(
         F.desc("jaccard_ppm"), F.asc("ca"), F.asc("cb")
     ).limit(50)
+
+
+@register(
+    "q142_weekly_ohlc",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    daily AS (SELECT n.n_name, o.day, sum(o.cents) AS rev
+              FROM o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY 1, 2)
+    SELECT n_name, CAST(day // 7 AS BIGINT) AS week,
+           CAST(min_by(rev, day) AS BIGINT) AS open_cents,
+           CAST(max(rev) AS BIGINT) AS high_cents,
+           CAST(min(rev) AS BIGINT) AS low_cents,
+           CAST(max_by(rev, day) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def q142_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC (open/high/low/close) downsample of the daily
+    revenue series per nation — the financial-style resample that
+    turns a fine-grained series into candles without losing the
+    intra-period extremes.
+
+    Shape: facts partial-aggregate to (nation, day) cents first; the
+    weekly candle is then ONE more partial-aggregated groupBy where
+    open/close are ``min_by``/``max_by`` on the day key — order
+    statistics as aggregates, no window, no sort, two exchanges total,
+    both over dims x time-bounded rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    return daily.groupBy(
+        "n_name", F.expr("day div 7").cast("long").alias("week")
+    ).agg(
+        F.min_by("rev", "day").cast("long").alias("open_cents"),
+        F.max("rev").cast("long").alias("high_cents"),
+        F.min("rev").cast("long").alias("low_cents"),
+        F.max_by("rev", "day").cast("long").alias("close_cents"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+
+
+def _q143_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    t50 = fraction_threshold_hex(0.5)
+    return f"""
+    WITH assigned AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             CASE WHEN substr(md5('ab1' || '|' || CAST(user_id AS VARCHAR)),
+                              1, 28) < '{t50}'
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events)
+    SELECT arm,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_micro) AS BIGINT) AS value_micro,
+           CAST(sum(v_micro) // count(*) AS BIGINT) AS mean_micro,
+           CAST((1000 * sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS purchase_permille
+    FROM assigned GROUP BY arm
+    """
+
+
+@register("q143_ab_experiment", _q143_sql())
+def q143_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to arms by the SAME
+    deterministic md5 draw as the sampling family (q49/q58 — retry-
+    and repartition-stable, no ``rand()``), then per-arm user counts,
+    event volume, exact value sums, and integer-division means /
+    conversion rates.  The experimentation counterpart of the split
+    assigner: assignment is a pure scan-side expression, the readout
+    is ONE partial-aggregated pass, and every emitted number is exact
+    integer arithmetic — the statistical test consumes these sufficient
+    statistics downstream."""
+    from .operators.sampling import fraction_threshold_hex
+
+    ev = load_table(spark, sf_dir, "events")
+    t50 = fraction_threshold_hex(0.5)
+    draw = F.substring(
+        F.md5(F.concat(F.lit("ab1"), F.lit("|"), F.col("user_id").cast("string"))),
+        1,
+        28,
+    )
+    assigned = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.when(draw < t50, "control").otherwise("treatment").alias("arm"),
+    )
+    return assigned.groupBy("arm").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("v_micro").cast("long").alias("value_micro"),
+        F.expr("sum(v_micro) div count(*)").cast("long").alias("mean_micro"),
+        F.expr(
+            "(1000 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END))"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("purchase_permille"),
+    )
+
+
+@register(
+    "q144_clustering_coefficient",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (SELECT v, count(*) AS d FROM (
+              SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+            GROUP BY 1),
+    tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+            FROM e e1 JOIN e e2 ON e1.y = e2.x
+                      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+    tv AS (SELECT v, count(*) AS t FROM (
+             SELECT a AS v FROM tri UNION ALL
+             SELECT b AS v FROM tri UNION ALL
+             SELECT c AS v FROM tri)
+           GROUP BY 1)
+    SELECT d.v, CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+           CAST((2000000 * COALESCE(tv.t, 0)) // (d.d * (d.d - 1))
+                AS BIGINT) AS coeff_ppm
+    FROM deg d LEFT JOIN tv ON d.v = tv.v
+    WHERE d.d >= 2
+    """,
+)
+def q144_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex of the co-purchase
+    graph — how tightly each part's neighborhood interconnects
+    (2*triangles / deg*(deg-1)), the cohesion feature under community
+    detection and recommendation diversity.
+
+    Builds on q128's degree-oriented triangle enumeration (each
+    triangle found exactly once, O(sqrt(m)) wedge fan-out), then
+    explodes each triangle to its three corners for the per-vertex
+    count — an exchange over 3x|triangles| rows, tiny next to the
+    enumeration itself.  Coefficients are exact integer ppm."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("x"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("y"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("x", "y")
+    )
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    ranked = edges.join(dx, "x").join(dy, "y")
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("w"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = oriented.select(
+        F.least("u", "w").alias("cx"), F.greatest("u", "w").alias("cy")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("v1", "v2") == F.col("cx"))
+        & (F.greatest("v1", "v2") == F.col("cy")),
+    )
+    corners = (
+        tri.select(F.col("u").alias("v"))
+        .unionAll(tri.select(F.col("v1").alias("v")))
+        .unionAll(tri.select(F.col("v2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(corners, "v", "left")
+        .select(
+            "v",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr("(2000000 * coalesce(t, 0)) div (d * (d - 1))")
+            .cast("long")
+            .alias("coeff_ppm"),
+        )
+    )
