@@ -6261,3 +6261,152 @@ def q144_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coeff_ppm"),
         )
     )
+
+
+@register(
+    "q145_embedding_profile",
+    """
+    WITH v AS (SELECT e.label, g.i AS dim,
+                      CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000)
+                           AS BIGINT) AS micro
+               FROM embeddings e CROSS JOIN generate_series(1, 64) g(i))
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(micro) AS BIGINT) AS sum_micro,
+           CAST(sum(micro) // count(*) AS BIGINT) AS mean_micro,
+           CAST(min(micro) AS BIGINT) AS min_micro,
+           CAST(max(micro) AS BIGINT) AS max_micro
+    FROM v GROUP BY label, dim
+    """,
+)
+def q145_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) embedding distribution audit — the
+    vector-column health check (dead dims, scale drift, label
+    separation) run before any ANN index build or projection (q110)
+    trusts the data.
+
+    ``posexplode`` fans each vector to (dim, value) rows — 64x growth,
+    one partial-aggregated exchange on (label, dim): at 10^9 vectors
+    the aggregate state is still |labels| x 64 rows.  Values scale to
+    exact integer micro-units at the scan (a float32 can never hit an
+    exact .5 micro boundary, so both engines round identically) and
+    every statistic is integer arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("val").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("micro"),
+    )
+    return v.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+        F.expr("sum(micro) div count(*)").cast("long").alias("mean_micro"),
+        F.min("micro").cast("long").alias("min_micro"),
+        F.max("micro").cast("long").alias("max_micro"),
+    )
+
+
+@register(
+    "q146_conversion_latency",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events),
+    sess AS (SELECT user_id, event_type, us, event_id,
+                    CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                                  THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY us, event_id)
+                         AS BIGINT) AS session_id
+             FROM lagd),
+    lat AS (SELECT user_id, session_id,
+                   (min(CASE WHEN event_type = 'purchase' THEN us END)
+                    - min(us)) // 1000000 AS lat_s
+            FROM sess GROUP BY 1, 2
+            HAVING min(CASE WHEN event_type = 'purchase' THEN us END)
+                   IS NOT NULL),
+    h AS (SELECT lat_s, count(*) AS c FROM lat GROUP BY 1),
+    t AS (SELECT sum(c) AS n FROM h),
+    cum AS (SELECT lat_s, sum(c) OVER (ORDER BY lat_s) AS cum, t.n
+            FROM h, t)
+    SELECT CAST(min(CASE WHEN cum * 2 >= n THEN lat_s END) AS BIGINT)
+             AS p50_s,
+           CAST(min(CASE WHEN cum * 10 >= 9 * n THEN lat_s END) AS BIGINT)
+             AS p90_s,
+           CAST(min(CASE WHEN cum * 100 >= 99 * n THEN lat_s END) AS BIGINT)
+             AS p99_s,
+           CAST(max(n) AS BIGINT) AS n_converting_sessions
+    FROM cum
+    """,
+)
+def q146_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert profile: within each session that reaches a
+    purchase, seconds from session start to the FIRST purchase, then
+    exact p50/p90/p99 over all converting sessions — the latency SLO
+    readout for any funnel.
+
+    Session start and first-purchase time ride the q132 session
+    exchange as conditional mins; the percentiles come from the
+    value-histogram crossing (q133's machinery on one global group):
+    state bounded by |distinct latencies|, crossings found with
+    integer rank inequalities (cum*2 >= n), no sort, no buffering."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = base.withColumn(
+        "session_id",
+        F.sum(
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).over(w).cast("long"),
+    )
+    lat = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("us")))
+            .alias("first_purchase"),
+            F.min("us").alias("start_us"),
+        )
+        .filter(F.col("first_purchase").isNotNull())
+        .select(
+            F.expr("(first_purchase - start_us) div 1000000").alias("lat_s")
+        )
+    )
+    h = lat.groupBy("lat_s").agg(F.count("*").alias("c"))
+    cum = h.select(
+        "lat_s",
+        F.sum("c")
+        .over(
+            Window.orderBy("lat_s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return cum.agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lat_s")))
+        .cast("long")
+        .alias("p50_s"),
+        F.min(F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("lat_s")))
+        .cast("long")
+        .alias("p90_s"),
+        F.min(F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("lat_s")))
+        .cast("long")
+        .alias("p99_s"),
+        F.max("n").cast("long").alias("n_converting_sessions"),
+    )
