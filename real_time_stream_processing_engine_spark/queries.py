@@ -6325,31 +6325,41 @@ def q145_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OVER (PARTITION BY user_id ORDER BY us, event_id)
                          AS BIGINT) AS session_id
              FROM lagd),
-    lat AS (SELECT user_id, session_id,
-                   (min(CASE WHEN event_type = 'purchase' THEN us END)
-                    - min(us)) // 1000000 AS lat_s
-            FROM sess GROUP BY 1, 2
-            HAVING min(CASE WHEN event_type = 'purchase' THEN us END)
+    ranked AS (SELECT user_id, session_id, event_type,
+                      row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY us, event_id) AS rn
+               FROM sess),
+    lat AS (SELECT s.user_id, s.session_id, r.event_type AS entry,
+                   (min(CASE WHEN s.event_type = 'purchase' THEN s.us END)
+                    - min(s.us)) // 1000000 AS lat_s
+            FROM sess s JOIN ranked r
+              ON s.user_id = r.user_id AND s.session_id = r.session_id
+             AND r.rn = 1
+            GROUP BY 1, 2, 3
+            HAVING min(CASE WHEN s.event_type = 'purchase' THEN s.us END)
                    IS NOT NULL),
-    h AS (SELECT lat_s, count(*) AS c FROM lat GROUP BY 1),
-    t AS (SELECT sum(c) AS n FROM h),
-    cum AS (SELECT lat_s, sum(c) OVER (ORDER BY lat_s) AS cum, t.n
-            FROM h, t)
-    SELECT CAST(min(CASE WHEN cum * 2 >= n THEN lat_s END) AS BIGINT)
+    h AS (SELECT entry, lat_s, count(*) AS c FROM lat GROUP BY 1, 2),
+    cum AS (SELECT entry, lat_s,
+                   sum(c) OVER (PARTITION BY entry ORDER BY lat_s) AS cum,
+                   sum(c) OVER (PARTITION BY entry) AS n
+            FROM h)
+    SELECT entry,
+           CAST(min(CASE WHEN cum * 2 >= n THEN lat_s END) AS BIGINT)
              AS p50_s,
            CAST(min(CASE WHEN cum * 10 >= 9 * n THEN lat_s END) AS BIGINT)
              AS p90_s,
            CAST(min(CASE WHEN cum * 100 >= 99 * n THEN lat_s END) AS BIGINT)
              AS p99_s,
            CAST(max(n) AS BIGINT) AS n_converting_sessions
-    FROM cum
+    FROM cum GROUP BY entry
     """,
 )
 def q146_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert profile: within each session that reaches a
     purchase, seconds from session start to the FIRST purchase, then
-    exact p50/p90/p99 over all converting sessions — the latency SLO
-    readout for any funnel.
+    exact p50/p90/p99 PER ENTRY CHANNEL (the session's first event
+    type) — the latency SLO readout for any funnel, split by how the
+    session began.
 
     Session start and first-purchase time ride the q132 session
     exchange as conditional mins; the percentiles come from the
@@ -6377,28 +6387,31 @@ def q146_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = (
         sess.groupBy("user_id", "session_id")
         .agg(
+            F.min_by("event_type", F.struct("us", "event_id")).alias("entry"),
             F.min(F.when(F.col("event_type") == "purchase", F.col("us")))
             .alias("first_purchase"),
             F.min("us").alias("start_us"),
         )
         .filter(F.col("first_purchase").isNotNull())
         .select(
-            F.expr("(first_purchase - start_us) div 1000000").alias("lat_s")
+            "entry",
+            F.expr("(first_purchase - start_us) div 1000000").alias("lat_s"),
         )
     )
-    h = lat.groupBy("lat_s").agg(F.count("*").alias("c"))
+    h = lat.groupBy("entry", "lat_s").agg(F.count("*").alias("c"))
     cum = h.select(
+        "entry",
         "lat_s",
         F.sum("c")
         .over(
-            Window.orderBy("lat_s").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+            Window.partitionBy("entry")
+            .orderBy("lat_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         .alias("cum"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(Window.partitionBy("entry")).alias("n"),
     )
-    return cum.agg(
+    return cum.groupBy("entry").agg(
         F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lat_s")))
         .cast("long")
         .alias("p50_s"),
