@@ -6423,3 +6423,210 @@ def q146_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p99_s"),
         F.max("n").cast("long").alias("n_converting_sessions"),
     )
+
+
+@register(
+    "q147_dedup_impact_report",
+    r"""
+    WITH cl AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                               'g'))) AS fp,
+                       count(*) AS sz
+                FROM documents GROUP BY 1),
+    tot AS (SELECT sum(sz) AS n_docs FROM cl)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable,
+           CAST((1000000 * sum(sz)) // max(t.n_docs) AS BIGINT)
+             AS corpus_share_ppm
+    FROM cl CROSS JOIN tot t
+    GROUP BY sz
+    """,
+)
+def q147_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the cluster-SIZE distribution of exact
+    duplicates (how many singletons, pairs, k-plicates; how many docs
+    each stratum holds and how many dedup would remove) — the one-page
+    summary a pipeline publishes before committing a dedup pass, and
+    the composition layer over q22's clusters.
+
+    Two partial-aggregated exchanges (doc->fingerprint counts, then
+    size->strata), a 1-row broadcast total; shuffles carry 32-byte
+    hashes and then integers.  All shares in exact ppm."""
+    from .functions.textfn import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = docs.groupBy(
+        F.md5(normalize_ws(F.col("text"))).alias("fp")
+    ).agg(F.count("*").alias("sz"))
+    tot = cl.agg(F.sum("sz").alias("n_docs_total"))
+    return (
+        cl.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"), F.sum("sz").alias("n_docs"),
+             F.sum(F.col("sz") - 1).alias("n_removable"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("n_removable").cast("long"),
+            F.expr("(1000000 * n_docs) div n_docs_total")
+            .cast("long")
+            .alias("corpus_share_ppm"),
+        )
+    )
+
+
+@register(
+    "q148_tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, source, unnest({_SQL_TOKS}) AS term
+                  FROM documents),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+    df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1),
+    tf AS (SELECT source, term, count(*) AS tfreq FROM toks GROUP BY 1, 2),
+    scored AS (SELECT tf.source, tf.term, tf.tfreq, df.dfreq,
+                      ROUND(tf.tfreq * ln(CAST(n.nd AS DOUBLE) / df.dfreq),
+                            6) AS tfidf
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs n),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY tfidf DESC, term) AS rk
+               FROM scored)
+    SELECT source, term, CAST(tfreq AS BIGINT) AS tfreq,
+           CAST(dfreq AS BIGINT) AS dfreq, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q148_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 characteristic terms per source by TF-IDF — the corpus
+    fingerprint that tells sources apart (what does THIS crawl talk
+    about that the others don't?), beside BM25's per-query form (q59).
+
+    One token explode feeds document frequencies (distinct-doc counts)
+    and per-source term frequencies; idf joins on the vocab-sized term
+    table; the per-source top-10 is a window over |sources| x |vocab|
+    rows — every exchange is vocab- or dims-bounded, never
+    corpus-bounded, and the rank tie-breaks on the term so the float
+    score never decides alone."""
+    from .functions.textfn import tokenize
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    nd = toks.agg(F.count_distinct("doc_id").alias("nd"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("dfreq")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tfreq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            "term",
+            "tfreq",
+            "dfreq",
+            F.round(
+                F.col("tfreq")
+                * F.log(F.col("nd").cast("double") / F.col("dfreq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("source", "term",
+                F.col("tfreq").cast("long"), F.col("dfreq").cast("long"),
+                "tfidf", "rk")
+    )
+
+
+def _q149_sql() -> str:
+    # Composes q147's exact-dup clusters with q131's frozen-tokenizer
+    # token counts: the canonical doc (min doc_id) represents each
+    # cluster, so effective tokens = tokens of canonicals only.
+    enc = ORACLE["q131_bpe_encode"]
+    return rf"""
+    WITH enc AS ({enc}),
+    fp AS (SELECT doc_id, source,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                    AS fp
+           FROM documents),
+    canon AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY 1)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(count(CASE WHEN c.keep = f.doc_id THEN 1 END) AS BIGINT)
+             AS n_unique_docs,
+           CAST(sum(CASE WHEN c.keep = f.doc_id THEN e.n_tokens
+                         ELSE 0 END) AS BIGINT) AS effective_tokens,
+           CAST((1000000 * sum(CASE WHEN c.keep = f.doc_id THEN e.n_tokens
+                                    ELSE 0 END)) // sum(e.n_tokens)
+                AS BIGINT) AS retention_ppm
+    FROM fp f
+    JOIN canon c ON f.fp = c.fp
+    JOIN enc e ON e.doc_id = f.doc_id
+    GROUP BY f.source
+    """
+
+
+@register("q149_effective_tokens", _q149_sql())
+def q149_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dataset size: per source, raw token count versus the
+    tokens that SURVIVE exact dedup (cluster canonicals only) — the
+    number that actually prices a training run, since duplicated
+    tokens train nothing new.  Composes q147's fingerprint clusters
+    with q131's frozen-tokenizer counts; the oracle composes the same
+    two certified formulations.
+
+    Shape: fingerprint groupBy elects canonicals (min doc_id), token
+    counts ride the vocab-factored broadcast join, one final rollup
+    per source — three exchanges, all hash- or vocab-bounded.
+    Retention in exact ppm."""
+    from .functions.textfn import normalize_ws, tokenize
+    from .operators.bpe import bpe_encode_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    enc = bpe_encode_words(wc.select("word").distinct(), _BPE_MERGES).select(
+        "word", "n_tokens"
+    )
+    doc_tokens = (
+        wc.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("n_tokens")).alias("n_tokens"))
+    )
+    fp = docs.select(
+        "doc_id", "source", F.md5(normalize_ws(F.col("text"))).alias("fp")
+    )
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    kept = F.when(F.col("keep") == F.col("doc_id"), F.col("n_tokens")).otherwise(
+        F.lit(0)
+    )
+    return (
+        fp.join(canon, "fp")
+        .join(doc_tokens, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.count(F.when(F.col("keep") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_unique_docs"),
+            F.sum(kept).cast("long").alias("effective_tokens"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN keep = doc_id THEN n_tokens ELSE 0"
+                " END)) div sum(n_tokens)"
+            )
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+    )
