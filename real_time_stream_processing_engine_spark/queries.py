@@ -6428,8 +6428,8 @@ def q146_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q147_dedup_impact_report",
     r"""
-    WITH cl AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ',
-                                               'g'))) AS fp,
+    WITH cl AS (SELECT md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                               '\s+', ' ', 'g'))) AS fp,
                        count(*) AS sz
                 FROM documents GROUP BY 1),
     tot AS (SELECT sum(sz) AS n_docs FROM cl)
@@ -6444,11 +6444,14 @@ def q146_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q147_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup impact report: the cluster-SIZE distribution of exact
-    duplicates (how many singletons, pairs, k-plicates; how many docs
-    each stratum holds and how many dedup would remove) — the one-page
-    summary a pipeline publishes before committing a dedup pass, and
-    the composition layer over q22's clusters.
+    """Dedup impact report: the cluster-SIZE distribution of
+    duplicates under the 100-char normalized-prefix key (q118's
+    near-dup blocking key — this corpus has no FULL-text dups, so the
+    prefix key is the stratum that actually exists; swap the
+    fingerprint column for q22's to report exact-dup strata) — how
+    many singletons, pairs, k-plicates; how many docs each stratum
+    holds and how many dedup would remove.  The one-page summary a
+    pipeline publishes before committing a dedup pass.
 
     Two partial-aggregated exchanges (doc->fingerprint counts, then
     size->strata), a 1-row broadcast total; shuffles carry 32-byte
@@ -6457,7 +6460,7 @@ def q147_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     cl = docs.groupBy(
-        F.md5(normalize_ws(F.col("text"))).alias("fp")
+        F.md5(normalize_ws(F.substring(F.col("text"), 1, 100))).alias("fp")
     ).agg(F.count("*").alias("sz"))
     tot = cl.agg(F.sum("sz").alias("n_docs_total"))
     return (
@@ -6553,8 +6556,8 @@ def _q149_sql() -> str:
     return rf"""
     WITH enc AS ({enc}),
     fp AS (SELECT doc_id, source,
-                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-                    AS fp
+                  md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                          '\s+', ' ', 'g'))) AS fp
            FROM documents),
     canon AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY 1)
     SELECT f.source,
@@ -6577,7 +6580,8 @@ def _q149_sql() -> str:
 @register("q149_effective_tokens", _q149_sql())
 def q149_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective dataset size: per source, raw token count versus the
-    tokens that SURVIVE exact dedup (cluster canonicals only) — the
+    tokens that SURVIVE dedup under the near-dup prefix key (cluster
+    canonicals only) — the
     number that actually prices a training run, since duplicated
     tokens train nothing new.  Composes q147's fingerprint clusters
     with q131's frozen-tokenizer counts; the oracle composes the same
@@ -6605,7 +6609,9 @@ def q149_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("n_tokens")).alias("n_tokens"))
     )
     fp = docs.select(
-        "doc_id", "source", F.md5(normalize_ws(F.col("text"))).alias("fp")
+        "doc_id",
+        "source",
+        F.md5(normalize_ws(F.substring(F.col("text"), 1, 100))).alias("fp"),
     )
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("keep"))
     kept = F.when(F.col("keep") == F.col("doc_id"), F.col("n_tokens")).otherwise(
