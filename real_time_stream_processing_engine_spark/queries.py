@@ -6636,3 +6636,119 @@ def q149_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_ppm"),
         )
     )
+
+
+@register(
+    "q150_source_overlap_matrix",
+    r"""
+    WITH fp AS (SELECT DISTINCT
+                  md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                          '\s+', ' ', 'g'))) AS fp,
+                  source
+                FROM documents),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+              FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+              GROUP BY 1, 2),
+    sz AS (SELECT source, count(*) AS n FROM fp GROUP BY 1)
+    SELECT p.src_a, p.src_b, CAST(p.shared AS BIGINT) AS shared_fps,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST((1000000 * p.shared) // least(sa.n, sb.n) AS BIGINT)
+             AS overlap_ppm
+    FROM pairs p JOIN sz sa ON p.src_a = sa.source
+                 JOIN sz sb ON p.src_b = sb.source
+    """,
+)
+def q150_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which pairs of ingest
+    sources share near-dup content (q118's prefix fingerprint), with
+    overlap normalized by the smaller source — the report that decides
+    which crawls are redundant and whether an eval source leaked into
+    training feeds (q51's decontamination, aggregated to source
+    granularity).
+
+    The pair join runs on the FINGERPRINT key — work is
+    Σ|fp-cluster|² like every bucket family here, never
+    |sources|² x docs; sizes broadcast back; shares in exact ppm."""
+    from .functions.textfn import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(normalize_ws(F.substring(F.col("text"), 1, 100))).alias("fp"),
+        "source",
+    ).distinct()
+    a = fp.select("fp", F.col("source").alias("src_a"))
+    b = fp.select("fp", F.col("source").alias("src_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sz = fp.groupBy("source").agg(F.count("*").alias("n"))
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("long").alias("shared_fps"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.expr("(1000000 * shared) div least(n_a, n_b)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )
+
+
+@register(
+    "q151_activity_feed",
+    """
+    WITH ev AS (SELECT user_id AS entity_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS us,
+                       'event:' || event_type AS kind,
+                       CAST(round(value * 1000000) AS BIGINT) AS amount_micro
+                FROM events),
+    od AS (SELECT o_custkey AS entity_id,
+                  CAST(epoch_us(o_orderdate) AS BIGINT) AS us,
+                  'order:' || o_orderstatus AS kind,
+                  CAST(round(o_totalprice * 1000000) AS BIGINT)
+                    AS amount_micro
+           FROM orders)
+    SELECT entity_id, us, kind, amount_micro,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM ev UNION ALL SELECT * FROM od)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q151_activity_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified activity feed: two differently-shaped fact tables
+    (events, orders) aligned onto ONE schema (entity, time, kind,
+    amount) via ``unionByName`` — the ingestion-normalization step
+    every warehouse runs before entity-timeline features, with a
+    grouped rollup absorbing any physical duplicates.
+
+    Schema alignment happens by NAME, not position (the classic silent
+    killer of positional UNION when a source adds a column); amounts
+    normalize to integer micro-units at the scan.  Union is a
+    zero-shuffle concatenation; the only exchange is the rollup's."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.concat(F.lit("event:"), F.col("event_type")).alias("kind"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("amount_micro"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 1_000_000)
+        .cast("long")
+        .alias("amount_micro"),
+        F.col("o_custkey").alias("entity_id"),
+        F.concat(F.lit("order:"), F.col("o_orderstatus")).alias("kind"),
+        F.unix_micros(F.col("o_orderdate")).alias("us"),
+    )
+    feed = ev.unionByName(od)  # name-aligned despite different column order
+    return feed.groupBy("entity_id", "us", "kind", "amount_micro").agg(
+        F.count("*").cast("long").alias("n")
+    )
