@@ -500,7 +500,7 @@ def extract_audio_features(
     return df.mapInPandas(real_audio_features, AUDIO_SCHEMA)
 
 
-FRAME_SCHEMA = T.StructType(
+AUDIO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -569,4 +569,99 @@ def extract_audio_frames(
     normalization, spectrogram prep) starts from, as the same Arrow
     mapInPandas shape as the image/audio feature paths."""
     df = audio.select("doc_id", F.col(payload_col).alias("payload"))
-    return df.mapInPandas(real_audio_frames(frame_size), FRAME_SCHEMA)
+    return df.mapInPandas(real_audio_frames(frame_size), AUDIO_FRAME_SCHEMA)
+
+
+_PPM_HDR = re.compile(
+    rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+    rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s"
+)
+
+
+def iter_ppm_frames(payload: bytes):
+    """Walk a concatenated-PPM container (the honest uncompressed
+    'video' this environment can decode natively — an MJPEG-style
+    stream with PPM/PGM frames) yielding (h, w, c) uint8 arrays.
+    Raises on the first malformed frame so a truncated tail cannot
+    silently pass as a short clip."""
+    pos = 0
+    while pos < len(payload):
+        m = _PPM_HDR.match(payload[pos:])
+        if not m:
+            raise ValueError(f"bad frame header at offset {pos}")
+        w, h = int(m.group(2)), int(m.group(3))
+        c = 3 if m.group(1) == b"P6" else 1
+        start = pos + m.end()
+        need = w * h * c
+        if len(payload) - start < need:
+            raise ValueError(f"truncated frame at offset {pos}")
+        yield np.frombuffer(
+            payload[start : start + need], dtype=np.uint8
+        ).reshape(h, w, c)
+        pos = start + need
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("min_px", T.IntegerType()),
+        T.StructField("max_px", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def sample_video_frames(video: DataFrame, stride: int = 2,
+                        payload_col: str = "payload") -> DataFrame:
+    """Frame-sample a concatenated-PPM video column: decode the
+    container, keep every ``stride``-th frame, emit exact integer
+    pixel statistics per kept frame — the video leg of the multimodal
+    family (q76 images, q115/q140 audio), with the same Arrow
+    mapInPandas plumbing and quarantine-not-fail error posture.
+    Compressed codecs (H.264 etc.) stay behind the env-gated
+    PIL/ffmpeg boundary like JPEG/PNG."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "n_px", "sum_px", "min_px",
+                "max_px", "decode_error",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    for i, frame in enumerate(iter_ppm_frames(bytes(payload))):
+                        if i % stride:
+                            continue
+                        flat = frame.astype(np.int64)
+                        rows["doc_id"].append(int(doc_id))
+                        rows["frame_idx"].append(i)
+                        rows["n_px"].append(int(flat.size))
+                        rows["sum_px"].append(int(flat.sum()))
+                        rows["min_px"].append(int(flat.min()))
+                        rows["max_px"].append(int(flat.max()))
+                        rows["decode_error"].append(None)
+                except Exception as e:
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(-1)
+                    for k in ("n_px", "sum_px", "min_px", "max_px"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(
+                        f"{type(e).__name__}: {e}"[:120]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="Int32"),
+                    "n_px": pd.Series(rows["n_px"], dtype="Int32"),
+                    "sum_px": pd.Series(rows["sum_px"], dtype="Int64"),
+                    "min_px": pd.Series(rows["min_px"], dtype="Int32"),
+                    "max_px": pd.Series(rows["max_px"], dtype="Int32"),
+                    "decode_error": rows["decode_error"],
+                }
+            )
+
+    return video.select("doc_id", F.col(payload_col).alias(payload_col)) \
+                .mapInPandas(gen, VIDEO_FRAME_SCHEMA)

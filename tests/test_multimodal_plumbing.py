@@ -46,3 +46,44 @@ def test_resize_repartitions_for_parallelism(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     out = resize_images(docs, min_parallelism=8)
     assert out.rdd.getNumPartitions() >= 8
+
+
+def test_video_container_walker():
+    import numpy as np
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        encode_ppm,
+        iter_ppm_frames,
+    )
+
+    f0 = np.arange(4, dtype=np.uint8).reshape(2, 2, 1)
+    f1 = np.full((2, 3, 3), 7, dtype=np.uint8)  # mixed size AND channels
+    payload = encode_ppm(f0) + encode_ppm(f1) + encode_ppm(f0)
+    frames = list(iter_ppm_frames(payload))
+    assert [f.shape for f in frames] == [(2, 2, 1), (2, 3, 3), (2, 2, 1)]
+    assert (frames[0] == f0).all() and (frames[1] == f1).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated frame"):
+        list(iter_ppm_frames(payload[:-2]))
+    with _pytest.raises(ValueError, match="bad frame header"):
+        list(iter_ppm_frames(payload + b"JUNK"))
+
+
+def test_video_frame_sampler_stride(spark):
+    import numpy as np
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        encode_ppm,
+        sample_video_frames,
+    )
+
+    clip = b"".join(
+        encode_ppm(np.full((2, 2, 1), i * 10, dtype=np.uint8)) for i in range(5)
+    )
+    df = spark.createDataFrame([(1, bytearray(clip))], "doc_id long, payload binary")
+    rows = {r.frame_idx: r for r in sample_video_frames(df, stride=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    assert rows[2].sum_px == 80 and rows[2].min_px == 20
+    assert rows[0].decode_error is None
