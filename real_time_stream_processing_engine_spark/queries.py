@@ -6800,3 +6800,162 @@ def q152_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(clips, stride=2).select(
         "doc_id", "frame_idx", "n_px", "sum_px", "min_px", "max_px"
     )
+
+
+@register(
+    "q153_interpolated_series",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    daily AS (SELECT n.n_name, o.day, sum(o.cents) AS rev
+              FROM o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY 1, 2),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+    spine AS (SELECT n_name, unnest(generate_series(b.lo, b.hi)) AS day
+              FROM nation, b),
+    joined AS (SELECT s.n_name, s.day, d.rev FROM spine s
+               LEFT JOIN daily d ON s.n_name = d.n_name AND s.day = d.day),
+    walls AS (SELECT n_name, day, rev,
+                     max(CASE WHEN rev IS NOT NULL THEN day END)
+                       OVER (PARTITION BY n_name ORDER BY day) AS pd,
+                     min(CASE WHEN rev IS NOT NULL THEN day END)
+                       OVER (PARTITION BY n_name ORDER BY day
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nd
+              FROM joined),
+    v AS (SELECT w.n_name, w.day, w.rev, w.pd, w.nd,
+                 pv.rev AS prev_rev, nv.rev AS next_rev
+          FROM walls w
+          LEFT JOIN daily pv ON w.n_name = pv.n_name AND w.pd = pv.day
+          LEFT JOIN daily nv ON w.n_name = nv.n_name AND w.nd = nv.day)
+    SELECT n_name, CAST(day AS BIGINT) AS day,
+           CAST(CASE
+             WHEN rev IS NOT NULL THEN rev * 1000
+             WHEN prev_rev IS NULL THEN next_rev * 1000
+             WHEN next_rev IS NULL THEN prev_rev * 1000
+             ELSE (prev_rev * (nd - day) + next_rev * (day - pd)) * 1000
+                  // (nd - pd)
+           END AS BIGINT) AS rev_milli_cents,
+           CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS interpolated
+    FROM v
+    """,
+)
+def q153_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION: missing days in each nation's
+    revenue series take the time-weighted blend of the nearest
+    observed neighbors (q122 zero-fills; sensors/finance interpolate).
+
+    The neighbor search is two IGNORE-NULLS window walls per key — the
+    last observed day looking back and the first looking forward
+    (running max/min of the conditional day, no self-join over gaps of
+    unbounded length) — then the lerp is exact integer arithmetic:
+    (prev*(nd-d) + next*(d-pd)) div (nd-pd) in milli-cents, so the
+    interpolation is engine-exact.  Edges extend flat.  Everything
+    runs on the dims x days frame, never raw facts."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = (
+        o.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        nation.select("n_name")
+        .crossJoin(F.broadcast(bounds))
+        .select("n_name", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    joined = spine.join(F.broadcast(daily), ["n_name", "day"], "left")
+    back = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    obs_rev = F.when(F.col("rev").isNotNull(), F.col("rev"))
+    walls = joined.select(
+        "n_name",
+        "day",
+        "rev",
+        F.max(obs_day).over(back).alias("pd"),
+        F.min(obs_day).over(fwd).alias("nd"),
+        F.last(obs_rev, ignorenulls=True).over(back).alias("prev_rev"),
+        F.first(obs_rev, ignorenulls=True).over(fwd).alias("next_rev"),
+    )
+    lerp = F.expr(
+        "(prev_rev * (nd - day) + next_rev * (day - pd)) * 1000"
+        " div (nd - pd)"
+    )
+    val = (
+        F.when(F.col("rev").isNotNull(), F.col("rev") * 1000)
+        .when(F.col("prev_rev").isNull(), F.col("next_rev") * 1000)
+        .when(F.col("next_rev").isNull(), F.col("prev_rev") * 1000)
+        .otherwise(lerp)
+    )
+    return walls.select(
+        "n_name",
+        F.col("day").cast("long").alias("day"),
+        val.cast("long").alias("rev_milli_cents"),
+        F.when(F.col("rev").isNull(), 1).otherwise(0).alias("interpolated"),
+    )
+
+
+@register(
+    "q154_bitmap_distinct",
+    """
+    SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def q154_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users via BITMAP aggregation — the
+    high-throughput alternative to COUNT DISTINCT when ids are dense
+    integers: each user sets bit (id % 64) of word (id div 64), words
+    partial-aggregate with bit_or (map-side combinable, unlike
+    distinct-based rewrites), and popcounts sum per day.
+
+    COUNT DISTINCT shuffles every (day, user) pair to its reducer; the
+    bitmap form shuffles at most |id-space|/64 words per day per task
+    and NEVER rescans — the roaring-bitmap trick warehouses use,
+    expressed in two partial-aggregated exchanges of pure codegen
+    (xxhash-free: identity on dense ids).  The oracle runs the naive
+    COUNT DISTINCT; matching proves the bit algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            F.expr("user_id div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(user_id % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("day", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("dau")
+    )
