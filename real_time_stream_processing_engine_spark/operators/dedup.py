@@ -555,3 +555,70 @@ def simhash_neardup_pairs(
     )
     pairs.bucket_overflow = overflow_stats
     return pairs
+
+
+def basket_similarity(
+    items: DataFrame,
+    entity_col: str = "entity",
+    item_col: str = "item",
+    min_common: int = 2,
+    max_item_popularity: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity between entities' item SETS via the
+    inverted item index — collaborative-filtering candidate
+    generation (q141's operator form).
+
+    Candidate pairs come only from entities sharing an item, so the
+    work is Σ|item-entities|² over items, never |entities|².  A HOT
+    item (bought by everyone) makes its term quadratic in the corpus;
+    ``max_item_popularity`` drops such items BEFORE pairing — the same
+    cap-and-account posture as the LSH mega-bucket cap
+    (``dedup._cap_buckets``): set sizes are computed AFTER the cap, so
+    the result is the exact Jaccard of the CAPPED bipartite graph
+    (ubiquitous items are uninformative for similarity anyway), and
+    the dropped-item accounting rides on the result as a lazy
+    ``popularity_overflow`` 1-row frame (items_dropped,
+    max_popularity) — read it off THIS object.
+
+    Output: (a, b, n_common, jaccard_ppm) with a < b, intersections
+    >= ``min_common``, similarity as exact integer ppm."""
+    ei = items.select(
+        F.col(entity_col).alias("e"), F.col(item_col).alias("i")
+    ).distinct()
+    stats = None
+    if max_item_popularity is not None:
+        pop = ei.groupBy("i").agg(F.count("*").alias("np"))
+        stats = pop.agg(
+            F.count(F.when(F.col("np") > max_item_popularity, 1)).alias(
+                "items_dropped"
+            ),
+            F.coalesce(F.max("np"), F.lit(0)).alias("max_popularity"),
+        )
+        keep = pop.filter(F.col("np") <= max_item_popularity).select("i")
+        ei = ei.join(keep, "i", "left_semi")
+    sz = ei.groupBy("e").agg(F.count("*").alias("n"))
+    a = ei.select("i", F.col("e").alias("a"))
+    b = ei.select("i", F.col("e").alias("b"))
+    inter = (
+        a.join(b, "i")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    sa = sz.select(F.col("e").alias("a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("e").alias("b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("(n_common * 1000000) div (na + nb - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    out.popularity_overflow = stats
+    return out

@@ -6010,29 +6010,15 @@ def q141_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    sz = cp.groupBy("c").agg(F.count("*").alias("n"))
-    a = cp.select(F.col("p"), F.col("c").alias("ca"))
-    b = cp.select(F.col("p"), F.col("c").alias("cb"))
-    inter = (
-        a.join(b, "p")
-        .filter(F.col("ca") < F.col("cb"))
-        .groupBy("ca", "cb")
-        .agg(F.count("*").alias("i"))
-        .filter(F.col("i") >= 3)
-    )
-    sa = sz.select(F.col("c").alias("ca"), F.col("n").alias("na"))
-    sb = sz.select(F.col("c").alias("cb"), F.col("n").alias("nb"))
-    j = (
-        inter.join(F.broadcast(sa), "ca")
-        .join(F.broadcast(sb), "cb")
-        .select(
-            "ca",
-            "cb",
-            F.col("i").cast("long").alias("n_common"),
-            F.expr("(i * 1000000) div (na + nb - i)")
-            .cast("long")
-            .alias("jaccard_ppm"),
-        )
+    from .operators.dedup import basket_similarity
+
+    j = basket_similarity(
+        cp, entity_col="c", item_col="p", min_common=3
+    ).select(
+        F.col("a").alias("ca"),
+        F.col("b").alias("cb"),
+        "n_common",
+        "jaccard_ppm",
     )
     return j.orderBy(
         F.desc("jaccard_ppm"), F.asc("ca"), F.asc("cb")
