@@ -236,3 +236,92 @@ def test_stream_countmin_rerun_is_ledger_noop(spark, sf_dir, tmp_path):
         )
     )
     assert first == second
+
+
+def test_chained_stateful_wau_recovers_and_dedups(spark, tmp_path):
+    """q136's CHAINED multi-stateful pipeline (explode-to-covers ->
+    watermarked dedup -> tumbling count) stops, the source redelivers
+    every tuple, and the restart resumes from the checkpoint — BOTH
+    state stores (dedup + window agg) survive, so the redelivered copy
+    changes nothing and stream end still equals the batch
+    cover-expansion answer."""
+    src_dir = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src_dir.mkdir()
+    events = os.path.join(SF_SMOKE, "events.parquet")
+    os.symlink(events, src_dir / "copy_a.parquet")
+
+    def pipeline(df):
+        covered = df.select(
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", F.col("ts")),
+                    F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 6 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("cover_day"),
+            "user_id",
+        )
+        uniq = covered.withWatermark(
+            "cover_day", "2 hours"
+        ).dropDuplicatesWithinWatermark(["cover_day", "user_id"])
+        return (
+            uniq.groupBy(F.window("cover_day", "1 day").alias("w"))
+            .agg(F.count("*").alias("wau"))
+            .select(
+                (F.unix_timestamp(F.col("w.start")) / 86400)
+                .cast("long")
+                .alias("day"),
+                "wau",
+            )
+        )
+
+    def run_round() -> dict[int, int]:
+        agg = pipeline(
+            spark.readStream.schema(SCHEMAS["events"]).parquet(str(src_dir))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rs_wau_recovery")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["day"]: r["wau"]
+            for r in spark.table("rs_wau_recovery").collect()
+        }
+
+    batch_df = spark.read.schema(SCHEMAS["events"]).parquet(events)
+    batch = {
+        r["day"]: r["wau"]
+        for r in (
+            batch_df.select(
+                F.explode(
+                    F.sequence(
+                        F.date_trunc("day", F.col("ts")),
+                        F.date_trunc("day", F.col("ts"))
+                        + F.expr("INTERVAL 6 DAYS"),
+                        F.expr("INTERVAL 1 DAY"),
+                    )
+                ).alias("cover_day"),
+                "user_id",
+            )
+            .distinct()
+            .groupBy(
+                (F.unix_timestamp(F.date_trunc("day", F.col("cover_day"))) / 86400)
+                .cast("long")
+                .alias("day")
+            )
+            .agg(F.count("*").alias("wau"))
+            .collect()
+        )
+    }
+    assert run_round() == batch
+
+    # crash window: the query is down and the source redelivers
+    # EVERYTHING; restart resumes both state stores from the checkpoint
+    os.symlink(events, src_dir / "copy_b.parquet")
+    assert run_round() == batch
