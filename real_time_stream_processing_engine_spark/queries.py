@@ -6945,3 +6945,144 @@ def q154_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("day").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("dau")
     )
+
+
+@register(
+    "q155_mixture_plan",
+    """
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n) AS total, count(*) AS k FROM s)
+    SELECT s.source, CAST(s.n AS BIGINT) AS n_docs,
+           CAST((1000000 * s.n) // t.total AS BIGINT) AS current_ppm,
+           CAST(1000000 // t.k AS BIGINT) AS target_ppm,
+           CAST(least(1000000,
+                      (1000000 * t.total) // (t.k * s.n)) AS BIGINT)
+             AS sample_rate_ppm,
+           CAST((s.n * least(1000000,
+                             (1000000 * t.total) // (t.k * s.n))) // 1000000
+                AS BIGINT) AS expected_docs
+    FROM s CROSS JOIN tot t
+    """,
+)
+def q155_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture PLANNING: given a uniform target share per source,
+    derive each source's Bernoulli sampling rate (capped at 1.0 — no
+    silent upsampling; q64 is the explicit epoch-upsampling tool) and
+    the expected post-sample size — the step that PRODUCES the rates
+    q63's mixture sampler consumes.
+
+    One groupBy over source (25-ish keys), a 1-row broadcast total,
+    pure integer arithmetic in ppm.  At 100 TB this is the same
+    fixed-size report; the plan feeds the md5-deterministic samplers
+    so the whole mixture pipeline is replayable."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = s.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+    rate = F.expr("least(1000000, (1000000 * total) div (k * n))")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("(1000000 * n) div total").cast("long").alias("current_ppm"),
+        F.expr("1000000 div k").cast("long").alias("target_ppm"),
+        rate.cast("long").alias("sample_rate_ppm"),
+        ((F.col("n") * rate) / 1_000_000)
+        .cast("long")
+        .alias("expected_docs"),
+    )
+
+
+@register(
+    "q156_naive_bayes_model",
+    f"""
+    WITH toks AS (SELECT lang, unnest({_SQL_TOKS}) AS term
+                  FROM documents),
+    cw AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    ctot AS (SELECT lang, sum(cnt) AS ct FROM cw GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM toks)
+    SELECT cw.lang, cw.term, CAST(cw.cnt AS BIGINT) AS cnt,
+           ROUND(ln((cw.cnt + 1.0) / (ct.ct + v.v)), 6) AS loglik
+    FROM cw JOIN ctot ct ON cw.lang = ct.lang CROSS JOIN vocab v
+    """,
+)
+def q156_naive_bayes_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING as one aggregation pass: the
+    (class, term) count table with Laplace-smoothed log-likelihoods
+    ln((c+1)/(classTotal+|V|)) — a real text classifier (here over the
+    ``lang`` label) whose model IS a DataFrame, ready for the
+    broadcast-join scoring pattern q68/q74 use for the unigram LM.
+
+    Shape: one token explode feeds (class, term) counts; class totals
+    and the 1-row vocab size broadcast back — every exchange is
+    vocab x classes, never corpus; the smoothed ratio is a single ln
+    on an exact rational (the q68-family float posture)."""
+    from .functions.textfn import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    cw = toks.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    ctot = cw.groupBy("lang").agg(F.sum("cnt").alias("ct"))
+    vocab = toks.agg(F.count_distinct("term").alias("v"))
+    return (
+        cw.join(F.broadcast(ctot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1.0))
+                    / (F.col("ct") + F.col("v"))
+                ),
+                6,
+            ).alias("loglik"),
+        )
+    )
+
+
+@register(
+    "q157_weekly_top_event",
+    """
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)/86400) AS BIGINT) // 7 AS week,
+                      event_type
+               FROM events),
+    c AS (SELECT user_id, week, event_type, count(*) AS n
+          FROM e GROUP BY 1, 2, 3),
+    r AS (SELECT user_id, week, event_type, n,
+                 row_number() OVER (PARTITION BY user_id, week
+                                    ORDER BY n DESC, event_type DESC) AS rn,
+                 sum(n) OVER (PARTITION BY user_id, week) AS total
+          FROM c)
+    SELECT user_id, week, event_type AS top_event,
+           CAST(n AS BIGINT) AS top_n, CAST(total AS BIGINT) AS total
+    FROM r WHERE rn = 1
+    """,
+)
+def q157_weekly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user weekly MODE: each user's most frequent event type per
+    week — the categorical summary feature (dominant behavior) beside
+    the numeric rollups.  Mode has no direct aggregate; the scalable
+    form is count-then-argmax: one (user, week, type) partial
+    aggregate, then ``max_by`` on the (count, type) struct so equal-count weeks
+    tie-break on the type ordering and cannot flip between engines — never a per-group sort or collect."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "user_id",
+            F.expr("floor(unix_timestamp(ts) / 86400) div 7")
+            .cast("long")
+            .alias("week"),
+            "event_type",
+        )
+        .groupBy("user_id", "week", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tie = F.struct(F.col("n"), F.col("event_type"))
+    return c.groupBy("user_id", "week").agg(
+        F.max_by("event_type", tie).alias("top_event"),
+        F.max_by("n", tie).cast("long").alias("top_n"),
+        F.sum("n").cast("long").alias("total"),
+    )
