@@ -7086,3 +7086,126 @@ def q157_weekly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("n", tie).cast("long").alias("top_n"),
         F.sum("n").cast("long").alias("total"),
     )
+
+
+@register(
+    "q158_naive_bayes_confusion",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS term
+                  FROM documents),
+    cw AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    ctot AS (SELECT lang, sum(cnt) AS ct FROM cw GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+    model AS (SELECT cw.lang AS cls, cw.term,
+                     CAST(round(ROUND(ln((cw.cnt + 1.0) / (ct.ct + v.v)), 6)
+                                * 1000000) AS BIGINT) AS ll_micro
+              FROM cw JOIN ctot ct ON cw.lang = ct.lang CROSS JOIN vocab v),
+    ll0 AS (SELECT ct.lang AS cls,
+                   CAST(round(ROUND(ln(1.0 / (ct.ct + v.v)), 6) * 1000000)
+                        AS BIGINT) AS ll0_micro
+            FROM ctot ct CROSS JOIN vocab v),
+    dt AS (SELECT doc_id, lang, term, count(*) AS tc FROM toks
+           GROUP BY 1, 2, 3),
+    dn AS (SELECT doc_id, sum(tc) AS n_tok FROM dt GROUP BY 1),
+    hits AS (SELECT dt.doc_id, m.cls,
+                    sum(dt.tc * (m.ll_micro - z.ll0_micro)) AS delta
+             FROM dt JOIN model m ON dt.term = m.term
+                     JOIN ll0 z ON m.cls = z.cls
+             GROUP BY 1, 2),
+    scores AS (SELECT dn.doc_id, z.cls,
+                      dn.n_tok * z.ll0_micro + COALESCE(h.delta, 0) AS score
+               FROM dn CROSS JOIN ll0 z
+               LEFT JOIN hits h ON h.doc_id = dn.doc_id AND h.cls = z.cls),
+    pred AS (SELECT s.doc_id, s.cls AS predicted
+             FROM (SELECT doc_id, cls,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, cls) AS rn
+                   FROM scores) s WHERE s.rn = 1)
+    SELECT d.lang AS actual, p.predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q158_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL classifier loop — q156's Naive Bayes model trained,
+    then every document scored and the confusion matrix (actual x
+    predicted language) emitted — train and inference as one Spark
+    job, the pattern for any count-based model.
+
+    Scoring never materializes the doc x class x term cube: a doc's
+    score is n_tokens * ll0(class) (the all-OOV floor, broadcast per
+    class) plus the DELTA of observed (term, class) pairs — so the
+    join is (doc, term) x model on the term key, vocab-bounded like
+    q68/q74.  Log-likelihoods freeze to integer MICRO-NATS after the
+    shared 6dp rounding (identical doubles -> identical ints), sums
+    and argmax (row_number tie-broken by class) are pure integer
+    arithmetic — the float never accumulates, so engines cannot
+    diverge."""
+    from .functions.textfn import tokenize
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    cw = toks.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    ctot = cw.groupBy("lang").agg(F.sum("cnt").alias("ct"))
+    vocab = toks.agg(F.count_distinct("term").alias("v"))
+    micro = lambda c: F.round(F.round(c, 6) * 1_000_000).cast("long")
+    model = (
+        cw.join(F.broadcast(ctot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls"),
+            "term",
+            micro(
+                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("ct") + F.col("v")))
+            ).alias("ll_micro"),
+        )
+    )
+    ll0 = (
+        ctot.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls"),
+            micro(F.log(F.lit(1.0) / (F.col("ct") + F.col("v")))).alias(
+                "ll0_micro"
+            ),
+        )
+    )
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tc"))
+    dn = dt.groupBy("doc_id").agg(F.sum("tc").alias("n_tok"))
+    hits = (
+        dt.join(F.broadcast(model), "term")
+        .join(F.broadcast(ll0), "cls")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.sum(
+                F.col("tc") * (F.col("ll_micro") - F.col("ll0_micro"))
+            ).alias("delta")
+        )
+    )
+    scores = (
+        dn.crossJoin(F.broadcast(ll0))
+        .join(hits, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "cls",
+            (
+                F.col("n_tok") * F.col("ll0_micro")
+                + F.coalesce("delta", F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
