@@ -7209,3 +7209,114 @@ def q158_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "q159_native_session_window",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events),
+    sess AS (SELECT user_id, us, v_micro,
+                    CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                                  THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY us, event_id)
+                         AS BIGINT) AS session_id
+             FROM lagd)
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_micro) AS BIGINT) AS value_micro
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q159_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE ``session_window``
+    aggregate — the engine-managed form of q24's manual
+    lag-and-running-sum (and the one that transfers verbatim to
+    Structured Streaming with merging session state).  The window's
+    end is last-event + gap by definition; the oracle derives the
+    same sessions manually and reconstructs that end, so the hash
+    match proves the built-in's gap semantics equal the classic
+    formulation event for event.
+
+    One exchange on user_id; the aggregate carries count and exact
+    micro-unit value sums inside the session state."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    ).groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("v_micro").cast("long").alias("value_micro"),
+    )
+    return g.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+        "value_micro",
+    )
+
+
+@register(
+    "q160_nucleus_vocab",
+    f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS n FROM freq),
+    cum AS (SELECT term, cnt,
+                   sum(cnt) OVER (ORDER BY cnt DESC, term) AS running,
+                   t.n
+            FROM freq, tot t)
+    SELECT term, CAST(cnt AS BIGINT) AS cnt,
+           CAST(running AS BIGINT) AS running,
+           CAST((1000000 * running) // n AS BIGINT) AS cum_ppm
+    FROM cum
+    WHERE (running - cnt) * 10 < n * 9
+    """,
+)
+def q160_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary cutoff: the smallest set of terms
+    whose cumulative frequency covers 90% of all token mass — the
+    top-p filtering rule applied corpus-side (tokenizer pruning,
+    long-tail analysis).  A term is IN the nucleus iff the mass BEFORE
+    it is under the threshold, expressed as exact integer
+    cross-multiplication ((running-cnt)*10 < n*9), so the boundary
+    term that crosses 90% is included on both engines by identical
+    algebra.
+
+    The cumulative window runs over the VOCAB table (bounded — ~1e6
+    rows at any corpus size), single-partition by design like q119's
+    histogram; the corpus itself is touched once for frequencies."""
+    from .functions.textfn import tokenize
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = freq.withColumn("running", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    return cum.filter(
+        (F.col("running") - F.col("cnt")) * 10 < F.col("n") * 9
+    ).select(
+        "term",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("running").cast("long").alias("running"),
+        F.expr("(1000000 * running) div n").cast("long").alias("cum_ppm"),
+    )
