@@ -603,3 +603,50 @@ def test_median_mad_no_value_buffering(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q133_group_median_mad")
     assert "ObjectHashAggregate" not in plan
     assert "percentile" not in plan.lower()
+
+
+def test_basket_similarity_inverted_index_join(spark, sf_dir):
+    """q141: candidate pairs come from the item-keyed equi-join —
+    never cartesian — and the top-50 is TakeOrdered, not a sort."""
+    plan = _plan(spark, sf_dir, "q141_basket_similarity")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bitmap_distinct_two_partial_aggregates(spark, sf_dir):
+    """q154: word-level bit_or then day-level popcount sum — both
+    partial-aggregated (4 HashAggregate nodes), no Expand (the
+    distinct rewrite this query exists to avoid)."""
+    plan = _plan(spark, sf_dir, "q154_bitmap_distinct")
+    assert _count(plan, "HashAggregate") == 4
+    assert _count(plan, "Expand") == 0
+
+
+def test_nb_scoring_is_vocab_bounded(spark, sf_dir):
+    """q158: scoring joins (doc, term) to the model on the term key
+    with broadcasts — no sort-merge join materializing the
+    doc x class x term cube."""
+    plan = _plan(spark, sf_dir, "q158_naive_bayes_confusion")
+    # the one SMJ allowed is the doc_id join against the label table —
+    # doc-keyed and linear; the model/ll0/vocab sides must broadcast
+    assert _count(plan, "SortMergeJoin") <= 1
+    assert _count(plan, "BroadcastHashJoin") >= 3
+
+
+def test_interpolation_windows_over_spine_not_facts(spark, sf_dir):
+    """q153: the backward and forward ignore-nulls walls share one
+    partitioning and ordering, so Spark fuses them into a SINGLE
+    Window operator (multi-frame) over the dims x days spine; daily
+    rev broadcasts in."""
+    plan = _plan(spark, sf_dir, "q153_interpolated_series")
+    assert _count(plan, "Window") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_nucleus_window_over_vocab_only(spark, sf_dir):
+    """q160: the cumulative window input is the vocab aggregate (its
+    exchange is a single partition of vocab rows), and the corpus is
+    scanned exactly once."""
+    plan = _plan(spark, sf_dir, "q160_nucleus_vocab")
+    assert _count(plan, "Window") == 1
+    assert "CartesianProduct" not in plan
