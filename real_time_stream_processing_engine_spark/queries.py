@@ -7320,3 +7320,56 @@ def q160_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("running").cast("long").alias("running"),
         F.expr("(1000000 * running) div n").cast("long").alias("cum_ppm"),
     )
+
+
+@register(
+    "q161_dynamic_partition_pruning",
+    """
+    WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+                 WHERE CAST(floor(epoch(ts)/86400) AS BIGINT) % 7 = 3)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(e.value), 2) AS sum_value
+    FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
+    GROUP BY e.event_type
+    """,
+)
+def q161_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is q73's
+    date-partitioned events layout, but the day filter arrives via a
+    JOIN against a dimension computed at runtime (every 7th day) — no
+    literal predicate exists at plan time, so static pruning cannot
+    fire.  Spark's DPP injects the dim's date set as a runtime
+    subquery into the fact's partition listing
+    (``dynamicpruningexpression`` in the plan, pinned by
+    ``tests/test_plans.py``), so the scan still reads ~1/7th of the
+    partitions.  THE join-pattern that makes star-schema date-dim
+    filters cheap at 100 TB; without DPP this shape silently scans
+    everything.  Oracle joins the flat table — same rows, different
+    bytes touched."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .sources.catalog import build_time_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"rs_events_bydate_u{_os.getuid()}_{key}"
+    )
+    build_time_partitioned(
+        ev, path, source_path=_os.path.join(sf_dir, "events.parquet")
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.filter(
+            F.expr("floor(unix_timestamp(ts) / 86400) % 7 = 3")
+        )
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    joined = fact.join(dim, fact.event_date == dim.d)
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

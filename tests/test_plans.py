@@ -650,3 +650,11 @@ def test_nucleus_window_over_vocab_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q160_nucleus_vocab")
     assert _count(plan, "Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """q161: the runtime date-dim filter reaches the partitioned scan
+    as a dynamic pruning subquery — without it this join silently
+    scans every partition."""
+    plan = _plan(spark, sf_dir, "q161_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), plan
