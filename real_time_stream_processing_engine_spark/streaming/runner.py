@@ -924,3 +924,77 @@ def stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_available_now(agg)
+
+
+def stream_binned_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Maintain per-(event_type, value-bin) counts OVER A STREAM with
+    the q105 additive-state recipe: each micro-batch's bin counts
+    merge into a tiny parquet target behind the atomic swap, a
+    batch-id ledger riding in the rows makes replays whole-batch
+    no-ops — constant state (types x 10 bins), exactly-once without
+    latest-wins semantics.  The maintained table is the input every
+    distribution monitor (PSI drift, q162) reads for free at any
+    moment — the monitoring loop never rescans history."""
+    from ..sources.catalog import recover_swap, replace_contents
+    from ..sources.readers import read_schema_for
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    d = _stage_symlink_dir("psidir", {"events.parquet": src_path})
+    if target_path is None:
+        target_path = os.path.join(
+            _scratch_dir(), f"rs_psi_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
+        )
+    recover_swap(spark, target_path)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        delta = (
+            batch.select(
+                "event_type",
+                F.least(F.lit(9), F.floor(F.col("value") / 10.0))
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("n"))
+        )
+        try:
+            prev = s.read.parquet(target_path)
+            applied = prev.agg(F.max("last_batch")).head()[0]
+            if applied is not None and batch_id <= applied:
+                return
+            merged = (
+                prev.drop("last_batch")
+                .unionByName(delta)
+                .groupBy("event_type", "bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        except Exception:
+            merged = delta
+        replace_contents(
+            merged.withColumn("last_batch", F.lit(batch_id)), target_path
+        )
+
+    schema, conv = read_schema_for("events", src_path)
+    src = convert_ts_cols(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d),
+        conv,
+    )
+    ckpt = checkpoint or os.path.join(
+        _scratch_dir(), f"rs_ckpt_rs_psi_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_path).drop("last_batch")
