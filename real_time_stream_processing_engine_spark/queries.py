@@ -7456,3 +7456,105 @@ def q162_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0")), 6
         ).alias("psi_term"),
     )
+
+
+@register(
+    "q163_table_diff",
+    """
+    WITH latest AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    u AS (SELECT user_id * 20 + 1 AS key, ROUND(value, 2) AS new_bal,
+                 'cdc#' || CAST(user_id AS VARCHAR) AS new_name
+          FROM latest),
+    new_snap AS (
+      SELECT COALESCE(c.c_custkey, u.key) AS c_custkey,
+             COALESCE(c.c_name, u.new_name) AS c_name,
+             CASE WHEN u.key IS NOT NULL THEN u.new_bal
+                  ELSE c.c_acctbal END AS c_acctbal
+      FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.key),
+    d AS (SELECT COALESCE(o.c_custkey, n.c_custkey) AS key,
+                 CASE WHEN o.c_custkey IS NULL THEN 'added'
+                      WHEN n.c_custkey IS NULL THEN 'removed'
+                      WHEN o.c_name = n.c_name
+                       AND round(o.c_acctbal * 100) = round(n.c_acctbal * 100)
+                        THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM customer o FULL OUTER JOIN new_snap n
+            ON o.c_custkey = n.c_custkey)
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(key) AS BIGINT) AS min_key,
+           CAST(max(key) AS BIGINT) AS max_key
+    FROM d GROUP BY status
+    """,
+)
+def q163_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF: the old customer dim versus the CDC-upserted new
+    snapshot (q67's merge), classified row-by-row into
+    added/removed/changed/unchanged with per-status counts and key
+    ranges — the regression gate every pipeline runs before publishing
+    a rebuilt table (did this release change only what it should?).
+
+    One full-outer join on the key; the change test compares exact
+    integer cents so float formatting can't masquerade as a change.
+    At 100 TB both sides bucket by the key (catalog.create_bucketed)
+    and the diff join is exchange-free; row hashes (xxhash64 of the
+    normalized row struct) replace per-column compares when schemas
+    are wide — same plan, one comparison column."""
+    from pyspark.sql import Window
+
+    from .operators.cdc import apply_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        events.select("user_id", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    updates = latest.select(
+        (F.col("user_id") * 20 + 1).alias("c_custkey"),
+        F.round("value", 2).alias("new_bal"),
+        F.concat(F.lit("cdc#"), F.col("user_id").cast("string")).alias(
+            "new_name"
+        ),
+    )
+    new_snap = apply_upsert(
+        customer.select("c_custkey", "c_name", "c_acctbal"),
+        updates,
+        ["c_custkey"],
+        {"c_acctbal": "new_bal"},
+        insert_only_cols={"c_name": "new_name"},
+        op_col=None,
+    ).select("c_custkey", "c_name", "c_acctbal")
+    old = customer.select(
+        F.col("c_custkey").alias("o_key"),
+        F.col("c_name").alias("o_name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("o_cents"),
+    )
+    new = new_snap.select(
+        F.col("c_custkey").alias("n_key"),
+        F.col("c_name").alias("n_name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("n_cents"),
+    )
+    d = old.join(new, old.o_key == new.n_key, "full_outer").select(
+        F.coalesce("o_key", "n_key").alias("key"),
+        F.when(F.col("o_key").isNull(), "added")
+        .when(F.col("n_key").isNull(), "removed")
+        .when(
+            (F.col("o_name") == F.col("n_name"))
+            & (F.col("o_cents") == F.col("n_cents")),
+            "unchanged",
+        )
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("key").cast("long").alias("min_key"),
+        F.max("key").cast("long").alias("max_key"),
+    )
