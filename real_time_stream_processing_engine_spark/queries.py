@@ -7558,3 +7558,66 @@ def q163_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("key").cast("long").alias("min_key"),
         F.max("key").cast("long").alias("max_key"),
     )
+
+
+def _q164_sql() -> str:
+    from .operators.sampling import fraction_threshold_hex
+
+    t = fraction_threshold_hex(0.1)  # each replica silently lost ~10%
+    reps = " UNION ALL ".join(
+        f"""SELECT c_custkey, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+            WHERE substr(md5('rep{i}' || '|' || CAST(c_custkey AS VARCHAR)),
+                         1, 28) >= '{t}'"""
+        for i in (1, 2, 3)
+    )
+    return f"""
+    WITH votes AS ({reps})
+    SELECT c_custkey, c_name, cents,
+           CAST(count(*) AS BIGINT) AS n_replicas
+    FROM votes GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    """
+
+
+@register("q164_replica_majority", _q164_sql())
+def q164_replica_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quorum-read reconciliation: three replicas of the customer dim
+    (each deterministically missing ~10% of rows — the md5 draw
+    family plays the failure injector) are majority-voted back into
+    one table: a row survives iff >= 2 replicas hold it.  The
+    reference's 3-way HyDFS replica merge (``RainStorm.java:770-825``
+    re-replication + merge) re-expressed as ONE union + one
+    partial-aggregated vote count — no pairwise reconciliation
+    passes, no coordinator; 100 TB of replicas is still one shuffle
+    on the row key.
+
+    Voting groups on the FULL row content (key + columns in exact
+    cents), so a corrupted value would split the vote and drop below
+    quorum rather than silently win."""
+    from .operators.sampling import fraction_threshold_hex
+
+    customer = load_table(spark, sf_dir, "customer")
+    t = fraction_threshold_hex(0.1)
+    base = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    reps = None
+    for i in (1, 2, 3):
+        draw = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"rep{i}"), F.lit("|"),
+                    F.col("c_custkey").cast("string"),
+                )
+            ),
+            1,
+            28,
+        )
+        r = base.filter(draw >= t)
+        reps = r if reps is None else reps.unionAll(r)
+    return reps.groupBy("c_custkey", "c_name", "cents").agg(
+        F.count("*").cast("long").alias("n_replicas")
+    ).filter(F.col("n_replicas") >= 2)
