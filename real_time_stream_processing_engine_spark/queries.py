@@ -7621,3 +7621,157 @@ def q164_replica_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reps.groupBy("c_custkey", "c_name", "cents").agg(
         F.count("*").cast("long").alias("n_replicas")
     ).filter(F.col("n_replicas") >= 2)
+
+
+@register(
+    "q165_cheapest_two_hop",
+    """
+    WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
+                      min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+               JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+               WHERE cn.n_name <> sn.n_name
+               GROUP BY 1, 2),
+    hop2 AS (SELECT a.src, b.dst, min(a.w + b.w) AS w2
+             FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst
+             GROUP BY 1, 2)
+    SELECT COALESCE(d.src, h.src) AS src, COALESCE(d.dst, h.dst) AS dst,
+           CAST(d.w AS BIGINT) AS direct_cents,
+           CAST(h.w2 AS BIGINT) AS two_hop_cents,
+           CAST(least(COALESCE(d.w, 9223372036854775807),
+                      COALESCE(h.w2, 9223372036854775807)) AS BIGINT)
+             AS best_cents
+    FROM e d FULL OUTER JOIN hop2 h ON d.src = h.src AND d.dst = h.dst
+    """,
+)
+def q165_cheapest_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest 1-or-2-hop route between nations over the trade graph
+    (edge weight = cheapest observed line item between the customer's
+    and supplier's nations) — one round of MIN-PLUS matrix algebra,
+    the building block of distributed shortest paths (each further
+    round doubles the hop horizon; q56/q83's fixpoint machinery runs
+    the loop when diameters are unknown).
+
+    The min-plus step IS a join + partial-aggregated min — facts
+    reduce to the |nations|² edge list FIRST, so the quadratic algebra
+    runs on dims, never rows; the full-outer join surfaces pairs
+    reachable only directly, only via a relay, or both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    e = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+        )
+        .join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    a = e.select(F.col("src"), F.col("dst").alias("mid"), F.col("w").alias("wa"))
+    b = e.select(F.col("src").alias("mid"), F.col("dst"), F.col("w").alias("wb"))
+    hop2 = (
+        a.join(b, "mid")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min(F.col("wa") + F.col("wb")).alias("w2"))
+    )
+    d = e.select("src", "dst", F.col("w"))
+    inf = F.lit(9223372036854775807)
+    return d.join(hop2, ["src", "dst"], "full_outer").select(
+        "src",
+        "dst",
+        F.col("w").cast("long").alias("direct_cents"),
+        F.col("w2").cast("long").alias("two_hop_cents"),
+        F.least(F.coalesce("w", inf), F.coalesce("w2", inf))
+        .cast("long")
+        .alias("best_cents"),
+    )
+
+
+@register(
+    "q166_array_functions",
+    """
+    SELECT vec_id, label,
+           CAST(round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                       * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                ) / 1e12) * 1000000) AS BIGINT) AS norm_micro,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+             AS n_positive,
+           CAST(list_sum(list_transform(
+                  list_zip(embedding[1:63], embedding[2:64]),
+                  p -> CASE WHEN CAST(p[2] AS DOUBLE) > CAST(p[1] AS DOUBLE)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS n_ascents
+    FROM embeddings
+    """,
+)
+def q166_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions head-to-head: per-vector L2 norm
+    (transform + aggregate over exact micro-int squares, one IEEE
+    sqrt at the end), positive-dimension count (filter + size), and
+    adjacent-ascent count (zip_with over the array against its own
+    shift) — the array algebra that keeps vector feature engineering
+    scan-side instead of exploding 64 rows per vector (q145 is the
+    explode form: use THIS one when the answer is per-vector, that
+    one when it is per-dimension).
+
+    All three run inside whole-stage codegen — no explode, no
+    shuffle beyond none at all (zero exchanges, plan-pinned), no
+    Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    f"aggregate(embedding, 0L, (acc, x) -> acc + {micro} * {micro})"
+                )
+                / F.lit(1e12)
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("norm_micro"),
+        F.expr("size(filter(embedding, x -> x > 0))")
+        .cast("long")
+        .alias("n_positive"),
+        F.expr(
+            "aggregate(zip_with(slice(embedding, 1, 63),"
+            " slice(embedding, 2, 63),"
+            " (a, b) -> CASE WHEN CAST(b AS DOUBLE) > CAST(a AS DOUBLE)"
+            " THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"
+        )
+        .cast("long")
+        .alias("n_ascents"),
+    )

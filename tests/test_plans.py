@@ -658,3 +658,12 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     scans every partition."""
     plan = _plan(spark, sf_dir, "q161_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_array_functions_zero_exchanges(spark, sf_dir):
+    """q166: per-vector array algebra is pure scan-side codegen — no
+    exchange, no explode-generate, no Python."""
+    plan = _plan(spark, sf_dir, "q166_array_functions")
+    assert _count(plan, "Exchange") == 0
+    assert _count(plan, "Generate") == 0
+    assert "Python" not in plan
