@@ -931,6 +931,7 @@ def stream_binned_counts(
     sf_dir: str,
     target_path: str | None = None,
     checkpoint: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> DataFrame:
     """Maintain per-(event_type, value-bin) counts OVER A STREAM with
     the q105 additive-state recipe: each micro-batch's bin counts
@@ -951,7 +952,14 @@ def stream_binned_counts(
         )
     recover_swap(spark, target_path)
 
+    n_applied = {"n": 0}
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if (
+            fail_after_batches is not None
+            and n_applied["n"] >= fail_after_batches
+        ):
+            raise RuntimeError("injected sink crash (fail_after_batches)")
         s = batch.sparkSession
         delta = (
             batch.select(
@@ -979,6 +987,7 @@ def stream_binned_counts(
         replace_contents(
             merged.withColumn("last_batch", F.lit(batch_id)), target_path
         )
+        n_applied["n"] += 1
 
     schema, conv = read_schema_for("events", src_path)
     src = convert_ts_cols(

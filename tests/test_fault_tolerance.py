@@ -325,3 +325,41 @@ def test_chained_stateful_wau_recovers_and_dedups(spark, tmp_path):
     # EVERYTHING; restart resumes both state stores from the checkpoint
     os.symlink(events, src_dir / "copy_b.parquet")
     assert run_round() == batch
+
+
+def test_stream_binned_counts_recovers_from_sink_crash(spark, sf_dir, tmp_path):
+    """q162's maintained distribution bins follow the q105 additive
+    exactly-once recipe: crash before the first apply, restart from
+    the same checkpoint + target — replayed batches apply exactly
+    once and the maintained counts equal the batch aggregation."""
+    import pytest
+
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_binned_counts,
+    )
+
+    target = str(tmp_path / "psi_target")
+    ckpt = str(tmp_path / "psi_ckpt")
+    with pytest.raises(Exception):
+        stream_binned_counts(
+            spark, sf_dir, target_path=target, checkpoint=ckpt,
+            fail_after_batches=0,
+        )
+    streamed = stream_binned_counts(
+        spark, sf_dir, target_path=target, checkpoint=ckpt
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.least(F.lit(9), F.floor(F.col("value") / 10.0))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
