@@ -4792,18 +4792,20 @@ ORACLE["q118_split_leakage_audit"] = _q118_sql()
     "q122_gapfill_daily",
     """
     WITH o AS (SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
-                      o_custkey, o_totalprice FROM orders),
+                      o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
     b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
     spine AS (SELECT n_name, unnest(generate_series(b.lo, b.hi)) AS day
               FROM nation, b),
     rev AS (SELECT n.n_name, o.day,
-                   sum(o.o_totalprice) AS rev, count(*) AS n
+                   sum(o.cents) AS rev, count(*) AS n
             FROM o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1, 2)
     SELECT s.n_name, CAST(s.day AS BIGINT) AS day,
-           ROUND(COALESCE(r.rev, 0.0), 4) AS revenue,
+           CAST(COALESCE(r.rev, 0) AS BIGINT) AS revenue_cents,
            CAST(COALESCE(r.n, 0) AS BIGINT) AS n_orders
     FROM spine s LEFT JOIN rev r ON s.n_name = r.n_name AND s.day = r.day
     """,
@@ -4818,8 +4820,10 @@ def q122_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a ``sequence()`` + ``explode`` spine generated scan-free on
     the 25-row nation dim — |nations| x |days| rows materialized
     distributed, never on the driver.  The revenue side partial-
-    aggregates to (nation, day) BEFORE the spine join, so the left
-    join's build side is the small aggregate, not raw orders.  At
+    aggregates to (nation, day) in INTEGER CENTS before the spine
+    join (the q123 exactness rule: a ROUND(sum(double)) here would be
+    a latent cross-engine boundary flip), so the left join's build
+    side is the small aggregate, not raw orders.  At
     100 TB the spine is still only dims x days (~1e6 rows/decade) —
     this plan is scale-invariant."""
     orders = load_table(spark, sf_dir, "orders")
@@ -4830,7 +4834,7 @@ def q122_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day"),
         "o_custkey",
-        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = (
@@ -4846,14 +4850,14 @@ def q122_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                o.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "day")
-        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+        .agg(F.sum("cents").alias("rev"), F.count("*").alias("n"))
     )
     # rev is bounded by dims x days (like the spine itself) — broadcast
     # it so the left join never sorts, at any fact-table scale
     return spine.join(F.broadcast(rev), ["n_name", "day"], "left").select(
         "n_name",
         F.col("day").cast("long").alias("day"),
-        F.round(F.coalesce("rev", F.lit(0.0)), 4).alias("revenue"),
+        F.coalesce("rev", F.lit(0)).cast("long").alias("revenue_cents"),
         F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
     )
 
