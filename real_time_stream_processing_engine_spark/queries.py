@@ -7779,3 +7779,146 @@ def q166_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ascents"),
     )
+
+
+@register(
+    "q167_revenue_trend",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    lo AS (SELECT min(day) AS d0 FROM o),
+    daily AS (SELECT n.n_name, o.day - l.d0 AS x, sum(o.cents) AS y
+              FROM o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              CROSS JOIN lo l
+              GROUP BY 1, 2),
+    s AS (SELECT n_name, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM daily GROUP BY 1)
+    SELECT n_name, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_cents_per_day
+    FROM s
+    """,
+)
+def q167_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue TREND: the ordinary-least-squares slope of
+    daily revenue over time, computed entirely from the five classic
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — a regression fit as
+    ONE aggregation pass, no iteration, no ML library.
+
+    Exactness: days RECENTER to day-zero first (a broadcast 1-row
+    min) — without it nΣxy overflows int64 at epoch-day magnitudes —
+    then every statistic is an exact integer sum; the slope emits as
+    the exact numerator/denominator pair plus ONE double division of
+    those exact integers (identical on both engines — scaling to
+    integer micro first would overflow int64 at these magnitudes).
+    Shape: facts partial-aggregate to nation x day, then to 25
+    stat rows; the windowless form of trend detection that scales to
+    any series length."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    lo = o.agg(F.min("day").alias("d0"))
+    daily = (
+        o.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "n_name", (F.col("day") - F.col("d0")).alias("x"), "cents"
+        )
+        .groupBy("n_name", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    s = daily.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_days"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope_cents_per_day"
+        ),
+    )
+
+
+@register(
+    "q168_duplicate_payments",
+    """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id, a.cents,
+           a.event_id AS first_id, b.event_id AS second_id,
+           CAST(b.sec - a.sec AS BIGINT) AS gap_s
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.cents = b.cents
+     AND a.event_id < b.event_id
+     AND b.sec - a.sec BETWEEN 0 AND 600
+    """,
+)
+def q168_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detector: pairs of purchases by the same user
+    for the same amount within 10 minutes — the fraud/idempotency
+    audit every payments pipeline runs.
+
+    The equi-part of the predicate (user, exact cents) does the heavy
+    lifting as a plain hash join, so the quadratic time-band check
+    runs only inside (user, amount) groups — at 100 TB the band would
+    additionally bucket on floor(sec/600) joined to adjacent buckets
+    (the q40 range-join recipe) if any group ran hot.  Amounts compare
+    in exact cents; the gap is exact seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    a = e.select(
+        F.col("user_id"), F.col("cents"),
+        F.col("event_id").alias("first_id"), F.col("sec").alias("sa"),
+    )
+    b = e.select(
+        F.col("user_id"), F.col("cents"),
+        F.col("event_id").alias("second_id"), F.col("sec").alias("sb"),
+    )
+    return (
+        a.join(b, ["user_id", "cents"])
+        .filter(
+            (F.col("first_id") < F.col("second_id"))
+            & (F.col("sb") - F.col("sa")).between(0, 600)
+        )
+        .select(
+            "user_id",
+            "cents",
+            "first_id",
+            "second_id",
+            (F.col("sb") - F.col("sa")).cast("long").alias("gap_s"),
+        )
+    )
