@@ -7873,26 +7873,27 @@ def q167_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(round(value * 100) AS BIGINT) AS cents,
                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
                FROM events WHERE event_type = 'purchase')
-    SELECT a.user_id, a.cents,
+    SELECT a.user_id,
            a.event_id AS first_id, b.event_id AS second_id,
+           CAST(abs(b.cents - a.cents) AS BIGINT) AS amount_gap_cents,
            CAST(b.sec - a.sec AS BIGINT) AS gap_s
     FROM e a JOIN e b
-      ON a.user_id = b.user_id AND a.cents = b.cents
+      ON a.user_id = b.user_id
      AND a.event_id < b.event_id
-     AND b.sec - a.sec BETWEEN 0 AND 600
+     AND b.sec - a.sec BETWEEN 0 AND 1800
     """,
 )
 def q168_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-payment detector: pairs of purchases by the same user
-    for the same amount within 10 minutes — the fraud/idempotency
-    audit every payments pipeline runs.
+    """Purchase-velocity audit: pairs of purchases by the same user
+    within 30 minutes, with the exact amount gap — the
+    fraud/idempotency screen every payments pipeline runs (rapid
+    repeats are the double-charge / card-testing signature).
 
-    The equi-part of the predicate (user, exact cents) does the heavy
-    lifting as a plain hash join, so the quadratic time-band check
-    runs only inside (user, amount) groups — at 100 TB the band would
-    additionally bucket on floor(sec/600) joined to adjacent buckets
-    (the q40 range-join recipe) if any group ran hot.  Amounts compare
-    in exact cents; the gap is exact seconds."""
+    The user equi-join does the heavy lifting as a plain hash join,
+    so the quadratic time-band check runs only inside each user's
+    purchase set — at 100 TB the band would additionally bucket on
+    floor(sec/1800) joined to adjacent buckets (the q40 range-join
+    recipe) for hot accounts.  Amounts and gaps are exact integers."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -7901,24 +7902,26 @@ def q168_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").cast("long").alias("sec"),
     )
     a = e.select(
-        F.col("user_id"), F.col("cents"),
+        F.col("user_id"), F.col("cents").alias("ca"),
         F.col("event_id").alias("first_id"), F.col("sec").alias("sa"),
     )
     b = e.select(
-        F.col("user_id"), F.col("cents"),
+        F.col("user_id"), F.col("cents").alias("cb"),
         F.col("event_id").alias("second_id"), F.col("sec").alias("sb"),
     )
     return (
-        a.join(b, ["user_id", "cents"])
+        a.join(b, "user_id")
         .filter(
             (F.col("first_id") < F.col("second_id"))
-            & (F.col("sb") - F.col("sa")).between(0, 600)
+            & (F.col("sb") - F.col("sa")).between(0, 1800)
         )
         .select(
             "user_id",
-            "cents",
             "first_id",
             "second_id",
+            F.abs(F.col("cb") - F.col("ca"))
+            .cast("long")
+            .alias("amount_gap_cents"),
             (F.col("sb") - F.col("sa")).cast("long").alias("gap_s"),
         )
     )
