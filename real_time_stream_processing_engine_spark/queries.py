@@ -7925,3 +7925,125 @@ def q168_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sb") - F.col("sa")).cast("long").alias("gap_s"),
         )
     )
+
+
+@register(
+    "q169_activity_heatmap",
+    """
+    WITH e AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+                      CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS hour,
+                      CAST(round(value * 1000000) AS BIGINT) AS v_micro
+               FROM events)
+    SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+           CAST(hour AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_micro) AS BIGINT) AS value_micro
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q169_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap — the seasonality profile
+    under capacity planning and anomaly baselines (q123's trailing
+    windows assume you know the weekly shape; this measures it).
+
+    Day-of-week computes PORTABLY as (epoch_day + 4) % 7 (1970-01-01
+    was a Thursday; 0=Monday) — engine date functions disagree on
+    week start and 1- vs 0-basing, so the oracle-exact form is pure
+    integer arithmetic on the epoch.  One partial-aggregated exchange
+    over at most 168 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day"),
+        (F.floor(F.unix_timestamp("ts") / F.lit(3600)) % 24)
+        .cast("long")
+        .alias("hour"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    return (
+        e.select(
+            ((F.col("day") + 4) % 7).cast("long").alias("dow"),
+            "hour",
+            "v_micro",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("v_micro").cast("long").alias("value_micro"),
+        )
+    )
+
+
+@register(
+    "q170_week_over_week",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) // 7
+                        AS week,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    w AS (SELECT n.n_name, o.week, sum(o.cents) AS rev
+          FROM o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2),
+    l AS (SELECT n_name, week, rev,
+                 lag(rev) OVER (PARTITION BY n_name ORDER BY week) AS prev,
+                 lag(week) OVER (PARTITION BY n_name ORDER BY week) AS pweek
+          FROM w)
+    SELECT n_name, CAST(week AS BIGINT) AS week,
+           CAST(rev AS BIGINT) AS rev_cents,
+           CAST(rev - prev AS BIGINT) AS delta_cents,
+           CAST((1000 * (rev - prev)) // prev AS BIGINT) AS delta_permille
+    FROM l
+    WHERE prev IS NOT NULL AND prev > 0 AND pweek = week - 1
+    """,
+)
+def q170_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas per nation — the growth readout
+    on every dashboard, emitted ONLY for consecutive weeks (a lag
+    across a gap silently compares to the wrong period: the pweek =
+    week-1 guard makes the comparison honest).  Facts partial-
+    aggregate to nation x week before the lag; deltas exact cents,
+    growth as integer permille."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = (
+        orders.select(
+            "o_custkey",
+            F.expr("floor(unix_timestamp(o_orderdate) / 86400) div 7")
+            .cast("long")
+            .alias("week"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "week")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    win = Window.partitionBy("n_name").orderBy("week")
+    l = w.select(
+        "n_name",
+        "week",
+        "rev",
+        F.lag("rev").over(win).alias("prev"),
+        F.lag("week").over(win).alias("pweek"),
+    )
+    return l.filter(
+        F.col("prev").isNotNull()
+        & (F.col("prev") > 0)
+        & (F.col("pweek") == F.col("week") - 1)
+    ).select(
+        "n_name",
+        F.col("week").cast("long").alias("week"),
+        F.col("rev").cast("long").alias("rev_cents"),
+        (F.col("rev") - F.col("prev")).cast("long").alias("delta_cents"),
+        F.expr("(1000 * (rev - prev)) div prev")
+        .cast("long")
+        .alias("delta_permille"),
+    )
