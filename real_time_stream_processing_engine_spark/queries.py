@@ -8047,3 +8047,29 @@ def q170_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_permille"),
     )
+
+
+@register(
+    "q171_stream_bitmap_dau",
+    """
+    SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def q171_stream_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q154's bitmap exact-distinct maintained ON THE STREAM
+    (:func:`streaming.runner.stream_bitmap_dau`): per-batch bitmaps
+    OR-merge into the target — and because bitmap OR is IDEMPOTENT,
+    replayed batches are no-ops by algebra alone, no batch-id ledger
+    (the deliberate contrast with q105/q162's additive counters, which
+    need one).  The three exactly-once recipes now sit side by side:
+    latest-wins (q69), additive + ledger (q105/q162), idempotent
+    merge (here).  Stream-end popcounts equal the batch COUNT
+    DISTINCT oracle."""
+    from .streaming.runner import stream_bitmap_dau
+
+    words = stream_bitmap_dau(spark, sf_dir)
+    return words.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("dau")
+    )

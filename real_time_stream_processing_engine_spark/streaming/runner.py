@@ -1007,3 +1007,76 @@ def stream_binned_counts(
     )
     q.awaitTermination()
     return spark.read.parquet(target_path).drop("last_batch")
+
+
+def stream_bitmap_dau(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Maintain EXACT daily distinct users over a stream as (day, word,
+    bits) bitmaps: each micro-batch's bitmap OR-merges into the target.
+
+    The instructive contrast with q105/q162's additive recipe: bitmap
+    OR is IDEMPOTENT — a replayed batch ORs in bits that are already
+    set and changes nothing — so exactly-once needs NO batch-id
+    ledger; the merge's algebra alone absorbs redelivery (the same
+    reason q69's latest-wins CDC needs none).  State is
+    days x |id-space|/64 words regardless of event volume, and the
+    DAU readout is a popcount sum off the maintained table."""
+    from ..sources.catalog import recover_swap, replace_contents
+    from ..sources.readers import read_schema_for
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    d = _stage_symlink_dir("daudir", {"events.parquet": src_path})
+    if target_path is None:
+        target_path = os.path.join(
+            _scratch_dir(), f"rs_dau_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
+        )
+    recover_swap(spark, target_path)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        delta = (
+            batch.select(
+                F.floor(F.unix_timestamp("ts") / F.lit(86400))
+                .cast("long")
+                .alias("day"),
+                F.expr("user_id div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(user_id % 64 AS INT))").alias(
+                    "bit"
+                ),
+            )
+            .groupBy("day", "w")
+            .agg(F.bit_or("bit").alias("bits"))
+        )
+        try:
+            prev = s.read.parquet(target_path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("day", "w")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        except Exception:
+            merged = delta
+        replace_contents(merged, target_path)
+
+    schema, conv = read_schema_for("events", src_path)
+    src = convert_ts_cols(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d),
+        conv,
+    )
+    ckpt = checkpoint or os.path.join(
+        _scratch_dir(), f"rs_ckpt_rs_dau_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_path)

@@ -363,3 +363,48 @@ def test_stream_binned_counts_recovers_from_sink_crash(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_bitmap_dau_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    """q171's bitmap OR-merge needs NO ledger: re-running the whole
+    stream against the SAME target (fresh checkpoint, so every batch
+    replays) ORs already-set bits and the DAU is unchanged — exactly-
+    once by algebraic idempotence."""
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_bitmap_dau,
+    )
+
+    target = str(tmp_path / "dau_target")
+
+    def dau(words):
+        return sorted(
+            (r.day, r.dau)
+            for r in words.groupBy("day")
+            .agg(F.sum(F.bit_count("bits")).alias("dau"))
+            .collect()
+        )
+
+    first = dau(stream_bitmap_dau(
+        spark, sf_dir, target_path=target, checkpoint=str(tmp_path / "c1")
+    ))
+    # full redelivery: fresh checkpoint replays every batch into the
+    # SAME maintained table
+    second = dau(stream_bitmap_dau(
+        spark, sf_dir, target_path=target, checkpoint=str(tmp_path / "c2")
+    ))
+    assert first == second
+    batch = sorted(
+        (r.day, r.dau)
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .collect()
+    )
+    assert first == batch
