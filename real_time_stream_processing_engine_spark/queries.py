@@ -8073,3 +8073,80 @@ def q171_stream_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("day").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("dau")
     )
+
+
+@register(
+    "q172_grouped_pandas_mad_outliers",
+    """
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(round(value * 1000000) AS BIGINT) AS v
+               FROM events),
+    med AS (SELECT user_id, median(v) AS m FROM e GROUP BY 1),
+    dev AS (SELECT e.user_id, e.event_id, e.v, abs(e.v - med.m) AS d,
+                   med.m
+            FROM e JOIN med ON e.user_id = med.user_id),
+    mad AS (SELECT user_id, median(d) AS mad FROM dev GROUP BY 1)
+    SELECT d.user_id, d.event_id, d.v AS v_micro,
+           CAST(d.m * 2 AS BIGINT) AS median_x2,
+           CAST(mad.mad * 2 AS BIGINT) AS mad_x2
+    FROM dev d JOIN mad ON d.user_id = mad.user_id
+    WHERE abs(d.v - d.m) > 3 * mad.mad AND mad.mad > 0
+    """,
+)
+def q172_grouped_pandas_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outliers (|v - median| > 3*MAD) computed in a
+    GROUPED-MAP ``applyInPandas`` — the one Pandas API shape the repo
+    had not yet exercised (mapInPandas streams batches;
+    applyInPandasWithState holds streaming state; THIS one hands each
+    group to numpy whole).  It is the escape hatch for per-group
+    logic with no SQL form; here the logic IS SQL-expressible on
+    purpose, so the oracle proves the plumbing (grouping, Arrow
+    round-trip, numpy median semantics) exact — the certification
+    pattern for when a real non-SQL kernel lands in the slot.
+
+    Exactness: values are integer micro-units; numpy's even-count
+    median interpolation lands on the .5 grid, so median and MAD emit
+    DOUBLED (x2) to stay integers.  Skew posture: one exchange on
+    user_id; a hot user bounds a task at that user's row count —
+    same hazard class as sessionization, same mitigations."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["v"].to_numpy(dtype="int64")
+        m2 = int(round(float(np.median(v)) * 2))
+        d2 = np.abs(v * 2 - m2)  # doubled deviations stay integral
+        mad2 = int(round(float(np.median(d2))))
+        if mad2 <= 0:
+            return pdf.iloc[0:0][["user_id", "event_id", "v"]].assign(
+                median_x2=pd.Series(dtype="int64"),
+                mad_x2=pd.Series(dtype="int64"),
+            )
+        keep = d2 > 3 * mad2  # both sides carry the same x2 scale
+        out = pdf.loc[keep, ["user_id", "event_id", "v"]].copy()
+        out["median_x2"] = m2
+        out["mad_x2"] = mad2
+        return out
+
+    schema = (
+        "user_id long, event_id long, v long, median_x2 long, mad_x2 long"
+    )
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(per_user, schema)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("v").alias("v_micro"),
+            "median_x2",
+            "mad_x2",
+        )
+    )
