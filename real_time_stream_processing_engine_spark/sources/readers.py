@@ -333,3 +333,38 @@ def read_jsonl(
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines egress (one object per line, partition-parallel)."""
     df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write ORC — the second columnar interchange format beside
+    parquet (Hive-ecosystem handoffs).  Same pushdown/pruning story:
+    ORC carries column statistics and predicate pushdown, so queries
+    over an ORC copy keep the scan-side behavior the plan tests pin
+    for parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read ORC with an optional explicit schema (the same
+    no-silent-inference posture as the parquet/CSV/JSONL readers)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — ENV-GATED like the Kafka connector: the
+    spark-avro module is an external jar not present in this
+    container.  The moment it lands on the classpath this works
+    unchanged; until then the error says exactly what to deploy."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "Avro needs the spark-avro package on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            f"underlying error: {e}"
+        ) from e
