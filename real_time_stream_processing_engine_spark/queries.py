@@ -8150,3 +8150,129 @@ def q172_grouped_pandas_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFr
             "mad_x2",
         )
     )
+
+
+@register(
+    "q173_ltv_cohort_decay",
+    """
+    WITH o AS (SELECT o_custkey,
+                      year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    cohort AS (SELECT o_custkey, min(ym) AS m0 FROM o GROUP BY 1),
+    cell AS (SELECT c.m0, o.ym - c.m0 AS age,
+                    count(DISTINCT o.o_custkey) AS n_active,
+                    sum(o.cents) AS rev
+             FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+             GROUP BY 1, 2),
+    sz AS (SELECT m0, count(*) AS cohort_n FROM cohort GROUP BY 1)
+    SELECT cell.m0 AS cohort_ym, CAST(cell.age AS BIGINT) AS age_months,
+           CAST(cell.n_active AS BIGINT) AS n_active,
+           CAST(sz.cohort_n AS BIGINT) AS cohort_size,
+           CAST(cell.rev AS BIGINT) AS rev_cents,
+           CAST(sum(cell.rev) OVER (PARTITION BY cell.m0 ORDER BY cell.age)
+                AS BIGINT) AS cum_rev_cents
+    FROM cell JOIN sz ON cell.m0 = sz.m0
+    """,
+)
+def q173_ltv_cohort_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value decay triangle: customers cohorted by first-order
+    month, then per (cohort, age-in-months) the active count, revenue,
+    and CUMULATIVE revenue — the LTV curve finance fits payback models
+    on, and the revenue companion to q80's retention matrix.
+
+    Shape: cohorts are one groupBy-min broadcast back onto orders; the
+    triangle is a second partial-aggregated groupBy; the cumulative
+    window runs per cohort over <= |months| rows.  Month arithmetic is
+    y*12+m integers (identical in both engines under UTC); revenue is
+    exact cents end-to-end."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("ym").alias("m0"))
+    cell = (
+        o.join(F.broadcast(cohort), "o_custkey")
+        .groupBy("m0", (F.col("ym") - F.col("m0")).alias("age"))
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("rev"),
+        )
+    )
+    sz = cohort.groupBy("m0").agg(F.count("*").alias("cohort_n"))
+    w = Window.partitionBy("m0").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cell.join(F.broadcast(sz), "m0")
+        .select(
+            F.col("m0").alias("cohort_ym"),
+            F.col("age").cast("long").alias("age_months"),
+            F.col("n_active").cast("long"),
+            F.col("cohort_n").cast("long").alias("cohort_size"),
+            F.col("rev").cast("long").alias("rev_cents"),
+            F.sum("rev").over(w).cast("long").alias("cum_rev_cents"),
+        )
+    )
+
+
+@register(
+    "q174_dedup_survivor_policies",
+    r"""
+    WITH fp AS (SELECT doc_id, n_chars,
+                       md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                               '\s+', ' ', 'g'))) AS fp
+                FROM documents),
+    cl AS (SELECT fp, count(*) AS sz,
+                  min(doc_id) AS keep_first,
+                  max_by(doc_id, n_chars * 10000000000 + doc_id) AS keep_longest
+           FROM fp GROUP BY fp HAVING count(*) > 1)
+    SELECT fp, CAST(sz AS BIGINT) AS cluster_size,
+           keep_first, keep_longest,
+           CASE WHEN keep_first <> keep_longest THEN 1 ELSE 0 END
+             AS policies_differ
+    FROM cl
+    """,
+)
+def q174_dedup_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor SELECTION is a policy, not a given: for every near-dup
+    cluster, the keep-FIRST canonical (min doc_id — stable,
+    replay-friendly, what q149 uses) versus keep-LONGEST (max content
+    — what quality-first pipelines prefer), and whether they disagree.
+    Both are single aggregates over the fingerprint groupBy — choosing
+    a policy costs nothing at any scale; shipping the WRONG default
+    silently costs content, which is why the diff itself is the
+    deliverable.  max_by keys on the composite n_chars*1e10 + doc_id so
+    equal lengths tie-break on doc_id identically in both engines."""
+    from .functions.textfn import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(normalize_ws(F.substring(F.col("text"), 1, 100))).alias("fp"),
+    )
+    cl = (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").alias("sz"),
+            F.min("doc_id").alias("keep_first"),
+            F.max_by(
+                "doc_id", F.col("n_chars") * F.lit(10_000_000_000) + F.col("doc_id")
+            ).alias("keep_longest"),
+        )
+        .filter(F.col("sz") > 1)
+    )
+    return cl.select(
+        "fp",
+        F.col("sz").cast("long").alias("cluster_size"),
+        "keep_first",
+        "keep_longest",
+        F.when(F.col("keep_first") != F.col("keep_longest"), 1)
+        .otherwise(0)
+        .alias("policies_differ"),
+    )
