@@ -8276,3 +8276,105 @@ def q174_dedup_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("policies_differ"),
     )
+
+
+@register(
+    "q175_knn_classifier_eval",
+    """
+    WITH probes AS (SELECT vec_id AS pid, embedding AS pe, label AS plab
+                    FROM embeddings WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT p.pid, p.plab, e.vec_id, e.label,
+             SUM(CAST(e.embedding[s.i] AS DOUBLE)
+                 * CAST(p.pe[s.i] AS DOUBLE)) AS dp,
+             SUM(CAST(e.embedding[s.i] AS DOUBLE)
+                 * CAST(e.embedding[s.i] AS DOUBLE)) AS na2,
+             SUM(CAST(p.pe[s.i] AS DOUBLE) * CAST(p.pe[s.i] AS DOUBLE))
+               AS nb2
+      FROM embeddings e CROSS JOIN probes p
+      CROSS JOIN generate_series(1, 64) s(i)
+      WHERE e.vec_id <> p.pid
+      GROUP BY 1, 2, 3, 4),
+    ranked AS (SELECT pid, plab, label,
+                      row_number() OVER (
+                        PARTITION BY pid
+                        ORDER BY ROUND(dp / (sqrt(na2) * sqrt(nb2)), 6) DESC,
+                                 vec_id) AS rn
+               FROM pairs),
+    votes AS (SELECT pid, plab, label, count(*) AS v
+              FROM ranked WHERE rn <= 10 GROUP BY 1, 2, 3),
+    pred AS (SELECT pid, plab,
+                    max_by(label, v * 1000 - label) AS pred_label,
+                    max(v) AS n_votes
+             FROM votes GROUP BY 1, 2)
+    SELECT pid AS probe_id, CAST(plab AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CASE WHEN plab = pred_label THEN 1 ELSE 0 END AS correct
+    FROM pred
+    """,
+)
+def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFIER evaluation in the engine: for a deterministic
+    probe sample (every 100th vector), the majority label among its
+    exact top-10 cosine neighbors versus its true label — the
+    leave-one-out readout that certifies an embedding space carries
+    label signal before anyone trains on it (q111 measures the ANN
+    index's recall; this measures the SPACE).
+
+    Probes broadcast against the corpus (the |probes| x |corpus|
+    score matrix distributes by corpus row, never materializes
+    driver-side); ranking cuts at rounded-cosine + vec_id so the
+    neighbor set is engine-exact (the q13 contract); the vote argmax
+    keys on v*1000 - label (more votes win, ties prefer the SMALLER
+    label) — one integer, no struct ordering."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pe"),
+        F.col("label").alias("plab"),
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("pid")
+    )
+    dp = F.expr(
+        "aggregate(zip_with(embedding, pe, (a, b) ->"
+        " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+    )
+    na2 = F.expr(
+        "aggregate(embedding, 0D, (acc, x) ->"
+        " acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    nb2 = F.expr(
+        "aggregate(pe, 0D, (acc, x) ->"
+        " acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    scored = pairs.select(
+        "pid",
+        "plab",
+        "vec_id",
+        "label",
+        F.round(dp / (F.sqrt(na2) * F.sqrt(nb2)), 6).alias("cos"),
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    votes = topk.groupBy("pid", "plab", "label").agg(F.count("*").alias("v"))
+    pred = votes.groupBy("pid", "plab").agg(
+        F.max_by("label", F.col("v") * 1000 - F.col("label")).alias(
+            "pred_label"
+        ),
+        F.max("v").alias("n_votes"),
+    )
+    return pred.select(
+        F.col("pid").alias("probe_id"),
+        F.col("plab").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        F.when(F.col("plab") == F.col("pred_label"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
