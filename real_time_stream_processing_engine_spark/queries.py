@@ -8282,7 +8282,7 @@ def q174_dedup_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q175_knn_classifier_eval",
     """
     WITH probes AS (SELECT vec_id AS pid, embedding AS pe, label AS plab
-                    FROM embeddings WHERE vec_id % 100 = 0),
+                    FROM embeddings WHERE vec_id % 20 = 0),
     pairs AS (
       SELECT p.pid, p.plab, e.vec_id, e.label,
              SUM(CAST(e.embedding[s.i] AS DOUBLE)
@@ -8316,7 +8316,7 @@ def q174_dedup_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN CLASSIFIER evaluation in the engine: for a deterministic
-    probe sample (every 100th vector), the majority label among its
+    probe sample (every 20th vector), the majority label among its
     exact top-10 cosine neighbors versus its true label — the
     leave-one-out readout that certifies an embedding space carries
     label signal before anyone trains on it (q111 measures the ANN
@@ -8331,7 +8331,7 @@ def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+    probes = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("pid"),
         F.col("embedding").alias("pe"),
         F.col("label").alias("plab"),
