@@ -8378,3 +8378,199 @@ def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("correct"),
     )
+
+
+@register(
+    "q176_hierarchical_shares",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    rev AS (SELECT r.r_name, n.n_name, sum(o.cents) AS rev
+            FROM o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2),
+    reg AS (SELECT r_name, sum(rev) AS rrev FROM rev GROUP BY 1),
+    tot AS (SELECT sum(rev) AS trev FROM rev)
+    SELECT rev.r_name, rev.n_name, CAST(rev.rev AS BIGINT) AS rev_cents,
+           CAST((1000000 * rev.rev) // reg.rrev AS BIGINT)
+             AS share_of_region_ppm,
+           CAST((1000000 * reg.rrev) // tot.trev AS BIGINT)
+             AS region_share_ppm,
+           CAST((1000000 * rev.rev) // tot.trev AS BIGINT)
+             AS share_of_total_ppm
+    FROM rev JOIN reg ON rev.r_name = reg.r_name CROSS JOIN tot
+    """,
+)
+def q176_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution drill: each nation's share of its
+    REGION, the region's share of the TOTAL, and the through-share —
+    the two-level ratio decomposition every drill-down report needs
+    consistent (nation/region x region/total must equal nation/total
+    up to integer-division truncation, which is why all three emit
+    from the same exact cents).
+
+    One fact aggregate feeds both rollup levels; region totals and the
+    1-row grand total broadcast back — three levels, one scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    reg = rev.groupBy("r_name").agg(F.sum("rev").alias("rrev"))
+    tot = rev.agg(F.sum("rev").alias("trev"))
+    return (
+        rev.join(F.broadcast(reg), "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("rev").cast("long").alias("rev_cents"),
+            F.expr("(1000000 * rev) div rrev")
+            .cast("long")
+            .alias("share_of_region_ppm"),
+            F.expr("(1000000 * rrev) div trev")
+            .cast("long")
+            .alias("region_share_ppm"),
+            F.expr("(1000000 * rev) div trev")
+            .cast("long")
+            .alias("share_of_total_ppm"),
+        )
+    )
+
+
+@register(
+    "q177_contingency_expected",
+    """
+    WITH c AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                      count(*) AS o
+               FROM orders GROUP BY 1, 2),
+    rt AS (SELECT pri, sum(o) AS rn FROM c GROUP BY 1),
+    ct AS (SELECT st, sum(o) AS cn FROM c GROUP BY 1),
+    t AS (SELECT sum(o) AS n FROM c)
+    SELECT c.pri, c.st, CAST(c.o AS BIGINT) AS observed,
+           CAST(rt.rn * ct.cn AS BIGINT) AS expected_num,
+           CAST(t.n AS BIGINT) AS expected_den,
+           ROUND(CAST(c.o * t.n - rt.rn * ct.cn AS DOUBLE)
+                 * CAST(c.o * t.n - rt.rn * ct.cn AS DOUBLE)
+                 / (CAST(rt.rn * ct.cn AS DOUBLE) * t.n), 6) AS chi2_term
+    FROM c JOIN rt ON c.pri = rt.pri JOIN ct ON c.st = ct.st CROSS JOIN t
+    """,
+)
+def q177_contingency_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table with expected counts and chi-square terms:
+    order priority x status observed counts, the independence-model
+    expectation row*col/N as an EXACT integer rational
+    (numerator/denominator), and the chi-square contribution — the
+    association test behind segment drift checks.
+
+    The chi2 term algebra is rearranged to integer-first form:
+    (o*N - r*c)^2 / (r*c*N) — every product is an exact int64 (counts
+    here are <= 1e6, so o*N <= 1e12) and the ONE double division at
+    the end is engine-identical.  Marginals broadcast; one scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").alias("o"))
+    rt = c.groupBy("pri").agg(F.sum("o").alias("rn"))
+    ct = c.groupBy("st").agg(F.sum("o").alias("cn"))
+    t = c.agg(F.sum("o").alias("n"))
+    num = F.col("o") * F.col("n") - F.col("rn") * F.col("cn")
+    return (
+        c.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "pri",
+            "st",
+            F.col("o").cast("long").alias("observed"),
+            (F.col("rn") * F.col("cn")).cast("long").alias("expected_num"),
+            F.col("n").cast("long").alias("expected_den"),
+            F.round(
+                num.cast("double")
+                * num.cast("double")
+                / (
+                    (F.col("rn") * F.col("cn")).cast("double") * F.col("n")
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@register(
+    "q178_user_profile",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+           CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+           CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           min(us) AS first_us, max(us) AS last_us,
+           CAST(sum(v_micro) AS BIGINT) AS value_micro,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM lagd GROUP BY user_id
+    """,
+)
+def q178_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-360 profile: events, distinct active days, calendar
+    span, session count (30-min-gap boundaries counted INLINE — the
+    lag rides the same user exchange as the rollup, no separate
+    sessionization pass), first/last seen, exact value sum, purchase
+    count — the feature row entity stores serve, produced in ONE
+    exchange over the fact table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev"),
+    )
+    new_sess = F.when(
+        F.col("prev").isNull()
+        | ((F.col("us") - F.col("prev")) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("day").cast("long").alias("active_days"),
+        (F.max("day") - F.min("day") + 1).cast("long").alias("span_days"),
+        F.sum(new_sess).cast("long").alias("n_sessions"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.sum("v_micro").cast("long").alias("value_micro"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
