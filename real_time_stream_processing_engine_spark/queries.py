@@ -8574,3 +8574,114 @@ def q178_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchases"),
     )
+
+
+@register(
+    "q179_order_backlog",
+    """
+    WITH iv AS (SELECT o.o_orderkey,
+                       CAST(floor(epoch(o.o_orderdate)/86400) AS BIGINT) AS s,
+                       CAST(floor(epoch(max(l.l_shipdate))/86400) AS BIGINT)
+                         AS e
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_orderkey, o.o_orderdate),
+    d AS (SELECT s AS t, 1 AS nd FROM iv WHERE e >= s
+          UNION ALL SELECT e + 1, -1 FROM iv WHERE e >= s),
+    net AS (SELECT t, sum(nd) AS nd FROM d GROUP BY t),
+    run AS (SELECT t, sum(nd) OVER (ORDER BY t) AS conc,
+                   COALESCE(sum(nd) OVER (ORDER BY t ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_conc
+            FROM net),
+    hb AS (SELECT CAST(floor(t / 7) * 7 AS BIGINT) AS bucket_start,
+                  conc, prev_conc, t
+           FROM run)
+    SELECT bucket_start,
+           CAST(CASE WHEN min(t) > bucket_start
+                     THEN greatest(max(conc), min_by(prev_conc, t))
+                     ELSE max(conc) END AS BIGINT) AS max_concurrent
+    FROM hb GROUP BY bucket_start
+    """,
+)
+def q179_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak order BACKLOG per week: an order is open from its order
+    date until its last line item ships; the weekly maximum of
+    simultaneously-open orders is the fulfillment-capacity readout.
+    OPERATOR REUSE is the point — this is
+    :func:`operators.windows.interval_concurrency` (q124's
+    distributed sweep-line) fed a different interval semantic and a
+    different bucket width (7-day buckets in DAY units), against the
+    same naive-global-running-sum oracle shape."""
+    from .operators.windows import interval_concurrency
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.select(
+            "o_orderkey",
+            F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+            .cast("long")
+            .alias("s"),
+        )
+        .join(
+            li.select(
+                "l_orderkey",
+                F.floor(F.unix_timestamp("l_shipdate") / F.lit(86400))
+                .cast("long")
+                .alias("ship_day"),
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "s")
+        .agg(F.max("ship_day").alias("e"))
+        .filter(F.col("e") >= F.col("s"))
+    )
+    return interval_concurrency(iv, "s", "e", bucket_sec=7).select(
+        "bucket_start", "max_concurrent"
+    )
+
+
+@register(
+    "q180_daily_concentration",
+    """
+    WITH c AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+                      user_id, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST((1000000 * sum(n * n)) // (sum(n) * sum(n)) AS BIGINT)
+             AS hhi_ppm,
+           CAST((1000000 * max(n)) // sum(n) AS BIGINT)
+             AS top_user_share_ppm
+    FROM c GROUP BY day
+    """,
+)
+def q180_daily_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily traffic CONCENTRATION: the Herfindahl index
+    (Σ share² = Σn_u² / N², in exact integer ppm) and the top user's
+    share per day — the abuse/fairness monitor that flags a single
+    tenant dominating a day's volume, and the measurement companion
+    to the skew mitigations (q75/q82 salt hot keys; this DETECTS
+    them).  Two partial-aggregated exchanges ((day, user) counts,
+    then day rollup); all arithmetic exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .groupBy("day", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return c.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("(1000000 * sum(n * n)) div (sum(n) * sum(n))")
+        .cast("long")
+        .alias("hhi_ppm"),
+        F.expr("(1000000 * max(n)) div sum(n)")
+        .cast("long")
+        .alias("top_user_share_ppm"),
+    )
