@@ -8685,3 +8685,195 @@ def q180_daily_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_user_share_ppm"),
     )
+
+
+@register(
+    "q181_label_propagation",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0),
+    l0 AS (SELECT DISTINCT x AS v, x AS lab FROM e),
+    r1 AS (SELECT e.x AS v, min(l0.lab) AS lab
+           FROM e JOIN l0 ON e.y = l0.v GROUP BY 1),
+    l1 AS (SELECT l0.v, least(l0.lab, COALESCE(r1.lab, l0.lab)) AS lab
+           FROM l0 LEFT JOIN r1 ON l0.v = r1.v),
+    r2 AS (SELECT e.x AS v, min(l1.lab) AS lab
+           FROM e JOIN l1 ON e.y = l1.v GROUP BY 1),
+    l2 AS (SELECT l1.v, least(l1.lab, COALESCE(r2.lab, l1.lab)) AS lab
+           FROM l1 LEFT JOIN r2 ON l1.v = r2.v)
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(v) AS BIGINT) AS min_member,
+           CAST(max(v) AS BIGINT) AS max_member
+    FROM l2 GROUP BY lab
+    """,
+)
+def q181_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO synchronous rounds of min-label propagation over the
+    co-purchase graph, rolled up to community sizes — the bounded-round
+    form of community detection (the FIXPOINT form with reliable
+    checkpoints and crash-resume is q56/q83's connected components;
+    this exposes the per-round algebra itself, and the oracle UNROLLS
+    both rounds in SQL the way q98's k-means and q106's PageRank
+    oracles do).
+
+    Each round is one join against the undirected edge list + a
+    partial-aggregated min — the min-plus pattern (q165) with MIN as
+    the semiring.  Labels are vertex ids, so everything is exact
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("x"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("y"))
+    e0 = (
+        a.join(b, "k")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("x", "y")
+    )
+    e = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    labels = e.select(F.col("x").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    for _ in range(2):
+        nbr = (
+            e.join(
+                labels.select(F.col("v").alias("y"), F.col("lab")), "y"
+            )
+            .groupBy(F.col("x").alias("v"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = labels.join(nbr, "v", "left").select(
+            "v",
+            F.least(
+                F.col("lab"), F.coalesce("nlab", F.col("lab"))
+            ).alias("lab"),
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("v").cast("long").alias("min_member"),
+        F.max("v").cast("long").alias("max_member"),
+    )
+
+
+@register(
+    "q182_containment_neardup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                    AS shingle
+           FROM toks),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pair AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 20)
+    SELECT p.da AS contained_doc, p.db AS container_doc,
+           CAST(p.i AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_contained,
+           CAST((1000000 * p.i) // sa.n AS BIGINT) AS containment_ppm
+    FROM pair p JOIN sz sa ON p.da = sa.doc_id
+    WHERE p.i * 10 >= sa.n * 8
+    """,
+)
+def q182_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle CONTAINMENT |A∩B|/|A| >= 0.8 —
+    the relation Jaccard misses when a small document is swallowed by
+    a much larger one (quote expansion, boilerplate wrapping: the
+    union washes the symmetric score out, but containment of the
+    SMALL side stays high).  The directional complement to
+    q17/q39's symmetric families.
+
+    Same inverted-index posture: pairs only through shared shingles,
+    min-intersection HAVING prunes the tail before the size join, and
+    the 0.8 threshold is the integer cross-multiplication i*10 >=
+    n*8.  Output is directional (contained -> container)."""
+    from .functions.textfn import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select("shingle", F.col("doc_id").alias("da"))
+    b = sh.select("shingle", F.col("doc_id").alias("db"))
+    pair = (
+        a.join(b, "shingle")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+        .filter(F.col("i") >= 20)
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n"))
+    return (
+        pair.join(F.broadcast(sa), "da")
+        .filter(F.col("i") * 10 >= F.col("n") * 8)
+        .select(
+            F.col("da").alias("contained_doc"),
+            F.col("db").alias("container_doc"),
+            F.col("i").cast("long").alias("n_shared"),
+            F.col("n").cast("long").alias("n_contained"),
+            F.expr("(1000000 * i) div n").cast("long").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "q183_percentile_transform",
+    """
+    WITH s AS (SELECT doc_id, n_chars FROM documents),
+    h AS (SELECT n_chars, count(*) AS c FROM s GROUP BY 1),
+    cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cnt_le,
+                   (SELECT sum(c) FROM h) AS n
+            FROM h)
+    SELECT s.doc_id, CAST(s.n_chars AS BIGINT) AS n_chars,
+           CAST((1000000 * cum.cnt_le) // cum.n AS BIGINT) AS pct_ppm
+    FROM s JOIN cum ON s.n_chars = cum.n_chars
+    """,
+)
+def q183_percentile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank FEATURE TRANSFORM: every document's length
+    mapped to its corpus percentile (cume_dist as exact integer ppm)
+    — rank-space normalization, the scale-free feature encoding
+    robust to outliers and distribution drift.
+
+    The q119 recipe applied as a TRANSFORM rather than a report: the
+    cumulative distribution comes from the bounded distinct-value
+    histogram (never a corpus-wide sort), then broadcast-joins back
+    onto every row — at 100 TB the histogram is |distinct lengths|
+    rows and the corpus is touched twice scan-side, zero wide
+    shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("doc_id", "n_chars")
+    h = s.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "n_chars",
+        F.sum("c").over(w).alias("cnt_le"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return s.join(F.broadcast(cum), "n_chars").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr("(1000000 * cnt_le) div n").cast("long").alias("pct_ppm"),
+    )
