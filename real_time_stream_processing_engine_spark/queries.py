@@ -8877,3 +8877,117 @@ def q183_percentile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.expr("(1000000 * cnt_le) div n").cast("long").alias("pct_ppm"),
     )
+
+
+@register(
+    "q184_new_vs_returning",
+    """
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+               FROM events),
+    first_seen AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+    du AS (SELECT DISTINCT e.user_id, e.day, f.d0
+           FROM e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN day > d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users,
+           CAST((1000 * sum(CASE WHEN day = d0 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS new_share_permille
+    FROM du GROUP BY day
+    """,
+)
+def q184_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each day's active users split into NEW
+    (first-ever-seen today) versus RETURNING — the daily top line
+    every growth team reads, and the decomposition retention (q80) and
+    WAU (q126) curves are built from.
+
+    First-seen days are one groupBy-min broadcast back onto the
+    distinct (user, day) activity table; the day rollup carries both
+    classes as conditional sums in one pass.  Shares in integer
+    permille."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day"),
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("d0"))
+    du = e.distinct().join(F.broadcast(first_seen), "user_id")
+    return du.groupBy("day").agg(
+        F.count("*").cast("long").alias("active_users"),
+        F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+        F.expr(
+            "(1000 * sum(CASE WHEN day = d0 THEN 1 ELSE 0 END))"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("new_share_permille"),
+    )
+
+
+@register(
+    "q185_monthly_value_bands",
+    """
+    WITH o AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    h AS (SELECT ym, cents, count(*) AS c FROM o GROUP BY 1, 2),
+    cum AS (SELECT ym, cents,
+                   sum(c) OVER (PARTITION BY ym ORDER BY cents) AS cum,
+                   sum(c) OVER (PARTITION BY ym) AS n
+            FROM h)
+    SELECT ym,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(min(CASE WHEN cum * 10 >= n THEN cents END) AS BIGINT)
+             AS p10_cents,
+           CAST(min(CASE WHEN cum * 2 >= n THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(min(CASE WHEN cum * 10 >= 9 * n THEN cents END) AS BIGINT)
+             AS p90_cents
+    FROM cum GROUP BY ym
+    """,
+)
+def q185_monthly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P50/P90 order-value bands per MONTH — the percentile
+    time-series that backs SLA band charts and pricing drift review,
+    built from per-month value-histogram crossings (the q133/q146
+    machinery with time as the group): state per month is |distinct
+    prices that month|, crossings are integer rank inequalities, and
+    no month ever sorts its raw orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    h = o.groupBy("ym", "cents").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("ym").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "ym",
+        "cents",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("ym")).alias("n"),
+    )
+    return cum.groupBy("ym").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("p10_cents"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("p90_cents"),
+    )
