@@ -8991,3 +8991,166 @@ def q185_monthly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_cents"),
     )
+
+
+@register(
+    "q186_minhash_calibration",
+    f"""
+    WITH sh AS ({_SQL_SHINGLE3}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pair AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+             FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 10),
+    ex AS (SELECT p.da, p.db, p.i,
+                  (1000000 * p.i) // (sa.n + sb.n - p.i) AS exact_ppm
+           FROM pair p JOIN sz sa ON p.da = sa.doc_id
+                       JOIN sz sb ON p.db = sb.doc_id),
+    sig AS (SELECT doc_id,
+                   MIN(md5('0|' || shingle)) AS m0,
+                   MIN(md5('1|' || shingle)) AS m1,
+                   MIN(md5('2|' || shingle)) AS m2,
+                   MIN(md5('3|' || shingle)) AS m3,
+                   MIN(md5('4|' || shingle)) AS m4,
+                   MIN(md5('5|' || shingle)) AS m5,
+                   MIN(md5('6|' || shingle)) AS m6,
+                   MIN(md5('7|' || shingle)) AS m7
+            FROM sh GROUP BY doc_id),
+    est AS (SELECT ex.da, ex.db, ex.i, ex.exact_ppm,
+                   (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END
+                    + CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END
+                    + CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END
+                    + CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END
+                    + CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END
+                    + CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END
+                    + CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END
+                    + CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) AS matches
+            FROM ex JOIN sig a ON ex.da = a.doc_id
+                    JOIN sig b ON ex.db = b.doc_id)
+    SELECT da, db, CAST(i AS BIGINT) AS n_shared,
+           CAST(exact_ppm AS BIGINT) AS exact_ppm,
+           CAST(matches AS BIGINT) AS sig_matches,
+           CAST(matches * 125000 AS BIGINT) AS est_ppm,
+           CAST(abs(matches * 125000 - exact_ppm) AS BIGINT) AS abs_err_ppm
+    FROM est
+    """,
+)
+def q186_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION: for every doc pair sharing >= 10 shingles,
+    the 8-hash signature estimate of Jaccard (matching minima / 8)
+    against the EXACT Jaccard, with the absolute error — the
+    measurement that justifies (or sizes) the signature width before
+    anyone trusts q16's LSH recall (q111 plays this role for the IVF
+    index; this plays it for the dedup sketch).
+
+    One shingle explode feeds the exact inverted-index pairs AND the
+    signatures; the estimate is pure integer arithmetic (matches x
+    125000 ppm), so even the error column hash-matches exactly."""
+    from .operators.dedup import minhash_signatures, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select("shingle", F.col("doc_id").alias("da"))
+    b = sh.select("shingle", F.col("doc_id").alias("db"))
+    pair = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+        .filter(F.col("i") >= 10)
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    ex = (
+        pair.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .select(
+            "da", "db", "i",
+            F.expr("(1000000 * i) div (na + nb - i)").alias("exact_ppm"),
+        )
+    )
+    sig = minhash_signatures(docs)
+    siga = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"m{k}").alias(f"a{k}") for k in range(8)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"m{k}").alias(f"b{k}") for k in range(8)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(8)
+    )
+    return (
+        ex.join(siga, "da")
+        .join(sigb, "db")
+        .select(
+            "da",
+            "db",
+            F.col("i").cast("long").alias("n_shared"),
+            F.col("exact_ppm").cast("long").alias("exact_ppm"),
+            matches.cast("long").alias("sig_matches"),
+            (matches * 125000).cast("long").alias("est_ppm"),
+            F.abs(matches * 125000 - F.col("exact_ppm"))
+            .cast("long")
+            .alias("abs_err_ppm"),
+        )
+    )
+
+
+@register(
+    "q187_topk_with_ties",
+    """
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(floor(value) AS BIGINT) AS bucket
+               FROM events),
+    r AS (SELECT event_id, event_type, bucket,
+                 rank() OVER (PARTITION BY event_type
+                              ORDER BY bucket DESC) AS rk,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY bucket DESC, event_id) AS rn
+          FROM e)
+    SELECT event_type, event_id, bucket,
+           CAST(rk AS BIGINT) AS rk,
+           CASE WHEN rn <= 3 THEN 1 ELSE 0 END AS in_row_number_top3
+    FROM r WHERE rk <= 3
+    """,
+)
+def q187_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 WITH TIES (the SQL:2008 FETCH ... WITH TIES semantic):
+    ``rank() <= k`` keeps every row tied at the boundary value, where
+    q25's ``row_number() <= k`` silently drops all but an arbitrary
+    tie-broken subset — on coarse scores (here integer value buckets)
+    the two differ materially, and the ``in_row_number_top3`` flag
+    makes the dropped-by-row_number rows visible in the result
+    itself.  Same single-exchange window shape as q25; choosing the
+    wrong one is a SEMANTIC bug no plan inspection will catch, which
+    is why both live in the inventory."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.floor("value").cast("long").alias("bucket"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("bucket"))
+    wn = Window.partitionBy("event_type").orderBy(
+        F.desc("bucket"), F.asc("event_id")
+    )
+    r = e.select(
+        "event_type",
+        "event_id",
+        "bucket",
+        F.rank().over(wr).alias("rk"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    return r.filter(F.col("rk") <= 3).select(
+        "event_type",
+        "event_id",
+        "bucket",
+        F.col("rk").cast("long").alias("rk"),
+        F.when(F.col("rn") <= 3, 1).otherwise(0).alias("in_row_number_top3"),
+    )
