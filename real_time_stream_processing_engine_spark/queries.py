@@ -9154,3 +9154,189 @@ def q187_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("long").alias("rk"),
         F.when(F.col("rn") <= 3, 1).otherwise(0).alias("in_row_number_top3"),
     )
+
+
+@register(
+    "q188_decode_quarantine_report",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    cls AS (SELECT doc_id,
+                   CASE WHEN ('0x' || substr(hx, 1, 2))::BIGINT % 5 = 0
+                        THEN 'quarantined' ELSE 'ok' END AS status
+            FROM h)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM cls GROUP BY status
+    """,
+)
+def q188_decode_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine ACCOUNTING as a first-class result: ~20% of WAV
+    payloads are deterministically corrupted (truncated when the md5's
+    first byte ≡ 0 mod 5), the real decoder
+    (``multimodal.real_audio_features``) quarantines them in
+    ``decode_error`` instead of failing the stage, and this query
+    reports the ok/quarantined split.  The hash match against an
+    oracle that derives the SAME corruption flag arithmetically proves
+    the quarantine path fires on EXACTLY the corrupted set — no good
+    payload misclassified, no bad one silently decoded.  The
+    operational posture (bad bytes at 100 TB are a statistic, not a
+    job failure), certified like any other query."""
+    from .operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    data_len = 16
+    hdr = (
+        b"RIFF" + (36 + data_len).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + data_len.to_bytes(4, "little")
+    )
+    corrupt = (
+        F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 5 == 0
+    )
+    payload = F.when(
+        corrupt,
+        # truncated mid-header: undecodable, must quarantine
+        F.substring(F.concat(F.lit(hdr), F.unhex(F.md5("text"))), 1, 10),
+    ).otherwise(F.concat(F.lit(hdr), F.unhex(F.md5("text"))))
+    feats = extract_audio_features(
+        docs.select("doc_id", payload.alias("payload"))
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.when(F.col("decode_error").isNotNull(), "quarantined")
+            .otherwise("ok")
+            .alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "q189_order_basket_arrays",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem)
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           string_agg(CAST(l_partkey AS VARCHAR), '|'
+                      ORDER BY l_partkey, cents) AS parts,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM li GROUP BY l_orderkey
+    """,
+)
+def q189_order_basket_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMPLODE reshape: line items collapse to one row per order
+    with the part list as a DETERMINISTICALLY ORDERED string — the
+    row-to-document packaging every training-example or API-response
+    export runs (q103 packs time sequences; this packs set-valued
+    children).  ``collect_list`` order is partition-arbitrary, so the
+    list is sorted before joining (here by (part, cents)) — the
+    unordered-collect trap is the whole reason this entry exists.
+    One exchange on the order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return rows.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(l_partkey, cents))),"
+                " s -> cast(s.l_partkey AS STRING))"
+            ),
+            "|",
+        ).alias("parts"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "q190_pareto_revenue_share",
+    """
+    WITH c AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS cents
+               FROM orders GROUP BY 1),
+    h AS (SELECT cents, count(*) AS k, sum(cents) AS rev
+          FROM c GROUP BY 1),
+    cum AS (SELECT cents,
+                   sum(k) OVER (ORDER BY cents DESC) AS cnt_ge,
+                   sum(rev) OVER (ORDER BY cents DESC) AS rev_ge,
+                   (SELECT sum(k) FROM h) AS n,
+                   (SELECT sum(rev) FROM h) AS total
+            FROM h)
+    SELECT CAST(min(CASE WHEN cnt_ge * 10 >= n THEN cents END) AS BIGINT)
+             AS p90_cutoff_cents,
+           CAST(min(CASE WHEN cnt_ge * 10 >= n THEN cnt_ge END) AS BIGINT)
+             AS n_top,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cnt_ge * 10 >= n THEN rev_ge END) AS BIGINT)
+             AS top_rev_cents,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           CAST((1000000 * min(CASE WHEN cnt_ge * 10 >= n THEN rev_ge END))
+                // max(total) AS BIGINT) AS top_decile_share_ppm
+    FROM cum
+    """,
+)
+def q190_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto readout: what share of revenue comes from the top
+    10% of customers — whale concentration, the business-side twin of
+    q180's daily HHI.  The decile cut comes from the spend-histogram
+    crossing DESCENDING (smallest spend c such that >= 10% of
+    customers spend >= c), and the share reads off the SAME cumulative
+    frame — customers never sort, everything integer-exact including
+    the boundary-tie handling (all customers at the cutoff value count
+    in, identically in both engines)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    h = c.groupBy("cents").agg(
+        F.count("*").alias("k"), F.sum("cents").alias("rev")
+    )
+    w = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "cents",
+        F.sum("k").over(w).alias("cnt_ge"),
+        F.sum("rev").over(w).alias("rev_ge"),
+        F.sum("k").over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    at_cut = F.when(F.col("cnt_ge") * 10 >= F.col("n"), F.col("cents"))
+    return cum.agg(
+        F.min(at_cut).cast("long").alias("p90_cutoff_cents"),
+        F.min(
+            F.when(F.col("cnt_ge") * 10 >= F.col("n"), F.col("cnt_ge"))
+        )
+        .cast("long")
+        .alias("n_top"),
+        F.max("n").cast("long").alias("n_customers"),
+        F.min(
+            F.when(F.col("cnt_ge") * 10 >= F.col("n"), F.col("rev_ge"))
+        )
+        .cast("long")
+        .alias("top_rev_cents"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.expr(
+            "(1000000 * min(CASE WHEN cnt_ge * 10 >= n THEN rev_ge END))"
+            " div max(total)"
+        )
+        .cast("long")
+        .alias("top_decile_share_ppm"),
+    )
