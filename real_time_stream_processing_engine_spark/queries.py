@@ -9340,3 +9340,151 @@ def q190_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_decile_share_ppm"),
     )
+
+
+@register(
+    "q191_rfm_segments",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    mx AS (SELECT max(day) AS today FROM o),
+    cust AS (SELECT o.o_custkey,
+                    min(mx.today - o.day) AS recency,
+                    count(*) AS frequency,
+                    sum(o.cents) AS monetary
+             FROM o CROSS JOIN mx GROUP BY 1),
+    med AS (SELECT median(recency) AS mr, median(frequency) AS mf,
+                   median(monetary) AS mm
+            FROM cust),
+    seg AS (SELECT c.o_custkey,
+                   CASE WHEN c.recency <= m.mr THEN 'R' ELSE 'r' END ||
+                   CASE WHEN c.frequency > m.mf THEN 'F' ELSE 'f' END ||
+                   CASE WHEN c.monetary > m.mm THEN 'M' ELSE 'm' END
+                     AS segment,
+                   c.recency, c.frequency, c.monetary
+            FROM cust c CROSS JOIN med m)
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS BIGINT) AS monetary_cents,
+           CAST(sum(frequency) AS BIGINT) AS n_orders,
+           CAST(sum(recency) AS BIGINT) AS recency_day_sum
+    FROM seg GROUP BY segment
+    """,
+)
+def q191_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored on Recency (days since
+    last order, as-of the corpus max), Frequency, and Monetary value,
+    cut at each dimension's MEDIAN into 8 segments with per-segment
+    rollups — the marketing-ops classic, built from this repo's exact
+    primitives: medians come from the q133 histogram crossing (never a
+    sort), cuts compare exact integers against the interpolated median
+    (engine-identical on the half-integer grid), and rollups are
+    integer sums.
+
+    'R' = recent (<= median days), 'F' = frequent (> median orders),
+    'M' = high-value (> median cents); lowercase = the complement."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("day").alias("today"))
+    cust = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("today") - F.col("day")).alias("recency"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary"),
+        )
+    )
+
+    def crossing_median(df, val):
+        hist = df.groupBy(val).agg(F.count("*").alias("c"))
+        w = Window.orderBy(val).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            val,
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("n"),
+        )
+        lo = F.floor((F.col("n") + 1) / 2)
+        hi = F.floor(F.col("n") / 2 + 1)
+        return cum.agg(
+            (
+                (
+                    F.min(F.when(F.col("cum") >= lo, F.col(val)))
+                    + F.min(F.when(F.col("cum") >= hi, F.col(val)))
+                )
+                / 2.0
+            ).alias("med")
+        )
+
+    mr = crossing_median(cust, "recency").select(F.col("med").alias("mr"))
+    mf = crossing_median(cust, "frequency").select(F.col("med").alias("mf"))
+    mm = crossing_median(cust, "monetary").select(F.col("med").alias("mm"))
+    seg = (
+        cust.crossJoin(F.broadcast(mr))
+        .crossJoin(F.broadcast(mf))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.concat(
+                F.when(F.col("recency") <= F.col("mr"), "R").otherwise("r"),
+                F.when(F.col("frequency") > F.col("mf"), "F").otherwise("f"),
+                F.when(F.col("monetary") > F.col("mm"), "M").otherwise("m"),
+            ).alias("segment"),
+            "recency",
+            "frequency",
+            "monetary",
+        )
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary").cast("long").alias("monetary_cents"),
+        F.sum("frequency").cast("long").alias("n_orders"),
+        F.sum("recency").cast("long").alias("recency_day_sum"),
+    )
+
+
+@register(
+    "q192_kwic_snippets",
+    """
+    WITH hits AS (SELECT doc_id, text,
+                         strpos(lower(text), 'stream') AS pos
+                  FROM documents
+                  WHERE strpos(lower(text), 'stream') > 0)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           substr(text, CASE WHEN pos > 20 THEN pos - 20 ELSE 1 END,
+                  CASE WHEN pos > 20 THEN 46 ELSE pos + 25 END) AS snippet
+    FROM hits
+    """,
+)
+def q192_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: the first occurrence of a term
+    with +-20 characters of surrounding context — the snippet-serving
+    step behind every search result page (q59's BM25 ranks documents;
+    this renders them).  Pure scan-side string arithmetic
+    (instr + substr inside codegen); the clamped window arithmetic is
+    written identically on both sides so edge-of-document hits
+    cannot produce off-by-one snippets."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.instr(F.lower(F.col("text")), "stream")
+    hits = docs.select("doc_id", "text", pos.alias("pos")).filter(
+        F.col("pos") > 0
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(
+            "substr(text,"
+            " CASE WHEN pos > 20 THEN pos - 20 ELSE 1 END,"
+            " CASE WHEN pos > 20 THEN 46 ELSE pos + 25 END)"
+        ).alias("snippet"),
+    )
