@@ -9488,3 +9488,236 @@ def q192_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CASE WHEN pos > 20 THEN 46 ELSE pos + 25 END)"
         ).alias("snippet"),
     )
+
+
+@register(
+    "q193_custdist",
+    """
+    WITH co AS (SELECT c.c_custkey,
+                       CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                  AND o.o_orderpriority = '1-URGENT'
+                GROUP BY c.c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q193_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N urgent orders — the DOUBLE aggregation over a left outer
+    join, the one classic shape the inventory lacked.  The priority
+    predicate must ride in the JOIN CONDITION (not a WHERE), or the
+    zero-order customers — 203 of 1500 at sf0.01, the histogram's
+    head bucket — would be silently dropped before the second
+    aggregate ever sees them.  First groupBy shuffles by c_custkey
+    (the join key, so AQE coalesces into the join exchange); the
+    second groups ~30 distinct counts and is a near-free partial
+    aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = (
+        cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q194_promo_revenue_share",
+    """
+    SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
+             AS ship_month,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS promo_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS total_e4,
+           CAST((sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          ELSE 0 END) * 1000000)
+                // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS promo_ppm
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q194_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) generalized to every ship month:
+    what fraction of revenue came from PROMO parts.  The part dim
+    broadcasts (no shuffle on the fact); the conditional and the total
+    revenue accumulate in ONE partial-aggregated pass as exact
+    1e-4-dollar integers, and the share is emitted as integer-division
+    ppm — a case-sum ratio that cannot flip on float accumulation
+    order.  Month key is year*100+month, an integer both engines
+    derive identically from the same timestamps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = j.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ship_month")
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", e4).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_e4"),
+        F.sum(e4).cast("long").alias("total_e4"),
+    )
+    return agg.select(
+        "ship_month",
+        "promo_e4",
+        "total_e4",
+        F.expr("CAST((promo_e4 * 1000000) DIV total_e4 AS BIGINT)").alias(
+            "promo_ppm"
+        ),
+    )
+
+
+@register(
+    "q195_nation_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS nation7_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS total_e4,
+           CAST((sum(CASE WHEN sn.n_name = 'NATION_7'
+                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          ELSE 0 END) * 1000000)
+                // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS share_ppm
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q195_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7's ppm share of the
+    revenue ASIA-region customers generated, per order year.  The
+    distinctive shape is TWO independent roles for the nation dim — one
+    aliased copy qualifies the customer side (region filter pushed
+    into its broadcast), the other labels the supplier side for the
+    case-sum.  The fact shuffles once for the orders join; every dim
+    (customer included at these SFs) rides broadcast; integer-exact
+    e4 revenue and ppm shares as in q194."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    asia_cust = (
+        cust.join(
+            F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey")
+        )
+        .join(
+            F.broadcast(region),
+            (F.col("cn.n_regionkey") == F.col("r_regionkey"))
+            & (F.col("r_name") == "ASIA"),
+        )
+        .select("c_custkey")
+    )
+    supp_n = supp.join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey")
+    ).select("s_suppkey", F.col("sn.n_name").alias("supp_nation"))
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), li["l_suppkey"] == F.col("s_suppkey"))
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", e4).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("nation7_e4"),
+        F.sum(e4).cast("long").alias("total_e4"),
+    )
+    return agg.select(
+        "order_year",
+        "nation7_e4",
+        "total_e4",
+        F.expr("CAST((nation7_e4 * 1000000) DIV total_e4 AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+@register(
+    "q196_idle_rich_customers",
+    """
+    WITH c AS (SELECT c_custkey, c_name,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer),
+    s AS (SELECT sum(cents) AS s, count(*) AS n FROM c WHERE cents > 0)
+    SELECT c.c_custkey, c.c_name, ROUND(c.cents / 100.0, 2) AS acctbal
+    FROM c, s
+    WHERE c.cents * s.n > s.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q196_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers richer than the
+    positive-balance average who have never placed an urgent order —
+    the GLOBAL scalar subquery + anti join combination (q134's scalar
+    is per-group; q91's anti has no scalar).  The 1-row positive-mean
+    aggregate broadcasts via crossJoin and the comparison stays exact
+    integer algebra (cents*n > sum — no float average exists); the
+    anti join's right side prunes to urgent orders at its scan before
+    the hash table builds."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    stats = c.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("cents") / 100.0, 2).alias("acctbal"),
+        )
+    )
