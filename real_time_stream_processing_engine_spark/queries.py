@@ -9721,3 +9721,302 @@ def q196_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cents") / 100.0, 2).alias("acctbal"),
         )
     )
+
+
+@register(
+    "q197_spearman_rank_corr",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+               FROM customer),
+    sp AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+           FROM orders GROUP BY 1),
+    j AS (SELECT c.c_nationkey AS nk, c.c_custkey, c.bal,
+                 COALESCE(sp.spend, 0) AS spend
+          FROM c LEFT JOIN sp ON c.c_custkey = sp.o_custkey),
+    r AS (SELECT nk,
+                 row_number() OVER (PARTITION BY nk
+                                    ORDER BY bal, c_custkey) AS rb,
+                 row_number() OVER (PARTITION BY nk
+                                    ORDER BY spend, c_custkey) AS rs
+          FROM j)
+    SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((rb - rs) * (rb - rs)) AS BIGINT) AS sum_d2,
+           ROUND(1.0 - 6.0 * sum((rb - rs) * (rb - rs))
+                       / (count(*) * (count(*) * count(*) - 1.0)), 6) AS rho
+    FROM r GROUP BY nk
+    """,
+)
+def q197_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their lifetime spend, per nation — the robust (monotonic, not
+    linear) association measure q113's Pearson matrix can't give.
+    Ranks are row_numbers with a DETERMINISTIC composite tie-break
+    (value, custkey) written identically on both sides, so tied
+    balances cannot scramble d² between engines; both rank windows
+    share one nation-partitioned exchange (two sorts, one shuffle).
+    sum_d2 is exact integer algebra; rho performs the classic
+    1 - 6*Σd²/(n(n²-1)) as IEEE ops on exact integers, rounded once.
+    Nation cardinality bounds window width at scale — no global
+    sort."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    sp = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend")
+    )
+    j = (
+        c.join(sp, c["c_custkey"] == sp["o_custkey"], "left")
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            "c_custkey",
+            "bal",
+            F.coalesce(F.col("spend"), F.lit(0)).alias("spend"),
+        )
+    )
+    wb = Window.partitionBy("nk").orderBy("bal", "c_custkey")
+    ws = Window.partitionBy("nk").orderBy("spend", "c_custkey")
+    r = j.select(
+        "nk",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ws).alias("rs"),
+    )
+    d2 = (F.col("rb") - F.col("rs")) * (F.col("rb") - F.col("rs"))
+    return r.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.sum(d2)
+            / (F.count("*") * (F.count("*") * F.count("*") - F.lit(1.0))),
+            6,
+        ).alias("rho"),
+    )
+
+
+@register(
+    "q198_gini_order_values",
+    """
+    WITH o AS (SELECT c.c_nationkey AS nk, o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders JOIN customer c ON o_custkey = c_custkey),
+    r AS (SELECT nk, cents,
+                 row_number() OVER (PARTITION BY nk
+                                    ORDER BY cents, o_orderkey) AS i
+          FROM o),
+    a AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+                 sum(cents) AS s, sum(i * cents) AS si
+          FROM r GROUP BY nk)
+    SELECT nk AS nationkey, n, CAST(s AS BIGINT) AS total_cents,
+           CAST(((2 * si - (n + 1) * s) * 1000000) // (n * s) AS BIGINT)
+             AS gini_ppm
+    FROM a
+    """,
+)
+def q198_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per customer nation — the
+    standard inequality index (0 = every order equal, ->1 = one order
+    carries all revenue), the concentration lens q180's HHI and q190's
+    Pareto share don't give.  Uses the sorted-rank identity
+    G = (2*Σ(i*x_i) - (n+1)*Σx) / (n*Σx): one nation-partitioned
+    rank window (deterministic cents,orderkey tie-break), one partial
+    aggregate, and the ratio emitted as integer-division ppm — the
+    numerator is provably non-negative for ascending ranks, so floor
+    and truncate division agree across engines.  No global sort; the
+    window is as wide as a nation's orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("nk").orderBy("cents", "o_orderkey")
+    r = o.select("nk", "cents", F.row_number().over(w).alias("i"))
+    a = r.groupBy("nk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("si"),
+    )
+    return a.select(
+        F.col("nk").alias("nationkey"),
+        "n",
+        F.col("s").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(((2 * si - (n + 1) * s) * 1000000) DIV (n * s) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "q199_benford_first_digit",
+    """
+    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                             AS BIGINT) AS VARCHAR),
+                                  1, 1) AS BIGINT) AS digit
+               FROM orders WHERE o_totalprice > 0),
+    a AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM a),
+    b AS (SELECT digit, n,
+                 CAST((n * 1000000) // total AS BIGINT) AS observed_ppm,
+                 CAST(CASE digit
+                        WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                        WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                        WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                        WHEN 9 THEN 45757 END AS BIGINT) AS expected_ppm
+          FROM a, t)
+    SELECT digit, n, observed_ppm, expected_ppm,
+           observed_ppm - expected_ppm AS dev_ppm
+    FROM b
+    """,
+)
+def q199_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen (synthetic uniform prices fail it loudly,
+    which is itself the finding on this fixture).  The digit comes
+    from the integer-cents STRING head, not floating log10 math; the
+    expected distribution is pinned as shared ppm literals on both
+    sides (log10 library differences can never flip a row); observed
+    shares are integer-division ppm against a broadcast 1-row total.
+    One scan, one 9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    a = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    t = a.agg(F.sum("n").alias("total"))
+    expected = F.expr(
+        "CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091"
+        " WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181"
+        " WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153"
+        " WHEN 9 THEN 45757 END AS BIGINT)"
+    )
+    b = a.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias(
+            "observed_ppm"
+        ),
+        expected.alias("expected_ppm"),
+    )
+    return b.select(
+        "digit",
+        "n",
+        "observed_ppm",
+        "expected_ppm",
+        (F.col("observed_ppm") - F.col("expected_ppm")).alias("dev_ppm"),
+    )
+
+
+@register(
+    "q200_order_cadence",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                      o_orderkey
+               FROM orders),
+    g AS (SELECT c.c_mktsegment AS segment,
+                 o.day - lag(o.day) OVER (PARTITION BY o.o_custkey
+                                          ORDER BY o.day, o.o_orderkey)
+                   AS gap
+          FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+    h AS (SELECT segment, gap, CAST(count(*) AS BIGINT) AS cnt
+          FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+    cum AS (SELECT segment, gap, cnt,
+                   sum(cnt) OVER (PARTITION BY segment ORDER BY gap
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY segment) AS n
+            FROM h)
+    SELECT segment, CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST((min(CASE WHEN 2 * cum >= n + 1 THEN gap END)
+                 + min(CASE WHEN 2 * cum >= n + 2 THEN gap END)) / 2.0
+                AS DOUBLE) AS median_gap_days,
+           CAST(min(CASE WHEN 10 * cum >= 9 * n THEN gap END) AS BIGINT)
+             AS p90_gap_days
+    FROM cum GROUP BY segment
+    """,
+)
+def q200_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order cadence per market segment: the median and p90 of the
+    day-gaps between a customer's consecutive orders — the
+    repeat-purchase rhythm behind q80's retention grid.  Gaps come
+    from one customer-partitioned lag window; the quantiles are
+    value-HISTOGRAM crossings (the q133 recipe): groupBy (segment,
+    gap) bounds state by distinct gap lengths, a cumulative window
+    walks each segment's histogram, the median interpolates ranks
+    floor((n+1)/2)/floor(n/2)+1 (written as the 2*cum >= n+1 / n+2
+    crossings) and p90 is the smallest gap with cum >= ceil(0.9n)
+    (10*cum >= 9n in pure integers).  No per-group value buffering
+    anywhere."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+        "o_orderkey",
+    )
+    wlag = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = (
+        o.withColumn("gap", F.col("day") - F.lag("day").over(wlag))
+        .filter(F.col("gap").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "gap")
+    )
+    h = g.groupBy("segment", "gap").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "segment",
+        "gap",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("segment")).alias("n"),
+    )
+    return cum.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        (
+            (
+                F.min(F.when(2 * F.col("cum") >= F.col("n") + 1, F.col("gap")))
+                + F.min(
+                    F.when(2 * F.col("cum") >= F.col("n") + 2, F.col("gap"))
+                )
+            )
+            / 2.0
+        )
+        .cast("double")
+        .alias("median_gap_days"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("gap")))
+        .cast("long")
+        .alias("p90_gap_days"),
+    )
