@@ -338,3 +338,49 @@ def pagerank(
             )
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, core_degree) after ``rounds`` of k-core peeling: each
+    round drops every vertex with degree < k in the surviving subgraph
+    (and the edges touching it), the standard densest-region filter
+    that strips the long degree-1/2 tails off co-occurrence graphs
+    before expensive downstream mining (triangles, communities).
+
+    The ROUND COUNT is part of the declared semantics — like the
+    k-means/PageRank oracles, a SQL oracle replays exactly ``rounds``
+    peels, and converged rounds are no-ops, so any ``rounds`` at or
+    past convergence yields the true k-core (callers pin convergence
+    for their data in tests; q203 converges in 4 at sf0.01).  Each
+    round is one partial-aggregated degree count + two hash semi
+    joins — linear in |E|, no global structure — and takes a lineage
+    cut via the shared ``_round_persist`` levers (reliable
+    ``checkpoint_dir`` every K rounds for deep peels at scale)."""
+    e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+    for it in range(rounds):
+        keep = (
+            e.select(F.col("x").alias("v"))
+            .unionByName(e.select(F.col("y").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("v")
+        )
+        e = e.join(
+            keep.withColumnRenamed("v", "x"), "x", "left_semi"
+        ).join(keep.withColumnRenamed("v", "y"), "y", "left_semi")
+        e = _round_persist(e, it, checkpoint_dir, checkpoint_every)
+    return (
+        e.select(F.col("x").alias("v"))
+        .unionByName(e.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )

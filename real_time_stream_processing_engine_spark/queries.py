@@ -10020,3 +10020,159 @@ def q200_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_gap_days"),
     )
+
+
+@register(
+    "q201_hapax_ttr",
+    """
+    WITH tok AS (SELECT source,
+                        unnest(string_split_regex(lower(text), '\\s+')) AS w
+                 FROM documents),
+    tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE w <> '' GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_ppm,
+           CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM tc GROUP BY source
+    """,
+)
+def q201_hapax_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: type-token ratio and the
+    hapax-legomena share (words seen exactly once) — the corpus-health
+    numbers a training-mix curator reads before weighting sources (a
+    crashed TTR means boilerplate/dup floods; an inflated hapax share
+    means OCR noise or tokenizer breakage).  One tokenize scan (the
+    same q12/q21 whitespace contract), one (source, word) partial
+    aggregate whose state is vocabulary-sized, then a per-source
+    rollup; shares are integer-division ppm."""
+    from .functions.textfn import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    tc = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST((count(*) * 1000000) DIV sum(c) AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+        F.expr(
+            "CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+    )
+
+
+@register(
+    "q202_zipf_rank_freq",
+    """
+    WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+                 FROM documents),
+    tc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM tok WHERE w <> '' GROUP BY w),
+    top AS (SELECT w, freq FROM tc ORDER BY freq DESC, w LIMIT 50)
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+           w AS term, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, w) * freq AS BIGINT)
+             AS rank_x_freq
+    FROM top
+    """,
+)
+def q202_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head inspection: the 50 most frequent terms with their
+    rank*frequency product — constant under Zipf's law, so a glance at
+    the last column says whether this corpus has a natural frequency
+    profile or a synthetic/flattened one.  The vocabulary aggregate is
+    the only corpus-sized state; the top-50 cut is TakeOrdered
+    (count desc, term tie-break), and the rank window runs over 50
+    surviving rows — never the vocabulary."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.textfn import tokenize
+
+    tc = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    top = tc.orderBy(F.col("freq").desc(), "w").limit(50)
+    wr = Window.orderBy(F.col("freq").desc(), "w")
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.col("w").alias("term"),
+        "freq",
+        (F.row_number().over(wr) * F.col("freq"))
+        .cast("long")
+        .alias("rank_x_freq"),
+    )
+
+
+def _kcore_peel_sql(rounds: int) -> str:
+    """Unrolled k=2 peeling oracle (the kmeans/pagerank fixed-round
+    contract: converged rounds are no-ops — sf0.01 converges in 4,
+    pinned in tests/test_kcore.py)."""
+    sql = """
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                             FROM lineitem),
+    e0 AS MATERIALIZED (SELECT a.l_partkey AS x, b.l_partkey AS y
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    v{i} AS MATERIALIZED (SELECT v FROM (SELECT x AS v FROM e{i - 1}
+                            UNION ALL SELECT y FROM e{i - 1}) t
+             GROUP BY v HAVING count(*) >= 2),
+    e{i} AS MATERIALIZED (SELECT e.x, e.y FROM e{i - 1} e
+             WHERE e.x IN (SELECT v FROM v{i})
+               AND e.y IN (SELECT v FROM v{i}))"""
+    sql += f"""
+    SELECT v AS part, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT x AS v FROM e{rounds} UNION ALL SELECT y FROM e{rounds}) t
+    GROUP BY v"""
+    return sql
+
+
+@register("q203_kcore_parts", _kcore_peel_sql(6))
+def q203_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase part graph (q128's edge contract:
+    parts co-ordered at least twice): iteratively strip every part
+    with fewer than 2 surviving co-purchase partners, leaving the
+    dense backbone worth running triangle/community mining on — the
+    standard pre-filter that removes the degree-1 tail BEFORE the
+    quadratic algorithms pay for it.  Six peel rounds are the declared
+    semantics (converges in 4 at sf0.01; extra rounds are no-ops —
+    the fixed-round oracle contract of q98/q106); each round is one
+    degree aggregate + two hash semi joins via
+    :func:`operators.graph.kcore`, with the CC loop's lineage-cut
+    levers for deep peels at scale."""
+    from .operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("x", "y")
+    )
+    core = kcore(edges, k=2, rounds=6, src_col="x", dst_col="y")
+    return core.select(F.col("v").alias("part"), "core_degree")

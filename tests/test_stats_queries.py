@@ -1,0 +1,77 @@
+"""Invariant pins for the integer-exact statistics family
+(q197-q202): each oracle hash-match proves engine agreement; these
+prove the NUMBERS mean what the docstrings claim."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_stream_processing_engine_spark.queries import QUERIES
+
+
+def test_spearman_rho_in_range_and_d2_consistent(spark, sf_dir):
+    rows = QUERIES["q197_spearman_rank_corr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.rho <= 1.0
+        # rho recomputes from (n, sum_d2) — the emitted double is not
+        # independent information
+        expect = 1.0 - 6.0 * r.sum_d2 / (r.n * (r.n * r.n - 1.0))
+        assert abs(r.rho - expect) < 1e-6
+
+
+def test_gini_bounds_and_constant_case(spark, sf_dir):
+    rows = QUERIES["q198_gini_order_values"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gini_ppm < 1_000_000
+
+    # constant values => numerator 2*si - (n+1)*s = 0 exactly
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, i, 500) for i in range(10)], "nk long, k long, cents long"
+    )
+    w = Window.partitionBy("nk").orderBy("cents", "k")
+    r = df.select("nk", "cents", F.row_number().over(w).alias("i"))
+    a = r.groupBy("nk").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("si"),
+    ).collect()[0]
+    assert 2 * a.si - (a.n + 1) * a.s == 0
+
+
+def test_benford_shares_sum_to_unity(spark, sf_dir):
+    rows = QUERIES["q199_benford_first_digit"](spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total_obs = sum(r.observed_ppm for r in rows)
+    # integer floor division loses < 1 ppm per digit
+    assert 1_000_000 - 9 <= total_obs <= 1_000_000
+    assert sum(r.expected_ppm for r in rows) == 1_000_000
+
+
+def test_order_cadence_quantile_ordering(spark, sf_dir):
+    rows = QUERIES["q200_order_cadence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.median_gap_days <= r.p90_gap_days
+
+
+def test_hapax_ttr_ppm_bounds(spark, sf_dir):
+    rows = QUERIES["q201_hapax_ttr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_hapax <= r.n_types <= r.n_tokens
+        assert 0 < r.ttr_ppm <= 1_000_000
+        assert 0 <= r.hapax_ppm <= 1_000_000
+
+
+def test_zipf_ranks_are_dense_and_ordered(spark, sf_dir):
+    rows = QUERIES["q202_zipf_rank_freq"](spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert r.rank_x_freq == r.rank * r.freq
