@@ -10176,3 +10176,403 @@ def q203_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = kcore(edges, k=2, rounds=6, src_col="x", dst_col="y")
     return core.select(F.col("v").alias("part"), "core_degree")
+
+
+@register(
+    "q204_fk_discovery",
+    """
+    WITH pairs AS (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys,
+             CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NOT NULL
+                                      THEN l_orderkey END) AS BIGINT)
+               AS n_contained
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             CAST(count(DISTINCT l_partkey) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN p.p_partkey IS NOT NULL
+                                      THEN l_partkey END) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+             CAST(count(DISTINCT l_suppkey) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN s.s_suppkey IS NOT NULL
+                                      THEN l_suppkey END) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NOT NULL
+                                      THEN o_custkey END) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'events.user_id->customer.c_custkey',
+             CAST(count(DISTINCT user_id) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NOT NULL
+                                      THEN user_id END) AS BIGINT)
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey)
+    SELECT fk, n_child_keys, n_contained,
+           CAST((n_contained * 1000000) // n_child_keys AS BIGINT)
+             AS containment_ppm
+    FROM pairs
+    """,
+)
+def q204_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY audit: for each candidate child->parent
+    column pair, how much of the child's key set the parent actually
+    contains (1e6 ppm = a clean FK, less = orphans or a wrong guess) —
+    the schema-inference pass a lakehouse runs over undocumented
+    parquet drops before it dares to join them.  Each pair is one
+    distinct-count over a broadcast outer join against the parent's
+    key column (the child side is the only big scan); five bounded
+    1-row results union at the driver-free plan level.  q107 assumes
+    the FKs and counts violations; this EARNS the assumption."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+
+    def containment(child, ccol, parent, pcol, label):
+        j = child.select(ccol).join(
+            F.broadcast(parent.select(pcol)),
+            F.col(ccol) == F.col(pcol),
+            "left",
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.countDistinct(ccol).cast("long").alias("n_child_keys"),
+            F.countDistinct(
+                F.when(F.col(pcol).isNotNull(), F.col(ccol))
+            )
+            .cast("long")
+            .alias("n_contained"),
+        )
+
+    pairs = (
+        containment(li, "l_orderkey", orders, "o_orderkey",
+                    "lineitem.l_orderkey->orders.o_orderkey")
+        .unionByName(containment(li, "l_partkey", part, "p_partkey",
+                                 "lineitem.l_partkey->part.p_partkey"))
+        .unionByName(containment(li, "l_suppkey", supp, "s_suppkey",
+                                 "lineitem.l_suppkey->supplier.s_suppkey"))
+        .unionByName(containment(orders, "o_custkey", cust, "c_custkey",
+                                 "orders.o_custkey->customer.c_custkey"))
+        .unionByName(containment(events, "user_id", cust, "c_custkey",
+                                 "events.user_id->customer.c_custkey"))
+    )
+    return pairs.select(
+        "fk",
+        "n_child_keys",
+        "n_contained",
+        F.expr(
+            "CAST((n_contained * 1000000) DIV n_child_keys AS BIGINT)"
+        ).alias("containment_ppm"),
+    )
+
+
+@register(
+    "q205_fd_audit",
+    """
+    WITH fds AS (
+      SELECT 'nation.n_nationkey->n_regionkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_determinants,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(nd) AS BIGINT) AS max_dependents
+      FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+            FROM nation GROUP BY 1) t
+      UNION ALL
+      SELECT 'part.p_brand->p_type',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nd) AS BIGINT)
+      FROM (SELECT p_brand, count(DISTINCT p_type) AS nd
+            FROM part GROUP BY 1) t
+      UNION ALL
+      SELECT 'documents.source->lang',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nd) AS BIGINT)
+      FROM (SELECT source, count(DISTINCT lang) AS nd
+            FROM documents GROUP BY 1) t
+      UNION ALL
+      SELECT 'orders.o_custkey->o_orderpriority',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nd) AS BIGINT)
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY 1) t)
+    SELECT fd, n_determinants, n_violating, max_dependents,
+           CASE WHEN n_violating = 0 THEN 'holds' ELSE 'violated' END
+             AS verdict
+    FROM fds
+    """,
+)
+def q205_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does column A determine column B?
+    Four candidate FDs spanning holds-exactly (nation key -> region)
+    and obviously-violated (customer -> order priority) — the
+    profiling pass that discovers which columns are safe to
+    denormalize or use as partition keys.  Each FD is one
+    distinct-count groupBy on the determinant (partial-aggregated,
+    state bounded by |determinant values|) rolled into a 1-row
+    verdict; no joins at all."""
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fd(df, det, dep, label):
+        per = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        return per.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").cast("long").alias("n_determinants"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("nd").cast("long").alias("max_dependents"),
+        )
+
+    fds = (
+        fd(nation, "n_nationkey", "n_regionkey",
+           "nation.n_nationkey->n_regionkey")
+        .unionByName(fd(part, "p_brand", "p_type", "part.p_brand->p_type"))
+        .unionByName(fd(docs, "source", "lang", "documents.source->lang"))
+        .unionByName(fd(orders, "o_custkey", "o_orderpriority",
+                        "orders.o_custkey->o_orderpriority"))
+    )
+    return fds.select(
+        "fd",
+        "n_determinants",
+        "n_violating",
+        "max_dependents",
+        F.when(F.col("n_violating") == 0, "holds")
+        .otherwise("violated")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "q206_user_event_entropy",
+    """
+    WITH c AS (SELECT user_id, event_type,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           ROUND(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+    FROM c GROUP BY user_id
+    """,
+)
+def q206_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of their event
+    -type mix (0 = monotone bot doing one thing, ln(5) = uniform over
+    all five types) — the engagement-quality signal a feed ranker or
+    bot-filter reads.  Uses the aggregation-friendly identity
+    H = ln(n) - Σc·ln(c)/n so ONE (user, type) partial aggregate and
+    one per-user rollup produce it with no ratios materialized;
+    ln on exact integer counts + a single 6dp round is the q156/q68
+    cross-engine float contract."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    return c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "q207_cusum_changepoint",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders GROUP BY 1),
+    t AS (SELECT sum(cents) AS tot, count(*) AS nd FROM d),
+    c AS (SELECT day, cents,
+                 sum(cents) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 row_number() OVER (ORDER BY day) AS i
+          FROM d)
+    SELECT c.day, CAST(c.cents AS BIGINT) AS day_cents,
+           CAST(c.cum * t.nd - c.i * t.tot AS BIGINT) AS cusum_x_n
+    FROM c, t
+    ORDER BY abs(c.cum * t.nd - c.i * t.tot) DESC, c.day
+    LIMIT 5
+    """,
+)
+def q207_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen on the daily-revenue series: the five
+    days where the cumulative deviation from the global mean peaks —
+    where the level SHIFTED, which q123's rolling z-score (local
+    spikes) structurally cannot see.  All algebra is integer-exact:
+    the running sum is scaled by n_days (cum*N - i*total is N× the
+    classic CUSUM) so no float mean ever exists, and the top-5 cut is
+    TakeOrdered with a (|cusum| desc, day) tie-break.  The window
+    runs over the DAILY aggregate — bounded by the calendar, not the
+    order count — the same justification as q122's spine."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    t = d.agg(F.sum("cents").alias("tot"), F.count("*").alias("nd"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+    )
+    scored = c.crossJoin(F.broadcast(t)).select(
+        "day",
+        F.col("cents").cast("long").alias("day_cents"),
+        (F.col("cum") * F.col("nd") - F.col("i") * F.col("tot"))
+        .cast("long")
+        .alias("cusum_x_n"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("cusum_x_n")).desc(), "day"
+    ).limit(5)
+
+
+@register(
+    "q208_itemset_triples",
+    """
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                             FROM lineitem)
+    SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+           CAST(count(*) AS BIGINT) AS support
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    JOIN op c ON b.l_orderkey = c.l_orderkey
+             AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    """,
+)
+def q208_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (parts co-ordered in >= 2 orders) — the
+    next apriori level above q129's pairs.  The Spark plan prunes
+    candidate triples with the frequent-PAIR set before counting:
+    downward closure says support(x,y,z) >= 2 forces every pair >= 2,
+    so broadcast-semi-joining (x,y) and (y,z) against the 3.4k
+    frequent pairs is LOSSLESS while cutting the candidate explosion
+    — the 100 TB posture where raw triple expansion is Σ|basket|³.
+    The oracle counts directly (same result by closure); support
+    ties carry the full (x,y,z) key for determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("px"), F.col("b.l_partkey").alias("py")
+        )
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("px", "py")
+    )
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+            F.col("c.l_partkey").alias("z"),
+        )
+    )
+    pruned = (
+        triples.join(
+            F.broadcast(pairs),
+            (F.col("x") == F.col("px")) & (F.col("y") == F.col("py")),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(pairs),
+            (F.col("y") == F.col("px")) & (F.col("z") == F.col("py")),
+            "left_semi",
+        )
+    )
+    return pruned.groupBy("x", "y", "z").agg(
+        F.count("*").cast("long").alias("support")
+    ).filter(F.col("support") >= 2)
+
+
+@register(
+    "q209_stickiness",
+    """
+    WITH du AS (SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       count(DISTINCT user_id) AS dau
+                FROM events GROUP BY 1, 2),
+    wu AS (SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+                  count(DISTINCT user_id) AS wau
+           FROM events GROUP BY 1)
+    SELECT du.week,
+           CAST(sum(du.dau) AS BIGINT) AS dau_sum,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(wu.wau) AS BIGINT) AS wau,
+           CAST((sum(du.dau) * 1000000) // (count(*) * max(wu.wau))
+                AS BIGINT) AS stickiness_ppm
+    FROM du JOIN wu ON du.week = wu.week
+    GROUP BY du.week
+    """,
+)
+def q209_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per epoch week — avg daily actives over the
+    week's actives, THE product-engagement ratio — as integer ppm of
+    dau_sum/(days*wau).  Week = floor(epoch/604800): pure integer
+    bucketing both engines derive identically (the fixture spans one
+    calendar month, so ISO months would collapse to a single row).
+    Two exact distinct-count aggregates (day grain and week grain; one
+    scan cannot produce both without exploding) joined on week; at
+    100 TB swap the exact distincts for q154's bitmap words (bit_or
+    merges make the day->week rollup one popcount instead of a second
+    scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp(F.col("ts")) / 604800).cast("long").alias(
+        "week"
+    )
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long").alias(
+        "day"
+    )
+    du = ev.groupBy(week, day).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wu = ev.groupBy(week).agg(F.countDistinct("user_id").alias("wau"))
+    j = du.join(wu, "week")
+    return j.groupBy("week").agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count("*").cast("long").alias("n_days"),
+        F.max("wau").cast("long").alias("wau"),
+        F.expr(
+            "CAST((sum(dau) * 1000000) DIV (count(*) * max(wau)) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    )
