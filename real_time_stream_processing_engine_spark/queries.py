@@ -9581,9 +9581,10 @@ def q194_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_month",
         "promo_e4",
         "total_e4",
-        F.expr("CAST((promo_e4 * 1000000) DIV total_e4 AS BIGINT)").alias(
-            "promo_ppm"
-        ),
+        F.expr(
+            "CAST((CAST(promo_e4 AS DECIMAL(38,0)) * 1000000)"
+            " DIV CAST(total_e4 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("promo_ppm"),
     )
 
 
@@ -9669,9 +9670,10 @@ def q195_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year",
         "nation7_e4",
         "total_e4",
-        F.expr("CAST((nation7_e4 * 1000000) DIV total_e4 AS BIGINT)").alias(
-            "share_ppm"
-        ),
+        F.expr(
+            "CAST((CAST(nation7_e4 AS DECIMAL(38,0)) * 1000000)"
+            " DIV CAST(total_e4 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 
@@ -9830,8 +9832,11 @@ def q198_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window (deterministic cents,orderkey tie-break), one partial
     aggregate, and the ratio emitted as integer-division ppm — the
     numerator is provably non-negative for ascending ranks, so floor
-    and truncate division agree across engines.  No global sort; the
-    window is as wide as a nation's orders."""
+    and truncate division agree across engines.  The rank-weighted sum
+    Σ(i*x) reaches ~n²·x̄ — past BIGINT at one-tenth TPC-H scale
+    already — so the ppm step runs in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB): exact integers throughout, ~1e38 headroom.  No
+    global sort; the window is as wide as a nation's orders."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -9856,7 +9861,10 @@ def q198_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("s").cast("long").alias("total_cents"),
         F.expr(
-            "CAST(((2 * si - (n + 1) * s) * 1000000) DIV (n * s) AS BIGINT)"
+            "CAST(((2 * CAST(si AS DECIMAL(38,0))"
+            " - (n + 1) * CAST(s AS DECIMAL(38,0))) * 1000000)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+            " AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
@@ -10441,7 +10449,10 @@ def q207_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.crossJoin(F.broadcast(t)).select(
         "day",
         F.col("cents").cast("long").alias("day_cents"),
-        (F.col("cum") * F.col("nd") - F.col("i") * F.col("tot"))
+        (
+            F.col("cum").cast("decimal(38,0)") * F.col("nd")
+            - F.col("i") * F.col("tot").cast("decimal(38,0)")
+        )
         .cast("long")
         .alias("cusum_x_n"),
     )
