@@ -10587,3 +10587,249 @@ def q209_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(dau) * 1000000) DIV (count(*) * max(wau)) AS BIGINT)"
         ).alias("stickiness_ppm"),
     )
+
+
+@register(
+    "q210_trade_flows",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_9')
+       OR (sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_7')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q210_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    per ship year, keeping the two directions separate — the
+    NATION-PAIR disjunction that q195's one-sided market share
+    doesn't exercise.  Catalyst pushes each side of the OR into the
+    two broadcast nation dims (only pair members survive the dim
+    scans), the supplier/customer joins then act as semi-filters on
+    the fact, and revenue aggregates as exact e4 integers.  One fact
+    shuffle for the orders join; everything else broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey")
+        )
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey")
+        )
+        .filter(
+            (
+                (F.col("sn.n_name") == "NATION_7")
+                & (F.col("cn.n_name") == "NATION_9")
+            )
+            | (
+                (F.col("sn.n_name") == "NATION_9")
+                & (F.col("cn.n_name") == "NATION_7")
+            )
+        )
+    )
+    return j.groupBy(
+        F.col("sn.n_name").alias("supp_nation"),
+        F.col("cn.n_name").alias("cust_nation"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(F.sum(e4).cast("long").alias("revenue_e4"))
+
+
+@register(
+    "q211_supplier_rank_profile",
+    """
+    SELECT s_nationkey AS nationkey, s_suppkey,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY round(s_acctbal * 100), s_suppkey)
+    """,
+)
+def q211_supplier_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function breadth in one pass: ntile quartiles,
+    percent_rank, and cume_dist of supplier balances within each
+    nation — the remaining ANSI window functions without a dedicated
+    green entry (row_number/rank/lag/lead are exercised throughout).
+    One nation-partitioned sort serves all three (named WINDOW
+    clause); the (cents, suppkey) composite order makes every rank
+    deterministic under tied balances.  Ratios are the engines' own
+    percent_rank/cume_dist doubles on identical orderings, rounded
+    once."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT s_nationkey AS nationkey, s_suppkey,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM {supp}
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY round(s_acctbal * 100), s_suppkey)
+        """,
+        supp=supp,
+    )
+
+
+@register(
+    "q212_lateral_topn",
+    """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def q212_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL front door: each
+    AUTOMOBILE customer's two largest orders, written as the
+    for-each-row derived table users migrate from Postgres with —
+    and DECORRELATED by Catalyst into the window top-k (q25's shape)
+    instead of per-row re-execution, which is the only form that
+    scales.  Deterministic (price desc, orderkey) cut; the segment
+    filter pushes to the customer scan before the join."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+        """
+    )
+
+
+@register(
+    "q213_ols_two_features",
+    """
+    WITH per AS (SELECT o.o_orderkey,
+                        CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+                        CAST(count(*) AS BIGINT) AS x1,
+                        CAST(sum(CAST(round(l.l_quantity) AS BIGINT))
+                             AS BIGINT) AS x2
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                 GROUP BY o.o_orderkey, o.o_totalprice),
+    s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x1) AS HUGEINT) AS s1,
+                 CAST(sum(x2) AS HUGEINT) AS s2,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+                 CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+                 CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+                 CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+                 CAST(sum(x2 * y) AS HUGEINT) AS s2y
+          FROM per),
+    d AS (SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+                 n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12)
+                 - s1 * (s1y * s22 - s12 * s2y)
+                 + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y)
+                 - sy * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - s11 * s2) AS det2
+          FROM s)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta0,
+           ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta1,
+           ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta2
+    FROM d
+    """,
+)
+def q213_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS in closed form: order value regressed on line
+    count and total quantity, solved by Cramer's rule over the 3x3
+    normal equations — multivariate regression as PURE AGGREGATION
+    (q167 is the single-feature per-group version).  The nine moment
+    sums are exact integers; the four 3x3 determinants evaluate in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no product ever
+    rounds (triple products graze past int64); only the final
+    coefficient ratios touch doubles — two correctly-rounded casts,
+    one divide, one round, identical on both engines.  One fact scan,
+    one per-order partial aggregate, a 1-row reduce: the shape that
+    fits any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("*").cast("long").alias("x1"),
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("x2"),
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+            "x1",
+            "x2",
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = per.agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("x1")).alias("s1"),
+        dec(F.sum("x2")).alias("s2"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        dec(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        dec(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        dec(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        dec(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    d = s.selectExpr(
+        "n",
+        "n * (s11 * s22 - s12 * s12)"
+        " - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2) AS det",
+        "sy * (s11 * s22 - s12 * s12)"
+        " - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y) AS det0",
+        "n * (s1y * s22 - s12 * s2y)"
+        " - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2) AS det1",
+        "n * (s11 * s2y - s1y * s12)"
+        " - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2) AS det2",
+    )
+    return d.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "ROUND(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta0",
+        "ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta1",
+        "ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta2",
+    )

@@ -667,3 +667,40 @@ def test_array_functions_zero_exchanges(spark, sf_dir):
     assert _count(plan, "Exchange") == 0
     assert _count(plan, "Generate") == 0
     assert "Python" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """q212: the correlated LATERAL subquery must rewrite to a window
+    top-k + hash join — any nested-loop/cartesian shape means Catalyst
+    re-executed the subquery per outer row."""
+    plan = _plan(spark, sf_dir, "q212_lateral_topn")
+    assert _count(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
+
+
+def test_itemset_triples_apriori_prune_is_broadcast_semi(spark, sf_dir):
+    """q208: both pair-closure prunes ride broadcast LEFT SEMI joins
+    BEFORE the triple count — the lossless apriori cut that keeps the
+    candidate set sub-cubic."""
+    plan = _plan(spark, sf_dir, "q208_itemset_triples")
+    assert plan.count("LeftSemi") >= 2, plan
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_promo_share_single_fact_pass(spark, sf_dir):
+    """q194: the part dim broadcasts (no fact shuffle for the join)
+    and both the conditional and total revenue come from ONE
+    aggregate over the joined fact."""
+    plan = _plan(spark, sf_dir, "q194_promo_revenue_share")
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_benford_single_scan_broadcast_total(spark, sf_dir):
+    """q199: the 9-digit histogram is one scan; the grand total joins
+    back as a broadcast 1-row aggregate, never a second scan of
+    orders."""
+    plan = _plan(spark, sf_dir, "q199_benford_first_digit")
+    assert plan.count("orders.parquet") <= 1 or _count(plan, "Scan parquet") <= 2
+    assert _count(plan, "CartesianProduct") == 0
