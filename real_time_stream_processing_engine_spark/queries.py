@@ -10833,3 +10833,235 @@ def q213_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta1",
         "ROUND(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta2",
     )
+
+
+@register(
+    "q214_weighted_median_price",
+    """
+    WITH h AS (SELECT l_returnflag AS flag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                      sum(CAST(round(l_quantity) AS BIGINT)) AS w
+               FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT flag, cents, w,
+                 sum(w) OVER (PARTITION BY flag ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cumw,
+                 sum(w) OVER (PARTITION BY flag) AS tw
+          FROM h)
+    SELECT flag, CAST(max(tw) AS BIGINT) AS total_qty,
+           CAST(min(CASE WHEN 2 * cumw >= tw THEN cents END) AS BIGINT)
+             AS wmedian_cents
+    FROM c GROUP BY flag
+    """,
+)
+def q214_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median price per return flag — the
+    'median dollar' (half the shipped units cost less than this), a
+    different animal from q133's row-median when cheap items ship in
+    bulk.  Same histogram-crossing machinery as q133/q200 but the
+    cumulative walks WEIGHT, not count: groupBy (flag, price) sums
+    quantities, the crossing is the smallest price whose cumulative
+    weight reaches half the total (lower weighted median — exact
+    integers end to end, no interpolation ambiguity between
+    engines)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("tw").cast("long").alias("total_qty"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+    )
+
+
+@register(
+    "q215_bounce_rate",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS us
+               FROM events),
+    m AS (SELECT user_id, event_id, event_type, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, event_type, us, event_id,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS session_id
+          FROM m),
+    ranked AS (SELECT user_id, session_id, event_type,
+                      row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY us, event_id) AS rn
+               FROM s),
+    sz AS (SELECT user_id, session_id, count(*) AS n_events
+           FROM s GROUP BY 1, 2),
+    per AS (SELECT r.event_type AS entry_type, z.n_events
+            FROM ranked r JOIN sz z USING (user_id, session_id)
+            WHERE r.rn = 1)
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounced,
+           CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000)
+                // count(*) AS BIGINT) AS bounce_permille
+    FROM per GROUP BY entry_type
+    """,
+)
+def q215_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: the share of 30-minute-gap
+    sessions that die after ONE event, split by what the session
+    opened with — the landing-quality number next to q132's
+    conversion attribution (same gap contract, same deterministic
+    (ts, event_id) session ordering, so the two reports reconcile
+    row-for-row).  One user-partitioned window chain builds sessions,
+    one per-session aggregate, one 5-row rollup; rates in integer
+    permille."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = base.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_new").over(w))
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct("us", "event_id")).alias(
+            "entry_type"
+        ),
+        F.count("*").alias("n_events"),
+    )
+    return per.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounced"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("bounce_permille"),
+    )
+
+
+@register(
+    "q216_simpson_diversity",
+    """
+    WITH tc AS (SELECT source, unnest(string_split_regex(lower(text),
+                                                         '\\s+')) AS w
+                FROM documents),
+    c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          FROM tc WHERE w <> '' GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST((CAST(sum(c * (c - 1)) AS HUGEINT) * 1000000)
+                // (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS BIGINT)
+             AS simpson_ppm
+    FROM c GROUP BY source
+    """,
+)
+def q216_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration per source — the probability two random
+    tokens coincide, Σc(c-1)/(n(n-1)) — the NO-LOG companion to
+    q206's entropy: being pure integer algebra it needs no float
+    contract at all, just a DECIMAL/HUGEINT promotion because
+    Σc(c-1) squares token counts (the q198 overflow lesson applied
+    at birth).  Same (source, word) aggregate as q201 — at 100 TB
+    these three lexical audits share one materialized count table."""
+    from .functions.textfn import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((CAST(sum(c * (c - 1)) AS DECIMAL(38,0)) * 1000000)"
+            " DIV (CAST(sum(c) AS DECIMAL(38,0)) * (sum(c) - 1)) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+@register(
+    "q217_behavior_cohorts",
+    """
+    WITH m AS (SELECT user_id,
+                      bit_or(CASE event_type
+                               WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                               WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                               WHEN 'error' THEN 16 ELSE 0 END) AS mask
+               FROM events WHERE ts < TIMESTAMP '2024-01-03'
+               GROUP BY user_id)
+    SELECT CAST(mask AS BIGINT) AS mask,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CASE WHEN mask & 4 > 0 THEN 'buyer'
+                WHEN mask & 2 > 0 THEN 'engaged'
+                ELSE 'visitor' END AS tier
+    FROM m GROUP BY mask
+    """,
+)
+def q217_behavior_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral cohorts as BITMASKS: each user's event-type
+    footprint packs into 5 bits with one bit_or aggregate, and the
+    cohort census is a groupBy over at most 32 masks — the
+    set-algebra way to answer 'clicked but never purchased' without
+    one self-join per predicate (each such cohort is now a bit test
+    on a 32-row result).  The same trick q154/q171 use for distinct
+    counting, here applied to segment membership.  Scoped to the
+    first two fixture days (over the full month every user reaches
+    mask 31 and the census collapses to one row); the ts predicate
+    pushes to the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-03"
+    )
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(0)
+    )
+    m = ev.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2"
+            " WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8"
+            " WHEN 'error' THEN 16 ELSE 0 END)"
+        ).alias("mask")
+    )
+    _ = flag  # documented inline above; SQL expr keeps both engines identical
+    return m.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n_users"),
+    ).select(
+        F.col("mask").cast("long").alias("mask"),
+        "n_users",
+        F.when(F.expr("mask & 4 > 0"), "buyer")
+        .when(F.expr("mask & 2 > 0"), "engaged")
+        .otherwise("visitor")
+        .alias("tier"),
+    )
