@@ -11065,3 +11065,214 @@ def q217_behavior_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("visitor")
         .alias("tier"),
     )
+
+
+@register(
+    "q218_column_skew_profile",
+    """
+    WITH cols AS (
+      SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity',
+             CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem),
+    vc AS (SELECT col, val, CAST(count(*) AS BIGINT) AS c
+           FROM cols GROUP BY 1, 2),
+    top AS (SELECT col,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top_count,
+                   min(CASE WHEN c = mx THEN val END) AS top_value
+            FROM (SELECT col, val, c, max(c) OVER (PARTITION BY col) AS mx
+                  FROM vc) t
+            GROUP BY col)
+    SELECT col, n_rows, n_distinct, top_value, top_count,
+           CAST((top_count * 1000000) // n_rows AS BIGINT) AS top_share_ppm
+    FROM top
+    """,
+)
+def q218_column_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column SKEW profile of the fact table: distinct count, the
+    modal value, and its ppm share of rows — the number that decides
+    whether a key needs q75/q82's salting BEFORE the job hits the hot
+    partition (l_returnflag at ~50% share is exactly the
+    shuffle-killer; l_partkey at ppm scale is safe) — completing the
+    profiling trio with q204 (FKs) and q205 (FDs).  One unpivoted
+    scan pass, one (col, val) partial aggregate whose state is the
+    union of the columns' cardinalities, a per-column max window over
+    the aggregate, and a deterministic min() tie-break on the modal
+    value."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = li.selectExpr(
+        """stack(5,
+           'l_returnflag', CAST(l_returnflag AS STRING),
+           'l_linestatus', CAST(l_linestatus AS STRING),
+           'l_quantity', CAST(CAST(round(l_quantity) AS BIGINT) AS STRING),
+           'l_suppkey', CAST(l_suppkey AS STRING),
+           'l_partkey', CAST(l_partkey AS STRING)) AS (col, val)"""
+    )
+    vc = cols.groupBy("col", "val").agg(F.count("*").alias("c"))
+    mx = vc.withColumn("mx", F.max("c").over(Window.partitionBy("col")))
+    top = mx.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+        F.min(F.when(F.col("c") == F.col("mx"), F.col("val"))).alias(
+            "top_value"
+        ),
+    )
+    return top.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "top_value",
+        "top_count",
+        F.expr("CAST((top_count * 1000000) DIV n_rows AS BIGINT)").alias(
+            "top_share_ppm"
+        ),
+    )
+
+
+@register(
+    "q219_seasonal_decomposition",
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                           AS BIGINT) AS month,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders GROUP BY 1),
+    w AS (SELECT month, cents,
+                 row_number() OVER (ORDER BY month) AS i,
+                 count(*) OVER () AS n,
+                 lag(cents, 6) OVER (ORDER BY month)
+                   + lead(cents, 6) OVER (ORDER BY month)
+                   + 2 * (sum(cents) OVER (ORDER BY month
+                                           ROWS BETWEEN 5 PRECEDING
+                                           AND 5 FOLLOWING)) AS trend_x24
+          FROM m)
+    SELECT month, CAST(cents AS BIGINT) AS rev_cents,
+           CAST(trend_x24 AS BIGINT) AS trend_x24,
+           CAST(24 * cents - trend_x24 AS BIGINT) AS detrended_x24
+    FROM w WHERE i > 6 AND i <= n - 6
+    """,
+)
+def q219_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, step 1: the centered 12-month
+    moving-average trend and the detrended residual of monthly
+    revenue — kept as INTEGER x24 multiples (the centered MA's
+    half-weights at t±6 make 24 the exact common denominator), so the
+    decomposition is bit-exact and re-additive: rev*24 = trend_x24 +
+    detrended_x24 by construction.  The window runs over the ~80-row
+    MONTHLY aggregate (calendar-bounded, like q207); edge months
+    without a full ±6 neighborhood are excluded by rank, not by
+    nullness, so both engines drop identical rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    wo = Window.orderBy("month")
+    wsum = wo.rowsBetween(-5, 5)
+    w = m.select(
+        "month",
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(
+            Window.orderBy("month").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        (
+            F.lag("cents", 6).over(wo)
+            + F.lead("cents", 6).over(wo)
+            + 2 * F.sum("cents").over(wsum)
+        ).alias("trend_x24"),
+    )
+    return w.filter((F.col("i") > 6) & (F.col("i") <= F.col("n") - 6)).select(
+        "month",
+        F.col("cents").cast("long").alias("rev_cents"),
+        F.col("trend_x24").cast("long").alias("trend_x24"),
+        (24 * F.col("cents") - F.col("trend_x24"))
+        .cast("long")
+        .alias("detrended_x24"),
+    )
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """The 20-term dyadic EWMA as SQL text shared verbatim by both
+    engines: numerator Σ lag_k * 2^(19-k), denominator Σ 2^(19-k)
+    over the lags that exist (so early days renormalize instead of
+    leaking zeros into the average)."""
+    num = " + ".join(
+        f"coalesce(lag(cents, {k}) OVER w, 0) * {2 ** (19 - k)}"
+        for k in range(20)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(cents, {k}) OVER w IS NULL"
+        f" THEN 0 ELSE {2 ** (19 - k)} END)"
+        for k in range(20)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+
+@register(
+    "q220_ewma_revenue",
+    f"""
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders GROUP BY 1),
+    e AS (SELECT day, cents,
+                 {_EWMA_NUM} AS num,
+                 {_EWMA_DEN} AS den
+          FROM d WINDOW w AS (ORDER BY day))
+    SELECT day, CAST(cents AS BIGINT) AS day_cents,
+           CAST(num AS BIGINT) AS ewma_num,
+           CAST(den AS BIGINT) AS ewma_den,
+           CAST(num // den AS BIGINT) AS ewma_cents
+    FROM e
+    """,
+)
+def q220_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with a
+    DYADIC decay (alpha = 1/2, truncated at 20 taps, < 1e-6 tail) —
+    the trend smoother whose recursive definition looks
+    window-hostile, made exact by power-of-two weights: numerator and
+    denominator are pure integers (2^19 * cents fits long with 1e4x
+    headroom), the emitted average is their integer quotient, and the
+    leading edge renormalizes over the taps that exist instead of
+    decaying from a fake zero history.  One window over the daily
+    aggregate; the 20 lag taps share a single sort, and the
+    generated SQL text is fed to BOTH engines so the tap structure
+    cannot drift."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    d.createOrReplaceTempView("_ewma_daily")
+    return spark.sql(
+        f"""
+        SELECT day, CAST(cents AS BIGINT) AS day_cents,
+               CAST(num AS BIGINT) AS ewma_num,
+               CAST(den AS BIGINT) AS ewma_den,
+               CAST(num DIV den AS BIGINT) AS ewma_cents
+        FROM (SELECT day, cents, {_EWMA_NUM} AS num, {_EWMA_DEN} AS den
+              FROM _ewma_daily WINDOW w AS (ORDER BY day))
+        """
+    )
