@@ -11276,3 +11276,259 @@ def q220_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM _ewma_daily WINDOW w AS (ORDER BY day))
         """
     )
+
+
+@register(
+    "q221_seasonal_index",
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                           AS BIGINT) AS month,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders GROUP BY 1),
+    w AS (SELECT month, cents,
+                 row_number() OVER (ORDER BY month) AS i,
+                 count(*) OVER () AS n,
+                 lag(cents, 6) OVER (ORDER BY month)
+                   + lead(cents, 6) OVER (ORDER BY month)
+                   + 2 * (sum(cents) OVER (ORDER BY month
+                                           ROWS BETWEEN 5 PRECEDING
+                                           AND 5 FOLLOWING)) AS trend_x24
+          FROM m),
+    det AS (SELECT month % 100 AS moy,
+                   24 * cents - trend_x24 AS d
+            FROM w WHERE i > 6 AND i <= n - 6)
+    SELECT CAST(moy AS BIGINT) AS moy,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(d) AS BIGINT) AS sum_detrended_x24,
+           CAST(sum(d) // count(*) AS BIGINT) AS seasonal_idx_x24
+    FROM det GROUP BY moy
+    """,
+)
+def q221_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition, step 2: the month-of-year seasonal
+    index — the average q219 detrended residual per calendar month,
+    still in exact x24 integer units (the floor-averaged index; both
+    engines floor identically because the residual sums are exact).
+    A flat profile here certifies the fixture has no synthetic
+    seasonality, which is itself the audit finding.  Reuses q219's
+    calendar-bounded window then collapses 68 rows to 12."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    wo = Window.orderBy("month")
+    w = m.select(
+        "month",
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(
+            Window.orderBy("month").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        (
+            F.lag("cents", 6).over(wo)
+            + F.lead("cents", 6).over(wo)
+            + 2 * F.sum("cents").over(wo.rowsBetween(-5, 5))
+        ).alias("trend_x24"),
+    )
+    det = w.filter((F.col("i") > 6) & (F.col("i") <= F.col("n") - 6)).select(
+        (F.col("month") % 100).alias("moy"),
+        (24 * F.col("cents") - F.col("trend_x24")).alias("d"),
+    )
+    return det.groupBy(F.col("moy").cast("long").alias("moy")).agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("d").cast("long").alias("sum_detrended_x24"),
+        F.expr("CAST(sum(d) DIV count(*) AS BIGINT)").alias(
+            "seasonal_idx_x24"
+        ),
+    )
+
+
+@register(
+    "q222_price_elasticity",
+    """
+    WITH b AS (SELECT p.p_brand AS brand,
+                      CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+                      CAST(round(l.l_quantity) AS BIGINT) AS y
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    s AS (SELECT brand,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(y * y) AS HUGEINT) AS syy,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy
+          FROM b GROUP BY brand)
+    SELECT brand, CAST(n AS BIGINT) AS n_items,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * CAST((n * syy - sy * sy) AS DOUBLE)), 6)
+             AS discount_qty_corr
+    FROM s
+    """,
+)
+def q222_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount-quantity correlation — the elasticity proxy
+    (do deeper discounts ship more units?) as GROUPED Pearson from
+    the five exact integer moments (q113's matrix is global; this is
+    the per-dimension version every pricing team actually asks for).
+    Moments accumulate in DECIMAL/HUGEINT (n*sxy grazes int64 at
+    scale — the q198 lesson); the final r makes exactly three
+    correctly-rounded double casts, one sqrt, one divide, one round —
+    identical on both engines.  One broadcast dim join, one partial
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = b.groupBy("brand").agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    return s.selectExpr(
+        "brand",
+        "CAST(n AS BIGINT) AS n_items",
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)"
+        "        * CAST((n * syy - sy * sy) AS DOUBLE)), 6)"
+        " AS discount_qty_corr",
+    )
+
+
+@register(
+    "q223_fulfillment_latency",
+    """
+    WITH lat AS (SELECT o.o_orderpriority AS pri,
+                        CAST(floor(epoch(l.l_shipdate) / 86400)
+                             - floor(epoch(o.o_orderdate) / 86400)
+                             AS BIGINT) AS days
+                 FROM orders o
+                 JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h AS (SELECT pri, days, CAST(count(*) AS BIGINT) AS cnt
+          FROM lat GROUP BY 1, 2),
+    cum AS (SELECT pri, days, cnt,
+                   sum(cnt) OVER (PARTITION BY pri ORDER BY days
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY pri) AS n
+            FROM h)
+    SELECT pri, CAST(max(n) AS BIGINT) AS n_items,
+           CAST(min(CASE WHEN 2 * cum >= n THEN days END) AS BIGINT)
+             AS median_days,
+           CAST(min(CASE WHEN 20 * cum >= 19 * n THEN days END) AS BIGINT)
+             AS p95_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM cum GROUP BY pri
+    """,
+)
+def q223_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per priority class: median, p95, and the
+    worst straggler, in whole days — the operational SLA readout
+    (does '1-URGENT' actually ship faster?).  Day arithmetic is
+    integer epoch-day subtraction on both engines; the quantiles are
+    the q133/q200 histogram crossings over (priority, days) — state
+    is bounded by the latency range, and p95 is the smallest latency
+    with 20*cum >= 19n in pure integers."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        (
+            F.floor(F.unix_timestamp(F.col("l_shipdate")) / 86400)
+            - F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    h = lat.groupBy("pri", "days").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("pri")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "pri",
+        "days",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("pri")).alias("n"),
+    )
+    return cum.groupBy("pri").agg(
+        F.max("n").cast("long").alias("n_items"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("days")))
+        .cast("long")
+        .alias("median_days"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("days")))
+        .cast("long")
+        .alias("p95_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+
+
+@register(
+    "q224_user_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+               FROM events),
+    isl AS (SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS island
+            FROM d),
+    st AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+           FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM st GROUP BY user_id
+    """,
+)
+def q224_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    GAPS-AND-ISLANDS shape (day minus dense day-rank is constant
+    within a run), the engagement metric behind every 'N-day streak'
+    badge and the last textbook window idiom without a green entry.
+    Distinct (user, day) first bounds everything by active-days, one
+    user-partitioned rank window labels islands, two cheap aggregates
+    finish; all integers."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    isl = d.select(
+        "user_id",
+        "day",
+        (
+            F.col("day")
+            - F.row_number().over(
+                Window.partitionBy("user_id").orderBy("day")
+            )
+        ).alias("island"),
+    )
+    st = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return st.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
