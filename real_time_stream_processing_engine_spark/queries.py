@@ -11532,3 +11532,244 @@ def q224_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_streaks"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+@register(
+    "q225_power_iteration",
+    """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, g.i AS i,
+             CAST(embedding[g.i] AS DOUBLE) AS val,
+             CAST(embedding[1] AS DOUBLE) AS x0
+      FROM embeddings, generate_series(1, 64) g(i)),
+    v1 AS MATERIALIZED (SELECT i, sum(val * x0) AS v FROM x GROUP BY i),
+    s AS MATERIALIZED (SELECT x.vec_id, sum(x.val * v1.v) AS s
+                       FROM x JOIN v1 USING (i) GROUP BY x.vec_id),
+    v2 AS (SELECT x.i, sum(x.val * s.s) AS v
+           FROM x JOIN s USING (vec_id) GROUP BY x.i),
+    n AS (SELECT sqrt(sum(v * v)) AS nrm FROM v2)
+    SELECT CAST(v2.i - 1 AS BIGINT) AS dim,
+           ROUND(v2.v / n.nrm, 6) AS component
+    FROM v2, n
+    """,
+)
+def q225_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding cloud by TWO
+    un-normalized power-iteration rounds against the implicit Gram
+    matrix — v2 = Σx(x·(Σx(x·e0))) — never materializing the 64x64
+    matrix, never collecting to the driver: each matvec is one
+    explode-join-aggregate pass, LINEAR in dims (the naive outer
+    -product route explodes 64² terms per vector).  Intermediate
+    normalization is skipped (scale cancels in the final unit
+    vector), so the oracle can replay both rounds verbatim; the
+    emitted components make one sqrt + divide + 6dp round.  The sign
+    convention is fixed by the deterministic e0 start.  The k-means
+    (q98) / JL (q110) companion for spectral structure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "valf"),
+        F.col("embedding")[0].cast("double").alias("x0"),
+    ).select("vec_id", "i", F.col("valf").cast("double").alias("val"), "x0")
+    v1 = x.groupBy("i").agg(F.sum(F.col("val") * F.col("x0")).alias("v"))
+    s = (
+        x.join(F.broadcast(v1), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+    )
+    v2 = (
+        x.join(s, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("val") * F.col("s")).alias("v"))
+    )
+    n = v2.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    return v2.crossJoin(F.broadcast(n)).select(
+        F.col("i").cast("long").alias("dim"),
+        F.round(F.col("v") / F.col("nrm"), 6).alias("component"),
+    )
+
+
+@register(
+    "q226_seat_allocation",
+    """
+    WITH rev AS (SELECT c.c_nationkey AS nk,
+                        sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                          AS cents
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                 GROUP BY 1),
+    t AS (SELECT sum(cents) AS total FROM rev),
+    q AS (SELECT nk, cents,
+                 CAST((CAST(cents AS HUGEINT) * 1000) // total AS BIGINT)
+                   AS floor_seats,
+                 CAST((CAST(cents AS HUGEINT) * 1000) % total AS BIGINT)
+                   AS remainder
+          FROM rev, t),
+    lo AS (SELECT CAST(1000 - sum(floor_seats) AS BIGINT) AS leftover
+           FROM q),
+    r AS (SELECT nk, cents, floor_seats, remainder,
+                 row_number() OVER (ORDER BY remainder DESC, nk) AS rr
+          FROM q)
+    SELECT r.nk AS nationkey, CAST(r.cents AS BIGINT) AS rev_cents,
+           r.floor_seats,
+           CAST(CASE WHEN r.rr <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           r.floor_seats
+             + CASE WHEN r.rr <= lo.leftover THEN 1 ELSE 0 END AS seats
+    FROM r, lo
+    """,
+)
+def q226_seat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment: split a budget of 1000 units
+    across nations proportional to revenue so the parts sum EXACTLY
+    to the whole — the integer-allocation problem behind sampling
+    quotas (q63's mixture weights face it), shard assignment, and
+    parliamentary seats, where naive rounding leaves units lost or
+    invented.  Floor quotas + the leftover handed to the largest
+    remainders (deterministic (remainder, nationkey) order); every
+    step integer (quota products in HUGEINT/DECIMAL); the window
+    ranks 25 rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    t = rev.agg(F.sum("cents").alias("total"))
+    q = rev.crossJoin(F.broadcast(t)).selectExpr(
+        "nk",
+        "cents",
+        "CAST((CAST(cents AS DECIMAL(38,0)) * 1000) DIV total AS BIGINT)"
+        " AS floor_seats",
+        "CAST((CAST(cents AS DECIMAL(38,0)) * 1000) % total AS BIGINT)"
+        " AS remainder",
+    )
+    lo = q.agg((F.lit(1000) - F.sum("floor_seats")).cast("long").alias("leftover"))
+    r = q.withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.col("remainder").desc(), "nk")),
+    )
+    return r.crossJoin(F.broadcast(lo)).select(
+        F.col("nk").alias("nationkey"),
+        F.col("cents").cast("long").alias("rev_cents"),
+        "floor_seats",
+        F.when(F.col("rr") <= F.col("leftover"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("seats"),
+    )
+
+
+@register(
+    "q227_quantile_normalize",
+    """
+    WITH sup AS (SELECT s_suppkey,
+                        CAST(round(s_acctbal * 100) AS BIGINT) AS bal,
+                        row_number() OVER (ORDER BY round(s_acctbal * 100),
+                                           s_suppkey) AS rk,
+                        count(*) OVER () AS n
+                 FROM supplier),
+    sp AS (SELECT s_suppkey, bal,
+                  CAST((1000 * (rk - 1)) // (n - 1) AS BIGINT) AS permille
+           FROM sup),
+    ch AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS val,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM customer GROUP BY 1),
+    cc AS (SELECT val, sum(cnt) OVER (ORDER BY val
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER () AS nc
+           FROM ch),
+    pm AS (SELECT DISTINCT permille FROM sp),
+    map AS (SELECT pm.permille,
+                   min(CASE WHEN cc.cum * 1000 >= pm.permille * cc.nc
+                            THEN cc.val END) AS mapped
+            FROM pm, cc GROUP BY pm.permille)
+    SELECT sp.s_suppkey, sp.bal AS bal_cents, sp.permille,
+           CAST(map.mapped AS BIGINT) AS mapped_cents
+    FROM sp JOIN map ON sp.permille = map.permille
+    """,
+)
+def q227_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: re-express each supplier balance as the
+    CUSTOMER balance at the same rank permille — the distribution
+    -alignment transform (batch-effect removal, feature calibration)
+    that makes two populations comparable by construction.  Supplier
+    ranks use the deterministic (cents, suppkey) order; the customer
+    side is a value histogram with a cumulative window (never raw
+    rows); the permille->value map is a bounded 1001-row crossing
+    computed once and broadcast back — all pure integers, and
+    monotone by construction (pinned in tests)."""
+    from pyspark.sql import Window
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    sup = supplier.select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal"),
+    )
+    wall = Window.orderBy("bal", "s_suppkey")
+    sp = sup.select(
+        "s_suppkey",
+        "bal",
+        F.row_number().over(wall).alias("rk"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).selectExpr(
+        "s_suppkey", "bal",
+        "CAST((1000 * (rk - 1)) DIV (n - 1) AS BIGINT) AS permille",
+    )
+    ch = customer.groupBy(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("val")
+    ).agg(F.count("*").alias("cnt"))
+    cc = ch.select(
+        "val",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("val").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nc"),
+    )
+    pm = sp.select("permille").distinct()
+    mapping = (
+        pm.crossJoin(F.broadcast(cc))
+        .groupBy("permille")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 1000 >= F.col("permille") * F.col("nc"),
+                    F.col("val"),
+                )
+            ).alias("mapped")
+        )
+    )
+    return sp.join(F.broadcast(mapping), "permille").select(
+        "s_suppkey",
+        F.col("bal").alias("bal_cents"),
+        "permille",
+        F.col("mapped").cast("long").alias("mapped_cents"),
+    )

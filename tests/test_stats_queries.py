@@ -75,3 +75,26 @@ def test_zipf_ranks_are_dense_and_ordered(spark, sf_dir):
     assert freqs == sorted(freqs, reverse=True)
     for r in rows:
         assert r.rank_x_freq == r.rank * r.freq
+
+
+def test_seat_allocation_sums_exactly(spark, sf_dir):
+    rows = QUERIES["q226_seat_allocation"](spark, sf_dir).collect()
+    assert sum(r.seats for r in rows) == 1000
+    assert all(r.seats in (r.floor_seats, r.floor_seats + 1) for r in rows)
+
+
+def test_quantile_normalize_is_monotone(spark, sf_dir):
+    rows = QUERIES["q227_quantile_normalize"](spark, sf_dir).collect()
+    by_bal = sorted(rows, key=lambda r: (r.bal_cents, r.s_suppkey))
+    mapped = [r.mapped_cents for r in by_bal]
+    assert mapped == sorted(mapped), "rank order must be preserved"
+    perms = [r.permille for r in by_bal]
+    assert perms == sorted(perms)
+    assert min(perms) == 0 and max(perms) == 1000
+
+
+def test_power_iteration_unit_norm(spark, sf_dir):
+    rows = QUERIES["q225_power_iteration"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r.component ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-6
