@@ -11773,3 +11773,245 @@ def q227_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "permille",
         F.col("mapped").cast("long").alias("mapped_cents"),
     )
+
+
+@register(
+    "q228_hits_suppliers",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT c.c_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    a1 AS MATERIALIZED (SELECT supp, CAST(count(*) AS BIGINT) AS a
+                        FROM e GROUP BY supp),
+    h1 AS MATERIALIZED (SELECT e.cust, CAST(sum(a1.a) AS BIGINT) AS h
+                        FROM e JOIN a1 USING (supp) GROUP BY e.cust),
+    a2 AS (SELECT e.supp, CAST(sum(h1.h) AS BIGINT) AS authority
+           FROM e JOIN h1 USING (cust) GROUP BY e.supp)
+    SELECT supp AS s_suppkey, authority
+    FROM a2 ORDER BY authority DESC, supp LIMIT 20
+    """,
+)
+def q228_hits_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the bipartite customer->supplier trade graph: two
+    full hub/authority rounds (auth1 = in-degree, hub1 = Σ auth of
+    suppliers bought from, auth2 = Σ hub of buying customers) — the
+    mutual-reinforcement ranking PageRank's single-mode walk (q106)
+    doesn't express.  With hub0 = 1 and normalization deferred
+    entirely (scale never changes the ORDER), every score stays an
+    exact INTEGER — a float-free eigenvector iteration.  Each round
+    is one join + one partial aggregate over the distinct edge list;
+    top-20 via TakeOrdered with suppkey tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("c_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    a1 = e.groupBy("supp").agg(F.count("*").alias("a"))
+    h1 = (
+        e.join(F.broadcast(a1), "supp")
+        .groupBy("cust")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(F.broadcast(h1), "cust")
+        .groupBy("supp")
+        .agg(F.sum("h").cast("long").alias("authority"))
+    )
+    return (
+        a2.select(F.col("supp").alias("s_suppkey"), "authority")
+        .orderBy(F.col("authority").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q229_readability",
+    """
+    WITH d AS (SELECT source,
+                      CAST(length(string_split_regex(trim(text), '\\s+'))
+                           AS BIGINT) AS words,
+                      CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+                           AS BIGINT) AS sentences,
+                      CAST(length(regexp_replace(lower(text), '[aeiou]+',
+                                                 '#', 'g'))
+                           - length(regexp_replace(lower(text), '[aeiou]+',
+                                                   '', 'g'))
+                           AS BIGINT) AS syllables
+               FROM documents)
+    SELECT source,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(sentences) AS BIGINT) AS n_sentences,
+           CAST(sum(syllables) AS BIGINT) AS n_syllables,
+           CASE WHEN sum(sentences) = 0 OR sum(words) = 0 THEN NULL
+                ELSE ROUND(206.835
+                 - 1.015 * CAST(sum(words) AS DOUBLE) / sum(sentences)
+                 - 84.6 * CAST(sum(syllables) AS DOUBLE) / sum(words), 4)
+           END AS flesch
+    FROM d GROUP BY source
+    """,
+)
+def q229_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source from three INTEGER counts —
+    words (the q21 whitespace contract), sentence terminators, and
+    vowel-group syllables (the classic heuristic: each maximal vowel
+    run is one syllable; counted as a length DELTA between
+    collapse-to-# and delete rewrites, so no match-array ever
+    materializes).  Sources with no terminators at all yield NULL
+    (explicitly, on both engines — ANSI mode turns the silent inf
+    into an error, which is the better default).  The formula touches
+    doubles only in the final fixed expression over exact sums,
+    rounded once — the corpus-level
+    readability gate next to q20's per-doc quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    d = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "words"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", ""))
+        .cast("long")
+        .alias("sentences"),
+        (
+            F.length(F.regexp_replace(lower, r"[aeiou]+", "#"))
+            - F.length(F.regexp_replace(lower, r"[aeiou]+", ""))
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    return d.groupBy("source").agg(
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("sentences").cast("long").alias("n_sentences"),
+        F.sum("syllables").cast("long").alias("n_syllables"),
+        F.when(
+            (F.sum("sentences") == 0) | (F.sum("words") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * F.sum("words").cast("double")
+                / F.sum("sentences")
+                - F.lit(84.6)
+                * F.sum("syllables").cast("double")
+                / F.sum("words"),
+                4,
+            )
+        )
+        .alias("flesch"),
+    )
+
+
+@register(
+    "q230_sequence_patterns",
+    """
+    WITH e AS (SELECT user_id, event_id,
+                      substr(event_type, 1, 1) AS ch,
+                      CAST(epoch_us(ts) AS BIGINT) AS us
+               FROM events),
+    m AS (SELECT user_id, event_id, ch, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, ch, us, event_id,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS session_id
+          FROM m),
+    seq AS (SELECT user_id, session_id,
+                   string_agg(ch, '' ORDER BY us, event_id) AS sq
+            FROM s GROUP BY 1, 2),
+    pat AS (SELECT 'view_click_purchase' AS pattern,
+                   'v.*c.*p' AS re
+            UNION ALL SELECT 'error_entry', '^e'
+            UNION ALL SELECT 'error_loop', 'e.*e.*e'),
+    hits AS (SELECT p.pattern,
+                    CAST(count(*) AS BIGINT) AS n_sessions,
+                    CAST(sum(CASE WHEN regexp_matches(seq.sq, p.re)
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+             FROM seq, pat p GROUP BY p.pattern)
+    SELECT pattern, n_sessions, n_match,
+           CAST((n_match * 1000) // n_sessions AS BIGINT) AS match_permille
+    FROM hits
+    """,
+)
+def q230_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: each session's event types collapse to a
+    one-char-per-event string (deterministic (ts, event_id) order)
+    and behavioral patterns become plain REGEXES over it —
+    'v.*c.*p' is q79's funnel, '^e' is q215's bad landing, 'e.*e.*e'
+    is a retry loop — one compact encode pass instead of one
+    self-join per pattern step.  Three literal patterns cross-joined
+    (3x sessions, bounded), counts in integer permille.  The session
+    string is the only non-scalar state and is bounded by session
+    length."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = base.withColumn(
+        "session_id",
+        F.sum(
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    seq = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+        ).alias("sq")
+    )
+    pat = seq.sparkSession.createDataFrame(
+        [
+            ("view_click_purchase", "v.*c.*p"),
+            ("error_entry", "^e"),
+            ("error_loop", "e.*e.*e"),
+        ],
+        "pattern string, re string",
+    )
+    hits = (
+        seq.crossJoin(F.broadcast(pat))
+        .groupBy("pattern")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(
+                F.when(F.expr("sq RLIKE re"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match"),
+        )
+    )
+    return hits.select(
+        "pattern",
+        "n_sessions",
+        "n_match",
+        F.expr("CAST((n_match * 1000) DIV n_sessions AS BIGINT)").alias(
+            "match_permille"
+        ),
+    )
