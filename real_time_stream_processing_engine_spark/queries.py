@@ -12015,3 +12015,189 @@ def q230_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_permille"
         ),
     )
+
+
+@register(
+    "q231_abc_classification",
+    """
+    WITH pr AS (SELECT l_partkey AS part,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS e4
+                FROM lineitem GROUP BY 1),
+    c AS (SELECT part, e4,
+                 sum(e4) OVER (ORDER BY e4 DESC, part
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(e4) OVER () AS tot
+          FROM pr),
+    cls AS (SELECT part, e4,
+                   CASE WHEN (cum - e4) * 100 < tot * 80 THEN 'A'
+                        WHEN (cum - e4) * 100 < tot * 95 THEN 'B'
+                        ELSE 'C' END AS klass
+            FROM c)
+    SELECT klass, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(e4) AS BIGINT) AS revenue_e4
+    FROM cls GROUP BY klass
+    """,
+)
+def q231_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts binned by cumulative
+    revenue share (A carries the first 80%, B to 95%, C the tail) —
+    the procurement-policy cut built on the same cumulative machinery
+    as q190's Pareto share, but assigning a CLASS per item by the
+    share BEFORE the item (so the first item crossing a boundary
+    still belongs to the class it completes — the off-by-one both
+    engines must agree on, hence (cum - e4)*100 < tot*K in pure
+    integers).  The window runs over the per-part aggregate; at 1e9
+    parts the two-pass histogram crossing (q84) replaces the global
+    ordered window, same contract."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(e4).alias("e4")
+    )
+    c = pr.select(
+        "part",
+        "e4",
+        F.sum("e4")
+        .over(
+            Window.orderBy(F.col("e4").desc(), "part").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("e4")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+    cls = c.select(
+        "e4",
+        F.when((F.col("cum") - F.col("e4")) * 100 < F.col("tot") * 80, "A")
+        .when((F.col("cum") - F.col("e4")) * 100 < F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("klass"),
+    )
+    return cls.groupBy("klass").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("e4").cast("long").alias("revenue_e4"),
+    )
+
+
+@register(
+    "q232_invoice_reconciliation",
+    """
+    WITH ls AS (SELECT l_orderkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS line_cents
+                FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_orderkey,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+                 COALESCE(ls.line_cents, 0) AS line_cents
+          FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
+    SELECT o_orderkey, header_cents, line_cents,
+           abs(header_cents - line_cents) AS gap_cents
+    FROM j
+    ORDER BY abs(header_cents - line_cents) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q232_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice reconciliation: order-header totals against the sum of
+    their line amounts, worst 10 discrepancies first — the
+    header/detail consistency audit every billing pipeline runs (and
+    on THIS fixture the finding is that the generator ties the two
+    loosely, which q107's FK checks can't see because every key
+    resolves).  Exact integer cents both sides, LEFT join keeps
+    line-less orders visible as pure header gaps, TakeOrdered caps
+    the sort at 10 with an orderkey tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "line_cents"
+        )
+    )
+    j = orders.join(
+        ls, orders["o_orderkey"] == ls["l_orderkey"], "left"
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "header_cents"
+        ),
+        F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+    )
+    return (
+        j.withColumn(
+            "gap_cents", F.abs(F.col("header_cents") - F.col("line_cents"))
+        )
+        .orderBy(F.col("gap_cents").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q233_time_rollup",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT)
+                        AS week,
+                      CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                           AS BIGINT) AS month,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+    SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+                WHEN grouping(week) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           COALESCE(day, week, month) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS rev_cents
+    FROM d
+    GROUP BY GROUPING SETS ((day), (week), (month))
+    """,
+)
+def q233_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day, week, AND month revenue rollups from ONE scan via
+    time-grain GROUPING SETS — the OLAP pre-aggregation pass that
+    feeds every dashboard zoom level without re-reading the fact
+    three times (q90's grouping sets are dimensional; this is the
+    temporal axis, where the win is proportional to grain count).
+    grouping() flags label each stratum; bucket keys are disjoint
+    integer domains (epoch-day ~20k, epoch-week ~2.8k, yyyymm
+    ~200k), so COALESCE is unambiguous and the union needs no
+    per-grain tagging column."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 604800)
+        .cast("long")
+        .alias("week"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d.createOrReplaceTempView("_time_rollup_d")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+                    WHEN grouping(week) = 0 THEN 'week'
+                    ELSE 'month' END AS grain,
+               COALESCE(day, week, month) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM _time_rollup_d
+        GROUP BY GROUPING SETS ((day), (week), (month))
+        """
+    )
