@@ -12201,3 +12201,241 @@ def q233_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day), (week), (month))
         """
     )
+
+
+@register(
+    "q234_mutual_information",
+    """
+    WITH cell AS (SELECT event_type AS t,
+                         CAST(hour(ts) AS BIGINT) AS h,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+    rx AS (SELECT t, sum(c) AS ct FROM cell GROUP BY t),
+    cy AS (SELECT h, sum(c) AS ch FROM cell GROUP BY h),
+    n AS (SELECT sum(c) AS n FROM cell)
+    SELECT CAST(n.n AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           ROUND(sum((CAST(cell.c AS DOUBLE) / n.n)
+                     * ln(CAST(cell.c AS DOUBLE) * n.n
+                          / (CAST(rx.ct AS DOUBLE) * cy.ch))), 6) AS mi_nats
+    FROM cell JOIN rx USING (t) JOIN cy USING (h) CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def q234_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event TYPE and HOUR-of-day — the
+    single number saying whether behavior has a daily rhythm (0 =
+    types fire uniformly round the clock).  Completes the
+    info-theory kit: q206 is one variable's entropy, q100 is
+    pairwise PMI, this is the expectation of PMI over the joint.
+    All three margins come from the 120-cell contingency aggregate
+    (no second scan); the ln terms follow the q156 float contract —
+    exact integer counts into a fixed expression, one 6dp round on
+    the 120-term sum."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count("*").alias("c"))
+    rx = cell.groupBy("t").agg(F.sum("c").alias("ct"))
+    cy = cell.groupBy("h").agg(F.sum("c").alias("ch"))
+    n = cell.agg(F.sum("c").alias("n"))
+    j = (
+        cell.join(F.broadcast(rx), "t")
+        .join(F.broadcast(cy), "h")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double")
+        * F.col("n")
+        / (F.col("ct").cast("double") * F.col("ch"))
+    )
+    return j.groupBy(F.col("n")).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mi_nats"),
+    ).select(
+        F.col("n").cast("long").alias("n_events"), "n_cells", "mi_nats"
+    )
+
+
+@register(
+    "q235_conversion_wilson",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS us
+               FROM events),
+    m AS (SELECT user_id, event_id, event_type, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, event_type, us, event_id,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS session_id
+          FROM m),
+    ranked AS (SELECT user_id, session_id, event_type,
+                      row_number() OVER (PARTITION BY user_id, session_id
+                                         ORDER BY us, event_id) AS rn
+               FROM s),
+    conv AS (SELECT user_id, session_id,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS converted
+             FROM s GROUP BY 1, 2),
+    per AS (SELECT r.event_type AS entry_type, c.converted
+            FROM ranked r JOIN conv c USING (user_id, session_id)
+            WHERE r.rn = 1),
+    agg AS (SELECT entry_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS k
+            FROM per GROUP BY entry_type)
+    SELECT entry_type, n, k,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM agg
+    """,
+)
+def q235_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session conversion rate per entry type WITH 95% Wilson score
+    intervals — the uncertainty q132's point estimates lack, and the
+    interval that stays sane at small n where the naive normal CI
+    breaks.  Sessions and conversions reuse the 30-min contract;
+    the Wilson algebra (z=1.96 folded into literal constants
+    1.9208 = z², 0.9604 = z²/2... all pinned identically in both
+    texts) runs on exact integer (k, n) through one fixed double
+    expression per bound, rounded once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = base.withColumn(
+        "session_id",
+        F.sum(
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", F.struct("us", "event_id")).alias(
+            "entry_type"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    agg = per.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    return agg.selectExpr(
+        "entry_type", "n", "k",
+        "ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n"
+        " - 1.96 * sqrt((CAST(k AS DOUBLE) / n)"
+        " * (1.0 - CAST(k AS DOUBLE) / n) / n"
+        " + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+        " / (1.0 + 3.8416 / n), 6) AS wilson_lo",
+        "ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n"
+        " + 1.96 * sqrt((CAST(k AS DOUBLE) / n)"
+        " * (1.0 - CAST(k AS DOUBLE) / n) / n"
+        " + 0.9604 / (CAST(n AS DOUBLE) * n)))"
+        " / (1.0 + 3.8416 / n), 6) AS wilson_hi",
+    )
+
+
+@register(
+    "q236_neardup_evidence",
+    f"""
+    WITH sh AS MATERIALIZED ({_SQL_SHINGLE3}),
+    seeds AS (SELECT unnest(['0','1','2','3','4','5','6','7']) AS seed),
+    sig AS MATERIALIZED (
+      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                        FROM sh GROUP BY doc_id),
+    com AS (SELECT p.doc_a, p.doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   min(sa.shingle) AS example_shingle
+            FROM pairs p
+            JOIN sh sa ON sa.doc_id = p.doc_a
+            JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           za.n AS n_a, zb.n AS n_b,
+           CAST((c.n_common * 1000) // (za.n + zb.n - c.n_common) AS BIGINT)
+             AS jaccard_permille,
+           c.example_shingle
+    FROM com c JOIN sz za ON c.doc_a = za.doc_id
+               JOIN sz zb ON c.doc_b = zb.doc_id
+    """,
+)
+def q236_neardup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVIDENCE for the near-dup verdicts: every q16 LSH candidate
+    pair re-scored with its EXACT shingle overlap — common count,
+    both set sizes, true Jaccard permille, and a concrete shared
+    shingle to show a human — the explainability surface a dedup
+    pipeline needs before it deletes documents (MinHash says
+    'probably'; this says 'here is why').  The exact rescoring joins
+    shingles ONLY for the surviving candidate pairs (never all
+    pairs), so cost is |candidates| x shingle-set size, and the
+    example shingle is a deterministic min."""
+    from .operators.dedup import lsh_candidate_pairs, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs.select("doc_id", "text")).select("doc_id", "shingle")
+    pairs = lsh_candidate_pairs(docs, on_overflow="error").select(
+        "doc_a", "doc_b"
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")
+    )
+    com = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.min("sh_a").alias("example_shingle"),
+        )
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        com.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST((n_common * 1000) DIV (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_permille"),
+            "example_shingle",
+        )
+    )
