@@ -12690,3 +12690,199 @@ def q240_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "term")
         .limit(40)
     )
+
+
+@register(
+    "q241_basket_drift",
+    """
+    WITH pp AS (SELECT o.o_custkey AS ck, l.l_partkey AS part,
+                       max(CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                                THEN 1 ELSE 0 END) AS e,
+                       max(CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                                THEN 1 ELSE 0 END) AS l
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY 1, 2),
+    per AS (SELECT ck,
+                   CAST(sum(e) AS BIGINT) AS n_early,
+                   CAST(sum(l) AS BIGINT) AS n_late,
+                   CAST(sum(e * l) AS BIGINT) AS n_both
+            FROM pp GROUP BY ck
+            HAVING sum(e) > 0 AND sum(l) > 0),
+    j AS (SELECT ck,
+                 CAST((n_both * 1000) // (n_early + n_late - n_both)
+                      AS BIGINT) AS jac_permille
+          FROM per)
+    SELECT CAST(jac_permille // 10 AS BIGINT) AS overlap_pct,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM j GROUP BY 1
+    """,
+)
+def q241_basket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket DRIFT: per customer, the Jaccard overlap between the
+    part sets they bought before and after 1998, histogrammed by
+    decile — do customers keep buying the same things?  The set
+    intersection never materializes: per (customer, part) two
+    period FLAGS via max(), then Jaccard falls out of three integer
+    sums (Σe, Σl, Σe·l) in one aggregate — the flag-product trick
+    that turns per-key set algebra into pure partial aggregation.
+    Customers active in only one period are excluded by HAVING (no
+    drift is defined for them); buckets are percent points (this
+    fixture's overlaps top out at ~7%, so deciles would collapse)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("part")
+        )
+        .agg(
+            F.max(
+                F.when(F.col("o_orderdate") < "1998-01-01", 1).otherwise(0)
+            ).alias("e"),
+            F.max(
+                F.when(F.col("o_orderdate") >= "1998-01-01", 1).otherwise(0)
+            ).alias("l"),
+        )
+    )
+    per = (
+        pp.groupBy("ck")
+        .agg(
+            F.sum("e").cast("long").alias("n_early"),
+            F.sum("l").cast("long").alias("n_late"),
+            F.sum(F.col("e") * F.col("l")).cast("long").alias("n_both"),
+        )
+        .filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
+    )
+    j = per.selectExpr(
+        "CAST((n_both * 1000) DIV (n_early + n_late - n_both) AS BIGINT)"
+        " AS jac_permille"
+    )
+    return j.selectExpr(
+        "CAST(jac_permille DIV 10 AS BIGINT) AS overlap_pct"
+    ).groupBy("overlap_pct").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "q242_transition_entropy",
+    """
+    WITH seqd AS (SELECT user_id, event_type AS a,
+                         lead(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts),
+                                                         event_id) AS b
+                  FROM events),
+    c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM seqd WHERE b IS NOT NULL GROUP BY 1, 2)
+    SELECT a AS from_type,
+           CAST(sum(c) AS BIGINT) AS n_transitions,
+           ROUND(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
+             AS next_entropy_nats
+    FROM c GROUP BY a
+    """,
+)
+def q242_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PREDICTABILITY: the entropy of what comes next
+    after each event type — 0 means one type always follows
+    (deterministic flows worth hard-coding), ln(5) means anything
+    can (q120 gives the transition MATRIX; this is its per-row
+    uncertainty summary).  One lead() window builds the bigram
+    stream (same deterministic (ts, event_id) order as q120, so the
+    two reconcile), then q206's aggregation-friendly entropy
+    identity over the 25-cell count table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    seqd = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    c = seqd.groupBy("a", "b").agg(F.count("*").alias("c"))
+    return c.groupBy(F.col("a").alias("from_type")).agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("next_entropy_nats"),
+    )
+
+
+@register(
+    "q243_autocorrelation",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1),
+    lags AS (SELECT day, x,
+                    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+                    lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+                    lag(x, 5) OVER w AS l5, lag(x, 6) OVER w AS l6,
+                    lag(x, 7) OVER w AS l7
+             FROM d WINDOW w AS (ORDER BY day)),
+    long AS (SELECT k, x, y FROM (
+               SELECT x, unnest([1,2,3,4,5,6,7]) AS k,
+                      unnest([l1,l2,l3,l4,l5,l6,l7]) AS y
+               FROM lags) t WHERE y IS NOT NULL),
+    s AS (SELECT k, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM long GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS acf
+    FROM s
+    """,
+)
+def q243_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1-7 — the weekly
+    -rhythm diagnostic (a lag-7 spike means day-of-week structure;
+    all-flat certifies the generator is memoryless, the q221
+    finding from a different angle).  Seven lag taps share ONE
+    ordered window over the daily aggregate, unpivot to (lag, x, y)
+    pairs, and each lag's Pearson comes from five exact integer
+    moments in DECIMAL/HUGEINT (the q222 contract) — one scan, one
+    window, one 7-row reduce."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    w = Window.orderBy("day")
+    lags = d.select(
+        "x", *[F.lag("x", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    pairs = ", ".join(f"{k}, l{k}" for k in range(1, 8))
+    long = lags.selectExpr(
+        "x", f"stack(7, {pairs}) AS (k, y)"
+    ).filter(F.col("y").isNotNull())
+    # daily cents square to ~2e18 PER TERM: the decimal promotion must
+    # happen before the product, not just before the ppm step
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = long.groupBy("k").agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(dx * dx)).alias("sxx"),
+        dec(F.sum(dy * dy)).alias("syy"),
+        dec(F.sum(dx * dy)).alias("sxy"),
+    )
+    return s.selectExpr(
+        "CAST(k AS BIGINT) AS lag_days",
+        "CAST(n AS BIGINT) AS n_days",
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)"
+        "        * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS acf",
+    )
