@@ -12886,3 +12886,321 @@ def q243_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)"
         "        * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS acf",
     )
+
+
+@register(
+    "q244_log2_histogram",
+    """
+    WITH b AS (SELECT CAST(length(bin(CAST(round(o_totalprice * 100)
+                                           AS BIGINT))) - 1 AS BIGINT)
+                 AS bucket
+               FROM orders WHERE o_totalprice > 0),
+    h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b
+          GROUP BY bucket),
+    t AS (SELECT sum(n) AS total FROM h)
+    SELECT bucket,
+           CAST(2 AS BIGINT) ** bucket AS lo_cents,
+           n,
+           CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+    FROM h, t
+    """,
+)
+def q244_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (Prometheus-style) histogram of order values: the
+    bucket is floor(log2(cents)) computed as BINARY STRING LENGTH —
+    no floating log anywhere near a bucket boundary, so a value at
+    exactly 2^k can never flip buckets between engines (the
+    float-log trap this formulation exists to kill).  Exponential
+    buckets are the observability standard because they give
+    constant relative error with ~40 buckets across 12 orders of
+    magnitude — the right shape for latency/value distributions at
+    any scale.  One scan, one bounded aggregate, broadcast total."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.filter(F.col("o_totalprice") > 0).select(
+        (
+            F.length(F.bin(F.round(F.col("o_totalprice") * 100).cast("long")))
+            - 1
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count("*").cast("long").alias("n"))
+    t = h.agg(F.sum("n").alias("total"))
+    return h.crossJoin(F.broadcast(t)).selectExpr(
+        "bucket",
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) AS BIGINT)"
+        " AS lo_cents",
+        "n",
+        "CAST((n * 1000000) DIV total AS BIGINT) AS share_ppm",
+    )
+
+
+@register(
+    "q245_mean_triad",
+    """
+    WITH o AS (SELECT c.c_nationkey AS nk,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE o.o_totalprice > 0)
+    SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) // count(*) AS BIGINT) AS arith_mean_cents,
+           ROUND(exp(avg(ln(CAST(cents AS DOUBLE)))), 2) AS geo_mean_cents,
+           ROUND(count(*) / sum(1.0 / cents), 2) AS harm_mean_cents
+    FROM o GROUP BY nk
+    """,
+)
+def q245_mean_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mean triad per nation — arithmetic (exact integer floor),
+    geometric (exp-mean-log, the multiplicative center rates and
+    ratios should be averaged with), harmonic (the right mean for
+    unit-per-cost aggregation) — with AM >= GM >= HM as a built-in
+    cross-check (pinned in tests).  Geometric and harmonic follow
+    the q156 float contract: exact integer cents into ln/reciprocal,
+    one aggregate, one 2dp round; everything shares a single scan
+    and partial aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return o.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias(
+            "arith_mean_cents"
+        ),
+        F.round(
+            F.exp(F.avg(F.log(F.col("cents").cast("double")))), 2
+        ).alias("geo_mean_cents"),
+        F.round(F.count("*") / F.sum(F.lit(1.0) / F.col("cents")), 2).alias(
+            "harm_mean_cents"
+        ),
+    )
+
+
+@register(
+    "q246_sample_allocation",
+    """
+    WITH o AS (SELECT c.c_nationkey AS nk,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    h AS (SELECT nk, cents, CAST(count(*) AS BIGINT) AS cnt
+          FROM o GROUP BY 1, 2),
+    cum AS (SELECT nk, cents, cnt,
+                   sum(cnt) OVER (PARTITION BY nk ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY nk) AS n
+            FROM h),
+    spread AS (SELECT nk, CAST(max(n) AS BIGINT) AS n,
+                      CAST(min(CASE WHEN 10 * cum >= 9 * n THEN cents END)
+                           - min(CASE WHEN 10 * cum >= n THEN cents END)
+                           AS BIGINT) AS idr
+               FROM cum GROUP BY nk),
+    wgt AS (SELECT nk, n, idr,
+                   CAST(n AS HUGEINT) * idr AS w FROM spread),
+    t AS (SELECT sum(w) AS tw FROM wgt),
+    q AS (SELECT nk, n, idr,
+                 CAST((w * 10000) // tw AS BIGINT) AS floor_alloc,
+                 CAST((w * 10000) % tw AS BIGINT) AS rem
+          FROM wgt, t),
+    lo AS (SELECT CAST(10000 - sum(floor_alloc) AS BIGINT) AS leftover
+           FROM q),
+    r AS (SELECT nk, n, idr, floor_alloc, rem,
+                 row_number() OVER (ORDER BY rem DESC, nk) AS rr
+          FROM q)
+    SELECT r.nk AS nationkey, r.n AS n_orders, r.idr AS interdecile_cents,
+           r.floor_alloc
+             + CASE WHEN r.rr <= lo.leftover THEN 1 ELSE 0 END AS sample_n
+    FROM r, lo
+    """,
+)
+def q246_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-aware sample allocation: a 10,000-row audit budget
+    split across nations proportional to N_h x spread_h — the Neyman
+    idea with the inter-decile range (p90-p10 via q133 histogram
+    crossings) standing in for the standard deviation, which keeps
+    EVERY quantity an exact integer (sqrt of a variance would drag
+    the allocation through floats; the IDR is the robust spread a
+    skewed-value audit wants anyway).  Largest-remainder rounding
+    (q226) makes the parts sum exactly to the budget — the complete
+    'design a stratified sample' pass built from house primitives."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    h = o.groupBy("nk", "cents").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("nk")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "nk",
+        "cents",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("nk")).alias("n"),
+    )
+    spread = cum.groupBy("nk").agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("cents"))
+            )
+            - F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("cents")))
+        )
+        .cast("long")
+        .alias("idr"),
+    )
+    wgt = spread.select(
+        "nk", "n", "idr",
+        (F.col("n").cast("decimal(38,0)") * F.col("idr")).alias("w"),
+    )
+    t = wgt.agg(F.sum("w").alias("tw"))
+    q = wgt.crossJoin(F.broadcast(t)).selectExpr(
+        "nk", "n", "idr",
+        "CAST((w * 10000) DIV tw AS BIGINT) AS floor_alloc",
+        "CAST((w * 10000) % tw AS BIGINT) AS rem",
+    )
+    lo = q.agg(
+        (F.lit(10000) - F.sum("floor_alloc")).cast("long").alias("leftover")
+    )
+    r = q.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.col("rem").desc(), "nk"))
+    )
+    return r.crossJoin(F.broadcast(lo)).select(
+        F.col("nk").alias("nationkey"),
+        F.col("n").alias("n_orders"),
+        F.col("idr").alias("interdecile_cents"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("sample_n"),
+    )
+
+
+@register(
+    "q247_revenue_bridge",
+    """
+    WITH m AS (SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                           AS BIGINT) AS month,
+                      c.c_nationkey AS nk,
+                      sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS cents
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+    t AS (SELECT month, sum(cents) AS tot FROM m GROUP BY month),
+    d AS (SELECT month, tot,
+                 lag(month) OVER (ORDER BY month) AS pm,
+                 tot - lag(tot) OVER (ORDER BY month) AS delta
+          FROM t),
+    pick AS (SELECT month, pm, CAST(delta AS BIGINT) AS total_delta
+             FROM d WHERE delta IS NOT NULL
+                      AND month = pm + CASE WHEN pm % 100 = 12
+                                            THEN 89 ELSE 1 END
+             ORDER BY abs(delta) DESC, month LIMIT 1),
+    aft AS MATERIALIZED (SELECT m.nk, m.cents
+                         FROM pick p JOIN m ON m.month = p.month),
+    bef AS MATERIALIZED (SELECT m.nk, m.cents
+                         FROM pick p JOIN m ON m.month = p.pm)
+    SELECT COALESCE(a.nk, b.nk) AS nationkey,
+           CAST(COALESCE(b.cents, 0) AS BIGINT) AS before_cents,
+           CAST(COALESCE(a.cents, 0) AS BIGINT) AS after_cents,
+           CAST(COALESCE(a.cents, 0) - COALESCE(b.cents, 0) AS BIGINT)
+             AS delta_cents,
+           p.total_delta
+    FROM aft a FULL OUTER JOIN bef b ON a.nk = b.nk
+    CROSS JOIN pick p
+    """,
+)
+def q247_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue BRIDGE for the sharpest month-over-month move: find
+    the adjacent-month pair with the largest total swing (calendar
+    -consecutive only; the Dec->Jan key gap is handled in integers),
+    then decompose that swing into per-nation deltas — the
+    'why did the metric move' root-cause table every metrics tree
+    renders.  The pick is a deterministic 1-row TakeOrdered
+    broadcast; the decomposition is a full-outer self-join of the
+    monthly aggregate at the two picked months (nations absent from
+    one side surface as pure adds/drops, not silently vanish); the
+    per-nation deltas sum EXACTLY to the total swing (pinned)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    t = m.groupBy("month").agg(F.sum("cents").alias("tot"))
+    w = Window.orderBy("month")
+    d = t.select(
+        "month",
+        F.lag("month").over(w).alias("pm"),
+        (F.col("tot") - F.lag("tot").over(w)).alias("delta"),
+    ).filter(
+        F.col("delta").isNotNull()
+        & (
+            F.col("month")
+            == F.col("pm")
+            + F.when(F.col("pm") % 100 == 12, 89).otherwise(1)
+        )
+    )
+    pick = (
+        d.select("month", "pm", F.col("delta").cast("long").alias("total_delta"))
+        .orderBy(F.abs(F.col("delta")).desc(), "month")
+        .limit(1)
+    )
+    a = m.select(
+        F.col("month").alias("ma"), F.col("nk").alias("nka"),
+        F.col("cents").alias("ca"),
+    )
+    b = m.select(
+        F.col("month").alias("mb"), F.col("nk").alias("nkb"),
+        F.col("cents").alias("cb"),
+    )
+    after = pick.select("month").join(a, F.col("ma") == F.col("month")).select(
+        "nka", "ca"
+    )
+    before = pick.select("pm").join(b, F.col("mb") == F.col("pm")).select(
+        "nkb", "cb"
+    )
+    j = after.join(before, F.col("nka") == F.col("nkb"), "full_outer")
+    return j.crossJoin(F.broadcast(pick.select("total_delta"))).select(
+        F.coalesce(F.col("nka"), F.col("nkb")).alias("nationkey"),
+        F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("before_cents"),
+        F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("after_cents"),
+        (
+            F.coalesce(F.col("ca"), F.lit(0))
+            - F.coalesce(F.col("cb"), F.lit(0))
+        )
+        .cast("long")
+        .alias("delta_cents"),
+        "total_delta",
+    )

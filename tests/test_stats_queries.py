@@ -98,3 +98,33 @@ def test_power_iteration_unit_norm(spark, sf_dir):
     assert len(rows) == 64
     norm2 = sum(r.component ** 2 for r in rows)
     assert abs(norm2 - 1.0) < 1e-6
+
+
+def test_revenue_bridge_decomposes_exactly(spark, sf_dir):
+    rows = QUERIES["q247_revenue_bridge"](spark, sf_dir).collect()
+    assert rows
+    total = rows[0].total_delta
+    assert all(r.total_delta == total for r in rows)
+    assert sum(r.delta_cents for r in rows) == total
+    for r in rows:
+        assert r.delta_cents == r.after_cents - r.before_cents
+
+
+def test_mean_triad_inequality(spark, sf_dir):
+    rows = QUERIES["q245_mean_triad"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # AM >= GM >= HM (strict unless all values equal); integer
+        # floor on AM can shave < 1 cent, hence the +1 slack
+        assert r.arith_mean_cents + 1 >= r.geo_mean_cents >= r.harm_mean_cents
+
+
+def test_sample_allocation_sums_to_budget(spark, sf_dir):
+    rows = QUERIES["q246_sample_allocation"](spark, sf_dir).collect()
+    assert sum(r.sample_n for r in rows) == 10000
+
+
+def test_log2_histogram_buckets_are_exact(spark, sf_dir):
+    rows = QUERIES["q244_log2_histogram"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.lo_cents == 2 ** r.bucket
