@@ -13204,3 +13204,199 @@ def q247_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta_cents"),
         "total_delta",
     )
+
+
+@register(
+    "q248_sql_udf_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
+           CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) >= 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_discount
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q248_sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1 rollup THROUGH DECLARED SQL FUNCTIONS: ``rev_e4`` and
+    ``is_deep_discount`` are CREATE TEMPORARY FUNCTION SQL UDFs —
+    the semantic layer every BI deployment wants (define revenue
+    once, reuse everywhere) — and because they are SQL-body
+    functions Catalyst INLINES them into codegen: zero UDF overhead,
+    full pushdown, plan identical to hand-inlined expressions
+    (pinned: no Python/BatchEval anywhere).  The oracle runs the
+    inlined form, which is exactly the claim."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rev_e4(price DOUBLE,"
+        " disc DOUBLE) RETURNS BIGINT RETURN"
+        " CAST(round(price * 100) AS BIGINT)"
+        " * (100 - CAST(round(disc * 100) AS BIGINT))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_deep_discount(disc DOUBLE)"
+        " RETURNS INT RETURN"
+        " CASE WHEN CAST(round(disc * 100) AS BIGINT) >= 8 THEN 1 ELSE 0 END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_udf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(rev_e4(l_extendedprice, l_discount)) AS BIGINT)
+                 AS revenue_e4,
+               CAST(sum(is_deep_discount(l_discount)) AS BIGINT)
+                 AS n_deep_discount
+        FROM _udf_lineitem GROUP BY 1, 2
+        """
+    )
+
+
+@register(
+    "q249_erasure_manifest",
+    """
+    WITH forget AS MATERIALIZED (
+      SELECT DISTINCT user_id FROM events
+      WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'),
+    ev AS (SELECT CAST(count(*) AS BIGINT) AS erase,
+                  (SELECT CAST(count(*) AS BIGINT) FROM events) AS total
+           FROM events WHERE user_id IN (SELECT user_id FROM forget)),
+    od AS (SELECT CAST(count(*) AS BIGINT) AS erase,
+                  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS total
+           FROM orders WHERE o_custkey IN (SELECT user_id FROM forget)),
+    li AS (SELECT CAST(count(*) AS BIGINT) AS erase,
+                  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS total
+           FROM lineitem WHERE l_orderkey IN
+             (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT user_id FROM forget)))
+    SELECT 'events' AS tbl, erase AS n_erase, total AS n_total,
+           CAST((erase * 1000000) // total AS BIGINT) AS share_ppm FROM ev
+    UNION ALL
+    SELECT 'orders', erase, total,
+           CAST((erase * 1000000) // total AS BIGINT) FROM od
+    UNION ALL
+    SELECT 'lineitem', erase, total,
+           CAST((erase * 1000000) // total AS BIGINT) FROM li
+    """,
+)
+def q249_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style ERASURE MANIFEST: given a deterministic forget-set
+    (md5-bucketed 1/16th of users — the q58 draw, so retry-stable),
+    the row counts each table would lose, INCLUDING the transitive
+    reach through orders into lineitem — the blast-radius report a
+    privacy pipeline publishes before it deletes anything.  Each
+    count is a broadcast semi join (the forget keys and the order
+    -key bridge are the only broadcast payloads); nothing is
+    deleted — this is the audit, CDC (q67) is the apply."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    forget = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0")
+    )
+    okeys = orders.join(
+        F.broadcast(forget), orders["o_custkey"] == forget["user_id"],
+        "left_semi",
+    ).select("o_orderkey")
+
+    def manifest(df, erase_df, label):
+        e = erase_df.agg(F.count("*").cast("long").alias("n_erase"))
+        t = df.agg(F.count("*").cast("long").alias("n_total"))
+        return (
+            e.crossJoin(F.broadcast(t))
+            .select(
+                F.lit(label).alias("tbl"),
+                "n_erase",
+                "n_total",
+                F.expr(
+                    "CAST((n_erase * 1000000) DIV n_total AS BIGINT)"
+                ).alias("share_ppm"),
+            )
+        )
+
+    ev_erase = ev.join(F.broadcast(forget), "user_id", "left_semi")
+    od_erase = orders.join(
+        F.broadcast(forget), orders["o_custkey"] == forget["user_id"],
+        "left_semi",
+    )
+    li_erase = li.join(
+        F.broadcast(okeys), li["l_orderkey"] == okeys["o_orderkey"],
+        "left_semi",
+    )
+    return (
+        manifest(ev, ev_erase, "events")
+        .unionByName(manifest(orders, od_erase, "orders"))
+        .unionByName(manifest(li, li_erase, "lineitem"))
+    )
+
+
+@register(
+    "q250_training_manifest",
+    r"""
+    WITH surv AS (SELECT min(doc_id) AS doc_id
+                  FROM documents
+                  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                   'g')))),
+    kept AS (SELECT d.doc_id,
+                    CAST(length(list_filter(string_split_regex(lower(d.text),
+                                                               '\s+'),
+                                            x -> x <> '')) AS BIGINT)
+               AS n_tokens
+             FROM documents d JOIN surv s ON d.doc_id = s.doc_id),
+    q AS (SELECT doc_id, n_tokens FROM kept WHERE n_tokens >= 20),
+    sh AS (SELECT doc_id, n_tokens,
+                  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 8 AS BIGINT)
+                    AS shard
+           FROM q)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM sh GROUP BY shard
+    """,
+)
+def q250_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 250th entry is the CAPSTONE COMPOSITION: documents ->
+    exact-dedup survivors (min doc_id per whitespace-normalized md5
+    fingerprint, q11/q22's keep-rule) -> minimum-length quality gate
+    (>= 20 tokens, the q21 token contract) -> deterministic md5
+    shard assignment (8 shards, q58's hash draw) -> per-shard
+    MANIFEST (doc count, token sum, id range) — the one-page summary
+    a training run reads to plan its data loader.  Three partial
+    -aggregated exchanges end to end (fingerprint, survivor join,
+    shard rollup); every stage reuses a contract already pinned by
+    its own query, so this is integration, not new semantics."""
+    from .functions.textfn import normalize_ws, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = docs.groupBy(F.md5(normalize_ws(F.col("text"))).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(
+        surv.select("doc_id"), "doc_id", "left_semi"
+    ).select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    q = kept.filter(F.col("n_tokens") >= 20)
+    sh = q.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("long")
+            % 8
+        ).alias("shard"),
+    )
+    return sh.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

@@ -704,3 +704,12 @@ def test_benford_single_scan_broadcast_total(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q199_benford_first_digit")
     assert plan.count("orders.parquet") <= 1 or _count(plan, "Scan parquet") <= 2
     assert _count(plan, "CartesianProduct") == 0
+
+
+def test_sql_udf_rollup_inlines_to_codegen(spark, sf_dir):
+    """q248: SQL-body functions must inline — any Python/BatchEval
+    node means the semantic layer became an interpreter."""
+    plan = _plan(spark, sf_dir, "q248_sql_udf_rollup")
+    assert "Python" not in plan
+    assert "BatchEval" not in plan
+    assert _count(plan, "HashAggregate") >= 1
