@@ -332,3 +332,73 @@ def interval_concurrency(
         F.col("bucket").cast("long").alias("bucket_start"),
         (F.col("carry") + best_in).cast("long").alias("max_concurrent"),
     )
+
+
+def asof_join_nearest(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """NEAREST-in-time as-of join: for each event, the order of
+    customer ``user_id + 1`` with the smallest |orderdate - ts| —
+    backward on ties — completing the as-of family (backward
+    ``asof_join_last_order``, forward q81, tolerance q48).
+
+    Both direction carries ride ONE union and ONE exchange: the
+    backward window carries ``last(order, ignorenulls)`` up to the
+    row, the forward window carries ``first(order, ignorenulls)``
+    from the row on (order rows sort before events at equal
+    timestamps, so a same-instant order is visible to BOTH carries
+    with gap zero), and a pure CASE picks the closer side.  Same
+    cost envelope as the one-direction form: |events|+|orders|
+    through a single partition-sort."""
+    o = orders.select(
+        (F.col("o_custkey") - 1).alias("user_id"),
+        F.col("o_orderdate").alias("_t"),
+        F.unix_timestamp("o_orderdate").alias("_order_epoch"),
+        F.lit(1).alias("_is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = events.select(
+        "user_id",
+        F.col("ts").alias("_t"),
+        F.lit(None).cast("long").alias("_order_epoch"),
+        F.lit(0).alias("_is_order"),
+        "event_id",
+    )
+    u = o.unionByName(e)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_t").asc(), F.col("_is_order").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.withColumn(
+        "back", F.last("_order_epoch", ignorenulls=True).over(wb)
+    ).withColumn("fwd", F.first("_order_epoch", ignorenulls=True).over(wf))
+    ev = carried.filter(F.col("_is_order") == 0).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("_t").alias("ts_s"),
+        "back",
+        "fwd",
+    )
+    bg = F.col("ts_s") - F.col("back")
+    fg = F.col("fwd") - F.col("ts_s")
+    nearest = (
+        F.when(F.col("back").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("back"))
+        .when(fg < bg, F.col("fwd"))
+        .otherwise(F.col("back"))
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        nearest.cast("long").alias("nearest_order_epoch"),
+        F.when(
+            nearest.isNotNull(),
+            F.abs(F.col("ts_s") - nearest),
+        )
+        .cast("long")
+        .alias("gap_s"),
+    )

@@ -13400,3 +13400,217 @@ def q250_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+@register(
+    "q251_asof_nearest",
+    """
+    WITH g AS (SELECT e.event_id, e.user_id,
+                      CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+                      CAST(epoch(max(CASE WHEN o.o_orderdate <= e.ts
+                                          THEN o.o_orderdate END))
+                           AS BIGINT) AS back,
+                      CAST(epoch(min(CASE WHEN o.o_orderdate >= e.ts
+                                          THEN o.o_orderdate END))
+                           AS BIGINT) AS fwd
+               FROM events e LEFT JOIN orders o
+                 ON o.o_custkey = e.user_id + 1
+               GROUP BY 1, 2, 3),
+    pick AS (SELECT event_id, user_id, ts_s,
+                    CASE WHEN back IS NULL THEN fwd
+                         WHEN fwd IS NULL THEN back
+                         WHEN fwd - ts_s < ts_s - back THEN fwd
+                         ELSE back END AS nearest
+             FROM g)
+    SELECT event_id, user_id,
+           CAST(nearest AS BIGINT) AS nearest_order_epoch,
+           CAST(abs(ts_s - nearest) AS BIGINT) AS gap_s
+    FROM pick
+    """,
+)
+def q251_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — |gap|-minimizing, backward on ties —
+    via :func:`operators.windows.asof_join_nearest`: both direction
+    carries share ONE union + ONE exchange (the oracle's
+    conditional-aggregate form re-probes orders per event, which is
+    exactly what the union-sort-carry avoids at scale).  Completes
+    the as-of family: q26 backward, q81 forward, q48 tolerance,
+    this nearest."""
+    from .operators.windows import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join_nearest(ev, orders)
+
+
+@register(
+    "q252_rolling_correlation",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                               ELSE 0 END) AS x,
+                      sum(CASE WHEN o_orderpriority = '5-LOW'
+                               THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                               ELSE 0 END) AS y
+               FROM orders GROUP BY 1),
+    w AS (SELECT day,
+                 CAST(count(*) OVER win AS HUGEINT) AS n,
+                 CAST(sum(x) OVER win AS HUGEINT) AS sx,
+                 CAST(sum(y) OVER win AS HUGEINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) OVER win AS syy,
+                 sum(CAST(x AS HUGEINT) * y) OVER win AS sxy,
+                 row_number() OVER (ORDER BY day) AS i
+          FROM d WINDOW win AS (ORDER BY day
+                                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+    SELECT day,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                                  * CAST((n * syy - sy * sy) AS DOUBLE)), 6)
+           END AS corr30
+    FROM w WHERE i >= 30
+    """,
+)
+def q252_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day ROLLING correlation between urgent-priority and
+    low-priority daily revenue — the co-movement monitor (a regime
+    where the two decouple is a demand-mix shift q123's univariate
+    z-score cannot see).  All five moments ride ONE ordered window
+    over the daily aggregate as DECIMAL/HUGEINT integers (squares of
+    daily cents graze 2e18 — the q243 promotion applied in-window);
+    each day's r is the fixed five-moment expression with an
+    explicit zero-variance NULL guard on BOTH engines.  Warm-up
+    days (rank < 30) are excluded by rank, not nullness."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "5-LOW", cents).otherwise(0)
+        ).alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-29, 0)
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    w = d.select(
+        "day",
+        F.count("*").over(win).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(win).cast("decimal(38,0)").alias("sx"),
+        F.sum("y").over(win).cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * dx).over(win).alias("sxx"),
+        F.sum(dy * dy).over(win).alias("syy"),
+        F.sum(dx * dy).over(win).alias("sxy"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+    )
+    return w.filter(F.col("i") >= 30).selectExpr(
+        "day",
+        "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"
+        " THEN NULL"
+        " ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)"
+        "        * CAST((n * syy - sy * sy) AS DOUBLE)), 6)"
+        " END AS corr30",
+    )
+
+
+@register(
+    "q253_class_separation",
+    """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, label, g.i AS i,
+             CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, 64) g(i)),
+    cent AS MATERIALIZED (
+      SELECT label, i, avg(val) AS c FROM x GROUP BY 1, 2),
+    dist AS (SELECT x.vec_id, x.label,
+                    sqrt(sum((x.val - cent.c) * (x.val - cent.c))) AS d
+             FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+             GROUP BY 1, 2),
+    intra AS (SELECT label, avg(d) AS intra, count(*) AS n
+              FROM dist GROUP BY label),
+    cd AS (SELECT a.label AS la, b.label AS lb,
+                  sqrt(sum((a.c - b.c) * (a.c - b.c))) AS d
+           FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+           GROUP BY 1, 2),
+    inter AS (SELECT la AS label, min(d) AS inter FROM cd GROUP BY la)
+    SELECT i.label, CAST(i.n AS BIGINT) AS n_vecs,
+           ROUND(i.intra, 6) AS intra_dist,
+           ROUND(t.inter, 6) AS nearest_other_centroid,
+           ROUND(i.intra / t.inter, 6) AS separation_ratio
+    FROM intra i JOIN inter t ON i.label = t.label
+    """,
+)
+def q253_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space CLASS SEPARATION audit: per label, the mean
+    distance to its own centroid against the distance to the nearest
+    OTHER centroid — a silhouette-style ratio (> 1 means the class
+    cloud is wider than the gap to its neighbor: expect classifier
+    confusion exactly where q158's matrix shows it).  Centroids are
+    q94's flat (label, dim) aggregate; vector-to-centroid distances
+    are one explode-join-aggregate (linear in dims, q225's shape);
+    the 10x10 centroid-pair table is trivially small.  Floats enter
+    only through avg/sqrt on the fixed expressions, rounded once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "valf"),
+    ).select(
+        "vec_id", "label", "i", F.col("valf").cast("double").alias("val")
+    )
+    cent = x.groupBy("label", "i").agg(F.avg("val").alias("c"))
+    dist = (
+        x.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+            ).alias("d")
+        )
+    )
+    intra = dist.groupBy("label").agg(
+        F.avg("d").alias("intra"), F.count("*").alias("n")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "i", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"),
+        F.col("c").alias("cb"),
+    )
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("i") == F.col("ib")) & (F.col("la") != F.col("lb")),
+        )
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            ).alias("d")
+        )
+    )
+    inter = cd.groupBy(F.col("la").alias("label")).agg(
+        F.min("d").alias("inter")
+    )
+    return intra.join(inter, "label").select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round(F.col("intra"), 6).alias("intra_dist"),
+        F.round(F.col("inter"), 6).alias("nearest_other_centroid"),
+        F.round(F.col("intra") / F.col("inter"), 6).alias(
+            "separation_ratio"
+        ),
+    )
