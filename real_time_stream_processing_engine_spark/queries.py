@@ -13614,3 +13614,193 @@ def q253_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "separation_ratio"
         ),
     )
+
+
+@register(
+    "q254_diversified_topk",
+    """
+    WITH pr AS (SELECT p.p_brand AS brand, l.l_partkey AS part,
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100)
+                                         AS BIGINT))) AS e4
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2),
+    br AS (SELECT brand, part, e4,
+                  row_number() OVER (PARTITION BY brand
+                                     ORDER BY e4 DESC, part) AS brand_rank
+           FROM pr),
+    cap AS (SELECT brand, part, CAST(e4 AS BIGINT) AS revenue_e4, brand_rank
+            FROM br WHERE brand_rank <= 2)
+    SELECT brand, part, revenue_e4, CAST(brand_rank AS BIGINT) AS brand_rank
+    FROM cap ORDER BY revenue_e4 DESC, part LIMIT 10
+    """,
+)
+def q254_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSIFIED top-k: the 10 highest-revenue parts with AT MOST
+    2 PER BRAND — the constraint every recommender/search layer adds
+    so one dominant family doesn't fill the page, and a shape plain
+    TakeOrdered cannot express.  Two nested ranks: a brand-partitioned
+    window caps each brand at its best 2 (cheap — runs on the
+    per-part aggregate), then a global TakeOrdered(10) over the
+    survivors (at most 2x|brands| rows reach it).  Both cuts carry
+    deterministic (revenue desc, part) tie-breaks."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    pr = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.col("l_partkey").alias("part")
+        )
+        .agg(F.sum(e4).alias("e4"))
+    )
+    br = pr.withColumn(
+        "brand_rank",
+        F.row_number().over(
+            Window.partitionBy("brand").orderBy(F.col("e4").desc(), "part")
+        ),
+    )
+    cap = br.filter(F.col("brand_rank") <= 2).select(
+        "brand",
+        "part",
+        F.col("e4").cast("long").alias("revenue_e4"),
+        F.col("brand_rank").cast("long").alias("brand_rank"),
+    )
+    return cap.orderBy(F.col("revenue_e4").desc(), "part").limit(10)
+
+
+@register(
+    "q255_transition_dwell",
+    """
+    WITH seqd AS (SELECT user_id, event_type AS a,
+                         lead(event_type) OVER w AS b,
+                         lead(CAST(epoch_us(ts) AS BIGINT)) OVER w
+                           - CAST(epoch_us(ts) AS BIGINT) AS dwell_us
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id)),
+    t AS (SELECT a, b, dwell_us // 1000000 AS dwell_s
+          FROM seqd WHERE b IS NOT NULL),
+    h AS (SELECT a, b, dwell_s, CAST(count(*) AS BIGINT) AS cnt
+          FROM t GROUP BY 1, 2, 3),
+    cum AS (SELECT a, b, dwell_s, cnt,
+                   sum(cnt) OVER (PARTITION BY a, b ORDER BY dwell_s
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY a, b) AS n
+            FROM h)
+    SELECT a AS from_type, b AS to_type, CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN 2 * cum >= n THEN dwell_s END) AS BIGINT)
+             AS median_dwell_s,
+           CAST(min(CASE WHEN 10 * cum >= 9 * n THEN dwell_s END) AS BIGINT)
+             AS p90_dwell_s
+    FROM cum GROUP BY a, b
+    """,
+)
+def q255_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWELL TIME per event transition: the median and p90 seconds
+    between each (from, to) event pair — q120 says WHERE users go,
+    q242 says how predictably, this says HOW LONG they linger on the
+    way (the latency surface behind 'users stall between click and
+    purchase').  One lead() window builds (pair, dwell), and the
+    quantiles are per-pair histogram crossings over whole seconds —
+    state bounded by the dwell range, the q133 recipe on its fourth
+    reuse (which is the point: one exact-quantile tool, many
+    metrics)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    seqd = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+        (F.lead(us).over(w) - us).alias("dwell_us"),
+    ).filter(F.col("b").isNotNull())
+    t = seqd.selectExpr("a", "b", "dwell_us DIV 1000000 AS dwell_s")
+    h = t.groupBy("a", "b", "dwell_s").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("a", "b")
+        .orderBy("dwell_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "a",
+        "b",
+        "dwell_s",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("a", "b")).alias("n"),
+    )
+    return cum.groupBy(
+        F.col("a").alias("from_type"), F.col("b").alias("to_type")
+    ).agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("dwell_s")))
+        .cast("long")
+        .alias("median_dwell_s"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("dwell_s")))
+        .cast("long")
+        .alias("p90_dwell_s"),
+    )
+
+
+@register(
+    "q256_two_measure_pivot",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS urgent_cents,
+           CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1
+                         ELSE 0 END) AS BIGINT) AS urgent_n,
+           CAST(sum(CASE WHEN o.o_orderpriority = '3-MEDIUM'
+                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS medium_cents,
+           CAST(sum(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1
+                         ELSE 0 END) AS BIGINT) AS medium_n,
+           CAST(sum(CASE WHEN o.o_orderpriority = '5-LOW'
+                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS low_cents,
+           CAST(sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1
+                         ELSE 0 END) AS BIGINT) AS low_n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q256_two_measure_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-MEASURE pivot: revenue AND order count per nation, spread
+    across three priority columns — q54 pivots one measure; real
+    reports need several, and Spark's ``pivot()`` with a multi-agg
+    suffixes generated column names unpredictably across versions,
+    so the portable form is explicit conditional aggregation (ALSO
+    the faster plan: one partial aggregate, no pivot analysis pass;
+    column names owned by the query, which is what makes the oracle
+    contract possible at all)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    pri = F.col("o_orderpriority")
+
+    def m(p, name):
+        return [
+            F.sum(F.when(pri == p, cents).otherwise(0))
+            .cast("long")
+            .alias(f"{name}_cents"),
+            F.sum(F.when(pri == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"{name}_n"),
+        ]
+
+    return j.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        *m("1-URGENT", "urgent"), *m("3-MEDIUM", "medium"), *m("5-LOW", "low")
+    )
