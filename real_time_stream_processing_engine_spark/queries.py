@@ -13804,3 +13804,207 @@ def q256_two_measure_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         *m("1-URGENT", "urgent"), *m("3-MEDIUM", "medium"), *m("5-LOW", "low")
     )
+
+
+@register(
+    "q257_bitmap_rollup_weekly",
+    """
+    WITH du AS (SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       count(DISTINCT user_id) AS dau
+                FROM events GROUP BY 1, 2)
+    SELECT du.week,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events e
+            WHERE CAST(floor(epoch(e.ts) / 604800) AS BIGINT) = du.week)
+             AS wau,
+           CAST(sum(du.dau) AS BIGINT) AS dau_sum
+    FROM du GROUP BY du.week
+    """,
+)
+def q257_bitmap_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap ROLLUP: weekly distinct users computed by OR-merging
+    the DAILY bitmap words — the day->week rollup costs one more
+    bit_or pass over words, NEVER a rescan of events — while the
+    daily popcounts sum alongside from the same words (q209's
+    stickiness inputs from one event read).  This is the mergeability
+    that makes bitmap distinct the warehouse standard: COUNT
+    DISTINCT at N grains = N scans; bitmap words = 1 scan + N word
+    merges.  The oracle recomputes both grains naively — matching
+    proves the OR algebra collapses duplicates exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / F.lit(604800))
+            .cast("long")
+            .alias("week"),
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            F.expr("user_id div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(user_id % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("week", "day", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    daily = words.groupBy("week", "day").agg(
+        F.sum(F.bit_count("bits")).alias("dau")
+    )
+    weekly_words = words.groupBy("week", "w").agg(
+        F.bit_or("bits").alias("bits")
+    )
+    weekly = weekly_words.groupBy("week").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("wau")
+    )
+    dsum = daily.groupBy("week").agg(
+        F.sum("dau").cast("long").alias("dau_sum")
+    )
+    return weekly.join(dsum, "week")
+
+
+@register(
+    "q258_catalog_search",
+    """
+    WITH s AS (SELECT p_partkey, p_name, p_brand,
+                      (CASE WHEN contains(p_name, 'red') THEN 1 ELSE 0 END
+                       + CASE WHEN contains(p_name, 'small') THEN 1
+                              ELSE 0 END
+                       + CASE WHEN contains(p_name, 'gear') THEN 1
+                              ELSE 0 END) AS score
+               FROM part)
+    SELECT p_partkey, p_name, p_brand, CAST(score AS BIGINT) AS score
+    FROM s WHERE score >= 2
+    ORDER BY score DESC, p_partkey LIMIT 20
+    """,
+)
+def q258_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term catalog search with match-count relevance: parts
+    whose names hit at least 2 of the 3 query terms, best first —
+    the boolean-retrieval baseline (BM25's q59 ranks a text corpus;
+    dimension attributes want this cheaper form).  Term tests are
+    scan-side ``contains`` in codegen (the dictionary-encoded
+    parquet column never decompresses non-candidates far), the
+    score is their integer sum, and the cut is TakeOrdered with a
+    partkey tie-break."""
+    part = load_table(spark, sf_dir, "part")
+    score = (
+        F.when(F.col("p_name").contains("red"), 1).otherwise(0)
+        + F.when(F.col("p_name").contains("small"), 1).otherwise(0)
+        + F.when(F.col("p_name").contains("gear"), 1).otherwise(0)
+    )
+    s = part.select(
+        "p_partkey", "p_name", "p_brand", score.cast("long").alias("score")
+    )
+    return (
+        s.filter(F.col("score") >= 2)
+        .orderBy(F.col("score").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q259_weekday_index",
+    """
+    WITH d AS (SELECT (CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 4)
+                        % 7 AS dow,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    a AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+                 sum(cents) AS rev FROM d GROUP BY dow),
+    t AS (SELECT sum(rev) AS tot FROM a)
+    SELECT dow, n, CAST(rev AS BIGINT) AS rev_cents,
+           CAST((CAST(rev AS HUGEINT) * 7000) // tot AS BIGINT)
+             AS index_permille_x7
+    FROM a, t
+    """,
+)
+def q259_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue index: each weekday's revenue scaled so a
+    flat calendar scores 1000 (rev*7*1000/total) — the seasonality
+    fold at the week grain (q221 folds months, q169 folds hours).
+    The weekday comes from PURE INTEGER arithmetic ((epoch_day+4)%7,
+    day 0 = Monday) — never from dayofweek()-style functions whose
+    locale/first-day conventions differ BETWEEN engines; the index
+    is integer permille with the x7 folded in (DECIMAL against the
+    q198 overflow class)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        (
+            (
+                F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+                .cast("long")
+                + 4
+            )
+            % 7
+        ).alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = d.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").alias("rev")
+    )
+    t = a.agg(F.sum("rev").alias("tot"))
+    return a.crossJoin(F.broadcast(t)).selectExpr(
+        "dow", "n", "CAST(rev AS BIGINT) AS rev_cents",
+        "CAST((CAST(rev AS DECIMAL(38,0)) * 7000) DIV tot AS BIGINT)"
+        " AS index_permille_x7",
+    )
+
+
+@register(
+    "q260_customer_concentration",
+    """
+    WITH sp AS (SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+                FROM orders GROUP BY 1),
+    r AS (SELECT s, row_number() OVER (ORDER BY s DESC, o_custkey) AS rk,
+                 sum(s) OVER () AS tot
+          FROM sp),
+    cuts AS (SELECT unnest([1, 10, 100]) AS n_top)
+    SELECT c.n_top,
+           CAST(sum(r.s) AS BIGINT) AS top_cents,
+           CAST((CAST(sum(r.s) AS HUGEINT) * 1000000) // max(r.tot)
+                AS BIGINT) AS share_ppm
+    FROM cuts c JOIN r ON r.rk <= c.n_top
+    GROUP BY c.n_top
+    """,
+)
+def q260_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration at fixed head sizes: the share held by
+    the top 1 / 10 / 100 customers — the 'how few whales' readout a
+    sales org tracks (q190's Pareto cuts by percentile; boards ask
+    by COUNT).  One rank window over the per-customer aggregate with
+    the deterministic (spend, custkey) order, a 3-row cut table
+    joined on rank, integer ppm shares in DECIMAL/HUGEINT."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    sp = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+    )
+    r = sp.select(
+        "s",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "o_custkey"))
+        .alias("rk"),
+        F.sum("s")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+    cuts = r.sparkSession.createDataFrame(
+        [(1,), (10,), (100,)], "n_top long"
+    )
+    return (
+        F.broadcast(cuts)
+        .join(r, r["rk"] <= cuts["n_top"])
+        .groupBy("n_top")
+        .agg(
+            F.sum("s").cast("long").alias("top_cents"),
+            F.expr(
+                "CAST((CAST(sum(s) AS DECIMAL(38,0)) * 1000000)"
+                " DIV max(tot) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
