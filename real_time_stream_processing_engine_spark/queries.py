@@ -14008,3 +14008,262 @@ def q260_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+@register(
+    "q261_interval_coverage",
+    """
+    WITH iv AS (SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) - 900000000 AS s,
+                       CAST(epoch_us(ts) AS BIGINT) + 900000000 AS e,
+                       event_id
+                FROM events),
+    m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+          FROM iv),
+    b AS (SELECT user_id, s, e,
+                 sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS block
+          FROM m),
+    blk AS (SELECT user_id, block, min(s) AS bs, max(e) AS be
+            FROM b GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(be - bs) // 1000000 AS BIGINT) AS covered_s
+    FROM blk GROUP BY user_id
+    """,
+)
+def q261_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL MERGE: each event projects a ±15-minute presence
+    window; overlaps coalesce and the query reports each user's
+    merged block count and total covered seconds — the union-length
+    problem (uptime from heartbeats, speech from voice frames) that
+    naive sum-of-durations double-counts.  The merge is the
+    gaps-and-islands trick generalized to intervals: a running
+    max(end) over EARLIER rows detects 'starts after everything so
+    far ended', a cumulative sum labels blocks, one aggregate per
+    block — no self-join, one user-partitioned sort, exact epoch
+    micros."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        (us - 900_000_000).alias("s"),
+        (us + 900_000_000).alias("e"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.select(
+        "user_id", "s", "e", F.max("e").over(wprev).alias("prev_max")
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = m.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wcum)
+        .alias("block"),
+    )
+    blk = b.groupBy("user_id", "block").agg(
+        F.min("s").alias("bs"), F.max("e").alias("be")
+    )
+    return blk.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.expr("CAST(sum(be - bs) DIV 1000000 AS BIGINT)").alias(
+            "covered_s"
+        ),
+    )
+
+
+@register(
+    "q262_sketch_agreement",
+    f"""
+    WITH sh0 AS ({_SQL_SHINGLE3}),
+    seeds AS (SELECT unnest(['0','1','2','3','4','5','6','7']) AS seed),
+    sig AS MATERIALIZED (
+      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+      FROM sh0 CROSS JOIN seeds GROUP BY doc_id, seed),
+    mh AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    s AS ({_SQL_SIMHASH}),
+    bands AS (SELECT doc_id, simhash,
+                     (simhash >> (15 * j)) & 32767 AS band, j
+              FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
+    sim AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    u AS (SELECT COALESCE(m.doc_a, s2.doc_a) AS doc_a,
+                 CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+                 CASE WHEN s2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+          FROM mh m FULL OUTER JOIN sim s2
+            ON m.doc_a = s2.doc_a AND m.doc_b = s2.doc_b)
+    SELECT CAST(sum(in_mh) AS BIGINT) AS minhash_pairs,
+           CAST(sum(in_sh) AS BIGINT) AS simhash_pairs,
+           CAST(sum(in_mh * in_sh) AS BIGINT) AS agreed_pairs
+    FROM u
+    """,
+)
+def q262_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two near-dup sketches AGREE?  MinHash-LSH candidates
+    (q16, Jaccard-sensitive) against SimHash band survivors (q39,
+    Hamming-sensitive) as a 1-row overlap census — the
+    sketch-selection experiment a dedup pipeline runs once per
+    corpus type (they hash DIFFERENT similarity notions, so
+    divergence here is signal about the corpus, not a bug in
+    either; q186 calibrates MinHash against truth, this calibrates
+    the sketches against each other).  One full-outer join of the
+    two pair sets, flag sums — counts only, no pair explosion
+    survives the aggregate."""
+    from .operators.dedup import lsh_candidate_pairs, simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = lsh_candidate_pairs(docs, on_overflow="error").select(
+        "doc_a", "doc_b"
+    )
+    sh = simhash_neardup_pairs(docs, on_overflow="error").select(
+        "doc_a", "doc_b"
+    )
+    u = mh.withColumn("in_mh", F.lit(1)).join(
+        sh.withColumn("in_sh", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    return u.agg(
+        F.sum(F.coalesce(F.col("in_mh"), F.lit(0)))
+        .cast("long")
+        .alias("minhash_pairs"),
+        F.sum(F.coalesce(F.col("in_sh"), F.lit(0)))
+        .cast("long")
+        .alias("simhash_pairs"),
+        F.sum(
+            F.coalesce(F.col("in_mh"), F.lit(0))
+            * F.coalesce(F.col("in_sh"), F.lit(0))
+        )
+        .cast("long")
+        .alias("agreed_pairs"),
+    )
+
+
+@register(
+    "q263_linear_attribution",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(epoch_us(ts) AS BIGINT) AS us
+               FROM events),
+    m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS sid
+          FROM m),
+    fp AS (SELECT user_id, sid,
+                  min(CASE WHEN event_type = 'purchase' THEN us END) AS pus,
+                  sum(CASE WHEN event_type = 'purchase' THEN cents
+                           ELSE 0 END) AS pval
+           FROM s GROUP BY 1, 2),
+    touches AS (SELECT s.user_id, s.sid, s.event_type, s.us, s.event_id,
+                       f.pval,
+                       row_number() OVER (PARTITION BY s.user_id, s.sid
+                                          ORDER BY s.us, s.event_id) AS rn,
+                       count(*) OVER (PARTITION BY s.user_id, s.sid) AS nt
+                FROM s JOIN fp f ON s.user_id = f.user_id AND s.sid = f.sid
+                WHERE f.pus IS NOT NULL AND s.us < f.pus),
+    credit AS (SELECT event_type,
+                      (pval * 1000) // nt
+                        + CASE WHEN rn <= (pval * 1000) % nt
+                               THEN 1 ELSE 0 END AS c
+               FROM touches)
+    SELECT event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(c) AS BIGINT) AS credit_millicents
+    FROM credit GROUP BY event_type
+    """,
+)
+def q263_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution with EXACT division: each
+    session's purchase value splits equally across the touches
+    before its first purchase — in millicents via floor shares plus
+    largest-remainder (+1 to the earliest (pval*1000 % nt) touches,
+    the q226 apportionment INSIDE a window) — so per-session credits
+    re-sum to exactly pval*1000 and the company-wide attribution
+    ledger BALANCES to the cent, which float splitting never does.
+    First-touch (q132) gives all credit to one event; this is the
+    fair-share ledger built from the same session contract."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = e.withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    fp = s.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("pus"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                0
+            )
+        ).alias("pval"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    touches = (
+        s.join(fp, ["user_id", "sid"])
+        .filter(F.col("pus").isNotNull() & (F.col("us") < F.col("pus")))
+        .select(
+            "event_type",
+            "pval",
+            F.row_number().over(ws).alias("rn"),
+            F.count("*").over(Window.partitionBy("user_id", "sid")).alias(
+                "nt"
+            ),
+        )
+    )
+    credit = touches.selectExpr(
+        "event_type",
+        "(pval * 1000) DIV nt"
+        " + CASE WHEN rn <= (pval * 1000) % nt THEN 1 ELSE 0 END AS c",
+    )
+    return credit.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("c").cast("long").alias("credit_millicents"),
+    )

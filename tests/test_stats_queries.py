@@ -128,3 +128,64 @@ def test_log2_histogram_buckets_are_exact(spark, sf_dir):
     rows = QUERIES["q244_log2_histogram"](spark, sf_dir).collect()
     for r in rows:
         assert r.lo_cents == 2 ** r.bucket
+
+
+def test_linear_attribution_ledger_balances(spark, sf_dir):
+    """Total credited millicents == 1000x the purchase cents of every
+    session that HAD pre-purchase touches (exact apportionment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    rows = QUERIES["q263_linear_attribution"](spark, sf_dir).collect()
+    credited = sum(r.credit_millicents for r in rows)
+
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F2.round(F2.col("value") * 100).cast("long").alias("cents"),
+        F2.unix_micros(F2.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = ev.withColumn(
+        "sid",
+        F2.sum(
+            F2.when(
+                F2.lag("us").over(w).isNull()
+                | ((F2.col("us") - F2.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    fp = s.groupBy("user_id", "sid").agg(
+        F2.min(
+            F2.when(F2.col("event_type") == "purchase", F2.col("us"))
+        ).alias("pus"),
+        F2.sum(
+            F2.when(
+                F2.col("event_type") == "purchase", F2.col("cents")
+            ).otherwise(0)
+        ).alias("pval"),
+    )
+    with_touch = (
+        s.join(fp, ["user_id", "sid"])
+        .filter(F2.col("pus").isNotNull() & (F2.col("us") < F2.col("pus")))
+        .select("user_id", "sid", "pval")
+        .distinct()
+    )
+    expected = with_touch.agg(F2.sum("pval")).collect()[0][0] * 1000
+    assert credited == expected
+
+
+def test_interval_coverage_bounds(spark, sf_dir):
+    rows = QUERIES["q261_interval_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_blocks >= 1
+        # each block is at least one 30-min window long
+        assert r.covered_s >= 1800 * r.n_blocks
+
+
+def test_sketch_agreement_counts_consistent(spark, sf_dir):
+    r = QUERIES["q262_sketch_agreement"](spark, sf_dir).collect()[0]
+    assert r.agreed_pairs <= min(r.minhash_pairs, r.simhash_pairs)
