@@ -14267,3 +14267,203 @@ def q263_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_touches"),
         F.sum("c").cast("long").alias("credit_millicents"),
     )
+
+
+@register(
+    "q264_trade_balance",
+    """
+    WITH exp AS (SELECT s.s_nationkey AS nk,
+                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS e4
+                 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 GROUP BY 1),
+    imp AS (SELECT c.c_nationkey AS nk,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100)
+                                     AS BIGINT))) AS e4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1)
+    SELECT COALESCE(e.nk, i.nk) AS nationkey,
+           CAST(COALESCE(e.e4, 0) AS BIGINT) AS exports_e4,
+           CAST(COALESCE(i.e4, 0) AS BIGINT) AS imports_e4,
+           CAST(COALESCE(e.e4, 0) - COALESCE(i.e4, 0) AS BIGINT)
+             AS balance_e4
+    FROM exp e FULL OUTER JOIN imp i ON e.nk = i.nk
+    """,
+)
+def q264_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation TRADE BALANCE: revenue its suppliers ship out
+    (exports) against revenue its customers pull in (imports), both
+    in the same exact e4 units so the balance is a clean integer
+    subtraction — the two-role nation view q210 samples for one pair,
+    totalled for all 25 (and globally the balances must sum to ZERO,
+    pinned in tests — every shipment is someone's import).  Two fact
+    aggregates (one direct supplier join, one through orders) meet
+    in a 25-row full outer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    exp = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum(e4).alias("exp_e4"))
+    )
+    imp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk2"))
+        .agg(F.sum(e4).alias("imp_e4"))
+    )
+    j = exp.join(imp, exp["nk"] == imp["nk2"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("nk"), F.col("nk2")).alias("nationkey"),
+        F.coalesce(F.col("exp_e4"), F.lit(0)).cast("long").alias(
+            "exports_e4"
+        ),
+        F.coalesce(F.col("imp_e4"), F.lit(0)).cast("long").alias(
+            "imports_e4"
+        ),
+        (
+            F.coalesce(F.col("exp_e4"), F.lit(0))
+            - F.coalesce(F.col("imp_e4"), F.lit(0))
+        )
+        .cast("long")
+        .alias("balance_e4"),
+    )
+
+
+@register(
+    "q265_langid_confusion",
+    f"""
+    WITH lex AS (SELECT * FROM (VALUES {_lex_values()}) AS t(w, lg)),
+    tok AS (SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS w
+            FROM documents),
+    hits AS (SELECT t.doc_id, l.lg, COUNT(*) AS c
+             FROM tok t JOIN lex l ON t.w = l.w GROUP BY 1, 2),
+    best AS (SELECT doc_id, lg,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, lg ASC) AS rn
+             FROM hits),
+    pred AS (SELECT d.doc_id, d.lang AS true_lang,
+                    COALESCE(b.lg, 'und') AS pred_lang
+             FROM documents d
+             LEFT JOIN (SELECT doc_id, lg FROM best WHERE rn = 1) b
+               USING (doc_id))
+    SELECT true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q265_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the q19 language detector against the
+    fixture's ground-truth ``lang`` labels — the eval every
+    classifier in the pipeline owes its users (q158 evaluates the
+    Naive Bayes; the cheap lexicon detector deserves the same
+    scrutiny, and its off-diagonal mass shows exactly which language
+    pairs the function-word lexicons cannot separate).  The
+    prediction pass is q19 verbatim; one extra 2-key aggregate
+    produces the matrix."""
+    from .operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(docs).select(
+        "doc_id", F.col("lang").alias("true_lang"), "lang_pred"
+    )
+    return pred.groupBy(
+        "true_lang", F.col("lang_pred").alias("pred_lang")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+
+
+@register(
+    "q266_lsh_tuning_curve",
+    f"""
+    WITH sh0 AS MATERIALIZED ({_SQL_SHINGLE3}),
+    seeds AS (SELECT unnest(['0','1','2','3','4','5','6','7']) AS seed),
+    sig AS MATERIALIZED (
+      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+      FROM sh0 CROSS JOIN seeds GROUP BY doc_id, seed),
+    cand AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                        FROM sh0 GROUP BY doc_id),
+    ex AS (SELECT c.doc_a, c.doc_b, c.n_bands,
+                  CAST(count(*) AS BIGINT) AS n_common
+           FROM cand c
+           JOIN sh0 sa ON sa.doc_id = c.doc_a
+           JOIN sh0 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           GROUP BY 1, 2, 3),
+    scored AS (SELECT e.n_bands,
+                      CASE WHEN (e.n_common * 1000)
+                             // (za.n + zb.n - e.n_common) >= 200
+                           THEN 1 ELSE 0 END AS is_true
+               FROM ex e JOIN sz za ON e.doc_a = za.doc_id
+                         JOIN sz zb ON e.doc_b = zb.doc_id)
+    SELECT n_bands,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST((sum(is_true) * 1000) // count(*) AS BIGINT)
+             AS precision_permille
+    FROM scored GROUP BY n_bands
+    """,
+)
+def q266_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH TUNING CURVE: candidate precision as a function of the
+    min-bands threshold — for each band-collision count (1..8), how
+    many pairs surface and what fraction are TRUE near-dups (exact
+    Jaccard >= 0.2, rescored with q236's evidence join) — the
+    one-table answer to 'which min_bands should I run?' (q16
+    hard-codes 2; this shows what 1 or 3 would have bought).  The
+    exact rescoring touches only band-sharing pairs; one census
+    aggregate per threshold value, thresholds read off the same
+    n_bands column, no re-runs."""
+    from .operators.dedup import lsh_candidate_pairs, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, min_bands=1, on_overflow="error")
+    sh = shingles(docs.select("doc_id", "text")).select("doc_id", "shingle")
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    ex = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b", "n_bands")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        ex.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .selectExpr(
+            "n_bands",
+            "CASE WHEN (n_common * 1000) DIV (na + nb - n_common) >= 200"
+            " THEN 1 ELSE 0 END AS is_true",
+        )
+    )
+    return scored.groupBy("n_bands").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.expr(
+            "CAST((sum(is_true) * 1000) DIV count(*) AS BIGINT)"
+        ).alias("precision_permille"),
+    )

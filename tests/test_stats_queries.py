@@ -189,3 +189,23 @@ def test_interval_coverage_bounds(spark, sf_dir):
 def test_sketch_agreement_counts_consistent(spark, sf_dir):
     r = QUERIES["q262_sketch_agreement"](spark, sf_dir).collect()[0]
     assert r.agreed_pairs <= min(r.minhash_pairs, r.simhash_pairs)
+
+
+def test_trade_balances_sum_to_zero(spark, sf_dir):
+    rows = QUERIES["q264_trade_balance"](spark, sf_dir).collect()
+    assert sum(r.balance_e4 for r in rows) == 0
+    assert sum(r.exports_e4 for r in rows) == sum(
+        r.imports_e4 for r in rows
+    )
+
+
+def test_lsh_precision_rises_with_bands(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q266_lsh_tuning_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert rows[0].n_bands >= 1
+    # more shared bands => never a LOWER true-pair share (weak
+    # monotonicity; tiny buckets can tie)
+    prec = [r.precision_permille for r in rows]
+    assert all(b >= a - 100 for a, b in zip(prec, prec[1:]))
