@@ -14467,3 +14467,311 @@ def q266_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(is_true) * 1000) DIV count(*) AS BIGINT)"
         ).alias("precision_permille"),
     )
+
+
+@register(
+    "q267_mix_drift",
+    """
+    WITH wk AS (SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+                       event_type,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    wt AS (SELECT week, sum(c) AS n FROM wk GROUP BY week),
+    base AS (SELECT event_type, c AS c0,
+                    (SELECT n FROM wt WHERE week =
+                      (SELECT min(week) FROM wt)) AS n0
+             FROM wk WHERE week = (SELECT min(week) FROM wk)),
+    j AS (SELECT wk.week, wk.event_type, wk.c, wt.n, b.c0, b.n0
+          FROM wk JOIN wt USING (week)
+          JOIN base b ON wk.event_type = b.event_type
+          WHERE wk.week > (SELECT min(week) FROM wk))
+    SELECT week,
+           ROUND(sum((CAST(c AS DOUBLE) / n - CAST(c0 AS DOUBLE) / n0)
+                     * ln((CAST(c AS DOUBLE) / n)
+                          / (CAST(c0 AS DOUBLE) / n0))), 6) AS psi_nats
+    FROM j GROUP BY week
+    """,
+)
+def q267_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL drift: each week's event-type mix scored against
+    week one with the PSI statistic (Σ (p-p₀)ln(p/p₀), the symmetric
+    KL sum) — q121/q162 monitor a NUMERIC distribution through
+    binned histograms; the categorical column needs no binning, just
+    the 5-type census per week.  The baseline week rides a broadcast
+    5-row join; ratios follow the q156 ln contract (exact integer
+    counts into a fixed expression, one 6dp round).  A PSI above
+    ~0.2 is the conventional repartition-your-training-mix alarm."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.floor(F.unix_timestamp(F.col("ts")) / 604800)
+        .cast("long")
+        .alias("week"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    wt = wk.groupBy("week").agg(F.sum("c").alias("n"))
+    w0 = wk.agg(F.min("week").alias("w0"))
+    base = (
+        wk.join(F.broadcast(w0), wk["week"] == F.col("w0"))
+        .join(wt.withColumnRenamed("week", "bw"), F.col("bw") == F.col("w0"))
+        .select("event_type", F.col("c").alias("c0"), F.col("n").alias("n0"))
+    )
+    j = (
+        wk.join(wt, "week")
+        .join(F.broadcast(base), "event_type")
+        .crossJoin(F.broadcast(w0))
+        .filter(F.col("week") > F.col("w0"))
+    )
+    term = (
+        F.col("c").cast("double") / F.col("n")
+        - F.col("c0").cast("double") / F.col("n0")
+    ) * F.log(
+        (F.col("c").cast("double") / F.col("n"))
+        / (F.col("c0").cast("double") / F.col("n0"))
+    )
+    return j.groupBy("week").agg(
+        F.round(F.sum(term), 6).alias("psi_nats")
+    )
+
+
+@register(
+    "q268_degree_assortativity",
+    """
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                             FROM lineitem),
+    e AS MATERIALIZED (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e) t
+      GROUP BY v),
+    ends AS (SELECT dx.d AS a, dy.d AS b
+             FROM e JOIN deg dx ON e.x = dx.v
+                    JOIN deg dy ON e.y = dy.v),
+    sym AS (SELECT a, b FROM ends UNION ALL SELECT b, a FROM ends),
+    s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(a) AS HUGEINT) AS sa,
+                 CAST(sum(b) AS HUGEINT) AS sb,
+                 sum(CAST(a AS HUGEINT) * a) AS saa,
+                 sum(CAST(b AS HUGEINT) * b) AS sbb,
+                 sum(CAST(a AS HUGEINT) * b) AS sab
+          FROM sym)
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST((n * saa - sa * sa) AS DOUBLE)
+                        * CAST((n * sbb - sb * sb) AS DOUBLE)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def q268_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph: the Pearson
+    correlation between the degrees at the two ends of each edge —
+    positive means hubs buddy with hubs (social-network shape),
+    negative means hubs pair with leaves (dependency/star shape) —
+    THE one-number topology summary next to q144's clustering
+    coefficient.  Edges are symmetrized so the statistic is
+    direction-free; the five moments are exact DECIMAL/HUGEINT
+    integers over edge ends (q222's grouped-Pearson contract on a
+    graph); degrees come from one aggregate over the q128 edge
+    set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("x", "y")
+    )
+    deg = (
+        e.select(F.col("x").alias("v"))
+        .unionByName(e.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("da"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("db"))
+    ends = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y").select(
+        F.col("da").alias("a"), F.col("db").alias("b")
+    )
+    sym = ends.unionByName(
+        ends.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    da = F.col("a").cast("decimal(38,0)")
+    db = F.col("b").cast("decimal(38,0)")
+    s = sym.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("a").cast("decimal(38,0)").alias("sa"),
+        F.sum("b").cast("decimal(38,0)").alias("sb"),
+        F.sum(da * da).alias("saa"),
+        F.sum(db * db).alias("sbb"),
+        F.sum(da * db).alias("sab"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_edge_ends",
+        "ROUND(CAST(n * sab - sa * sb AS DOUBLE)"
+        " / sqrt(CAST((n * saa - sa * sa) AS DOUBLE)"
+        "        * CAST((n * sbb - sb * sb) AS DOUBLE)), 6)"
+        " AS assortativity",
+    )
+
+
+@register(
+    "q269_repurchase_survival",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day, o_orderkey
+               FROM orders),
+    g AS (SELECT o_custkey,
+                 day - lag(day) OVER (PARTITION BY o_custkey
+                                      ORDER BY day, o_orderkey) AS gap
+          FROM o),
+    gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gg),
+    cuts AS (SELECT unnest([7, 30, 90, 180]) AS k)
+    SELECT c.k AS horizon_days,
+           t.n AS n_gaps,
+           CAST(sum(CASE WHEN gg.gap <= c.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within,
+           CAST((sum(CASE WHEN gg.gap <= c.k THEN 1 ELSE 0 END) * 1000)
+                // t.n AS BIGINT) AS repurchase_permille
+    FROM gg CROSS JOIN cuts c CROSS JOIN t
+    GROUP BY c.k, t.n
+    """,
+)
+def q269_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPURCHASE survival points: the share of order gaps closed
+    within 7/30/90/180 days — the retention curve read off inter
+    -purchase gaps (q200 gives the gap quantiles; merchants quote the
+    complement: 'X% reorder within 30 days').  One lag window
+    produces gaps, a 4-row cut table cross-joins (bounded: 4x gap
+    rows through one partial aggregate), shares in integer
+    permille."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+        "o_orderkey",
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gg = (
+        o.select((F.col("day") - F.lag("day").over(wl)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    t = gg.agg(F.count("*").cast("long").alias("n"))
+    cuts = gg.sparkSession.createDataFrame(
+        [(7,), (30,), (90,), (180,)], "k long"
+    )
+    return (
+        gg.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(t))
+        .groupBy(F.col("k").alias("horizon_days"), F.col("n").alias("n_gaps"))
+        .agg(
+            F.sum(F.when(F.col("gap") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_within"),
+            F.expr(
+                "CAST((sum(CASE WHEN gap <= k THEN 1 ELSE 0 END) * 1000)"
+                " DIV first(n) AS BIGINT)"
+            ).alias("repurchase_permille"),
+        )
+    )
+
+
+@register(
+    "q270_overdue_customers",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day
+               FROM orders),
+    mx AS (SELECT max(day) AS today FROM o),
+    per AS (SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   max(day) AS last_day,
+                   CAST((max(day) - min(day)) // (count(*) - 1) AS BIGINT)
+                     AS avg_gap
+            FROM o GROUP BY 1 HAVING count(*) >= 3),
+    flag AS (SELECT p.o_custkey, p.n_orders, p.avg_gap,
+                    m.today - p.last_day AS silent_days,
+                    CASE WHEN m.today - p.last_day > 2 * p.avg_gap
+                         THEN 1 ELSE 0 END AS overdue
+             FROM per p, mx m),
+    seg AS (SELECT c.c_mktsegment AS segment, f.*
+            FROM flag f JOIN customer c ON f.o_custkey = c.c_custkey)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(overdue) AS BIGINT) AS n_overdue,
+           CAST((sum(overdue) * 1000) // count(*) AS BIGINT)
+             AS overdue_permille
+    FROM seg GROUP BY segment
+    """,
+)
+def q270_overdue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN-RISK flags from each customer's own cadence: a customer
+    is overdue when their silence since the last order exceeds TWICE
+    their personal average gap ((last-first)/(n-1), the exact integer
+    mean of their gaps with no window needed) — self-calibrated, so
+    a monthly buyer flags after two quiet months while a weekly one
+    flags in a fortnight; q123 learned a global band, this learns
+    per-entity.  'Today' is the dataset's own max day (broadcast
+    1-row); >= 3 orders required so the average means something;
+    rollup per segment in integer permille."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    mx = o.agg(F.max("day").alias("today"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.max("day").alias("last_day"),
+            F.min("day").alias("first_day"),
+        )
+        .filter(F.col("n_orders") >= 3)
+        .selectExpr(
+            "o_custkey", "n_orders", "last_day",
+            "CAST((last_day - first_day) DIV (n_orders - 1) AS BIGINT)"
+            " AS avg_gap",
+        )
+    )
+    flag = per.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.when(
+            F.col("today") - F.col("last_day") > 2 * F.col("avg_gap"), 1
+        )
+        .otherwise(0)
+        .alias("overdue"),
+    )
+    seg = flag.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        flag["o_custkey"] == F.col("c_custkey"),
+    )
+    return seg.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("overdue").cast("long").alias("n_overdue"),
+        F.expr(
+            "CAST((sum(overdue) * 1000) DIV count(*) AS BIGINT)"
+        ).alias("overdue_permille"),
+    )
