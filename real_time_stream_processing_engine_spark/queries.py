@@ -14775,3 +14775,209 @@ def q270_overdue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(overdue) * 1000) DIV count(*) AS BIGINT)"
         ).alias("overdue_permille"),
     )
+
+
+@register(
+    "q271_cross_source_dups",
+    r"""
+    WITH fp AS (SELECT md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                               '\s+', ' ', 'g'))) AS f,
+                       source, doc_id
+                FROM documents),
+    per AS (SELECT f,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS example_doc
+            FROM fp GROUP BY f)
+    SELECT n_sources,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(min(example_doc) AS BIGINT) AS example_doc
+    FROM per GROUP BY n_sources
+    """,
+)
+def q271_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE duplication census: for each fingerprint, how
+    many SOURCES carry it — the contamination-adjacent audit (a
+    document in 3 sources triples its effective training weight;
+    q147 counts copies, this counts PROVENANCES; q150's token
+    overlap can't see verbatim replication).  Keyed on q147's
+    100-char normalized-prefix fingerprint — the near-dup stratum
+    that actually exists in this corpus (full-text keys are all
+    unique here, which q11/q22 already certify).  One fingerprint
+    aggregate with a distinct-source count, one census rollup, a
+    deterministic example doc per stratum for a human to open."""
+    from .functions.textfn import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy(
+        F.md5(normalize_ws(F.substring(F.col("text"), 1, 100))).alias("f")
+    ).agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("example_doc"),
+    )
+    return per.groupBy("n_sources").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("example_doc").cast("long").alias("example_doc"),
+    )
+
+
+@register(
+    "q272_cumulative_reach",
+    """
+    WITH fs AS (SELECT user_id,
+                       min(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                         AS first_day
+                FROM events GROUP BY 1),
+    daily AS (SELECT first_day AS day,
+                     CAST(count(*) AS BIGINT) AS new_users
+              FROM fs GROUP BY 1)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_reach
+    FROM daily
+    """,
+)
+def q272_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE REACH: distinct users ever seen, by day — the
+    launch-curve chart — computed WITHOUT a running COUNT DISTINCT
+    (which would hold every id in window state): each user collapses
+    to a first-seen day (q184's contract), and reach is a plain
+    cumulative SUM over the daily-new aggregate, exact and
+    calendar-bounded.  The general lesson pinned here: any
+    'cumulative distinct' is a cumsum over first-occurrences."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(
+            F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+        ).alias("first_day")
+    )
+    daily = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_reach"),
+    )
+
+
+@register(
+    "q273_aa_test",
+    """
+    WITH u AS (SELECT user_id,
+                      CASE WHEN CAST('0x' || substr(md5(CAST(user_id
+                                                             AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 2 = 0
+                           THEN 'A1' ELSE 'A2' END AS arm
+               FROM (SELECT DISTINCT user_id FROM events) t),
+    m AS (SELECT u.arm,
+                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN e.event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+                 CAST(count(*) AS BIGINT) AS events
+          FROM events e JOIN u ON e.user_id = u.user_id
+          GROUP BY u.arm)
+    SELECT arm, n_users, purchases, events,
+           CAST((purchases * 1000000) // events AS BIGINT)
+             AS purchase_ppm
+    FROM m
+    """,
+)
+def q273_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A CALIBRATION: split users into two arms by md5 parity and
+    measure the SAME metric in both — the null experiment every
+    experimentation platform runs first (arms that differ with no
+    treatment mean the assignment or the metric pipeline is broken;
+    q143 reads a real A/B, this certifies the harness).  The md5
+    draw is q58's retry-stable contract — no rand(), so the arms are
+    reproducible across runs and engines; metrics in integer ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "A1",
+            )
+            .otherwise("A2")
+            .alias("arm"),
+        )
+    )
+    m = ev.join(F.broadcast(u), "user_id").groupBy("arm").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchases"),
+        F.count("*").cast("long").alias("events"),
+    )
+    return m.select(
+        "arm",
+        "n_users",
+        "purchases",
+        "events",
+        F.expr("CAST((purchases * 1000000) DIV events AS BIGINT)").alias(
+            "purchase_ppm"
+        ),
+    )
+
+
+@register(
+    "q274_linenumber_integrity",
+    """
+    WITH per AS (SELECT l_orderkey,
+                        CAST(count(*) AS BIGINT) AS n_lines,
+                        CAST(max(l_linenumber) AS BIGINT) AS max_ln,
+                        CAST(count(DISTINCT l_linenumber) AS BIGINT)
+                          AS distinct_ln
+                 FROM lineitem GROUP BY 1),
+    cls AS (SELECT CASE WHEN distinct_ln < n_lines THEN 'duplicate_ln'
+                        WHEN max_ln > n_lines THEN 'gapped_ln'
+                        ELSE 'dense' END AS status
+            FROM per)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_orders
+    FROM cls GROUP BY status
+    """,
+)
+def q274_linenumber_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-NUMBER integrity: is each order's l_linenumber sequence
+    dense 1..n (as TPC-H guarantees), gapped, or duplicated?  The
+    surrogate-sequence audit that catches partial reloads and
+    double-appends BEFORE they poison joins keyed on (orderkey,
+    linenumber) — cheap because density needs only three aggregates
+    per order (count, max, distinct-count: dense <=> all equal),
+    never a sort.  Completes the integrity set: q107 checks
+    references, q232 checks amounts, this checks sequences."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.countDistinct("l_linenumber").alias("distinct_ln"),
+    )
+    cls = per.select(
+        F.when(F.col("distinct_ln") < F.col("n_lines"), "duplicate_ln")
+        .when(F.col("max_ln") > F.col("n_lines"), "gapped_ln")
+        .otherwise("dense")
+        .alias("status")
+    )
+    return cls.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
