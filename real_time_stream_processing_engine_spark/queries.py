@@ -14981,3 +14981,201 @@ def q274_linenumber_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy("status").agg(
         F.count("*").cast("long").alias("n_orders")
     )
+
+
+@register(
+    "q275_exit_events",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS us
+               FROM events),
+    m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS sid
+          FROM m),
+    ranked AS (SELECT user_id, sid, event_type,
+                      row_number() OVER (PARTITION BY user_id, sid
+                                         ORDER BY us DESC,
+                                                  event_id DESC) AS rn
+               FROM s),
+    conv AS (SELECT user_id, sid,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS converted
+             FROM s GROUP BY 1, 2),
+    ex AS (SELECT r.event_type AS exit_type
+           FROM ranked r JOIN conv c USING (user_id, sid)
+           WHERE r.rn = 1 AND c.converted = 0),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex)
+    SELECT exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST((count(*) * 1000) // max(t.n) AS BIGINT) AS share_permille
+    FROM ex CROSS JOIN t GROUP BY exit_type
+    """,
+)
+def q275_exit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIT analysis: what NON-CONVERTING sessions end on — the
+    'last page before they left' census that tells a product team
+    where the funnel actually leaks (q215 counts one-event bounces;
+    q132 credits conversions; this profiles the failures).  Same
+    session contract; the exit event is the rank-1 row of a
+    DESCENDING (ts, event_id) window — deterministic mirror of the
+    entry pick — and shares are permille of abandoning sessions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = e.withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    per = s.groupBy("user_id", "sid").agg(
+        F.max_by("event_type", F.struct("us", "event_id")).alias(
+            "exit_type"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    ex = per.filter(F.col("converted") == 0).select("exit_type")
+    t = ex.agg(F.count("*").cast("long").alias("n"))
+    return (
+        ex.crossJoin(F.broadcast(t))
+        .groupBy("exit_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.expr(
+                "CAST((count(*) * 1000) DIV max(n) AS BIGINT)"
+            ).alias("share_permille"),
+        )
+    )
+
+
+@register(
+    "q276_discount_response",
+    """
+    SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                // 1000000 AS BIGINT) AS price_band_10k_cents,
+           CAST(round(l_discount * 100) AS BIGINT) // 2 * 2
+             AS discount_band_pct,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST((sum(CAST(round(l_quantity) AS BIGINT)) * 1000)
+                // count(*) AS BIGINT) AS qty_permille
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q276_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISCOUNT RESPONSE SURFACE: average quantity (permille)
+    per (price band x discount band) cell — the 2-D table a pricing
+    team reads where q222's single correlation coefficient hides the
+    shape (response can rise at low prices and flatten at high).
+    Bands are pure integer division (10k-cent price bands, 2-pt
+    discount bands), so cell edges are exact on both engines; one
+    scan-side aggregate, ~200 cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr(
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("price_band_10k_cents"),
+        F.expr(
+            "CAST(round(l_discount * 100) AS BIGINT) DIV 2 * 2"
+        ).alias("discount_band_pct"),
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.expr(
+            "CAST((sum(CAST(round(l_quantity) AS BIGINT)) * 1000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("qty_permille"),
+    )
+
+
+@register(
+    "q277_sentence_length_profile",
+    """
+    WITH sen AS (SELECT source,
+                        unnest(string_split_regex(text, '[.!?]+')) AS s
+                 FROM documents),
+    wc AS (SELECT source,
+                  CAST(length(list_filter(string_split_regex(trim(s),
+                                                             '\\s+'),
+                                          x -> x <> '')) AS BIGINT) AS w
+           FROM sen WHERE trim(s) <> ''),
+    h AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+          FROM wc GROUP BY 1, 2),
+    cum AS (SELECT source, w, cnt,
+                   sum(cnt) OVER (PARTITION BY source ORDER BY w
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY source) AS n
+            FROM h)
+    SELECT source, CAST(max(n) AS BIGINT) AS n_sentences,
+           CAST(min(CASE WHEN 2 * cum >= n THEN w END) AS BIGINT)
+             AS median_words,
+           CAST(min(CASE WHEN 10 * cum >= 9 * n THEN w END) AS BIGINT)
+             AS p90_words,
+           CAST(max(w) AS BIGINT) AS max_words
+    FROM cum GROUP BY source
+    """,
+)
+def q277_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE-LENGTH profile per source: median/p90/max words per
+    sentence — the style fingerprint next to q229's readability
+    (same inputs, but DISTRIBUTIONAL: a source mixing 5-word
+    fragments with 80-word run-ons shows the same mean as uniform
+    prose; the p90 separates them).  Sentences explode on terminator
+    runs, word counts reuse the q21 token contract, and the
+    quantiles are q133 histogram crossings over (source,
+    words-per-sentence) — bounded by the longest sentence, never
+    sorting sentences."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sen = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s"),
+    ).filter(F.trim(F.col("s")) != "")
+    wc = sen.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("s")), r"\s+"), lambda x: x != ""
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    h = wc.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "source",
+        "w",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    return cum.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_sentences"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("w")))
+        .cast("long")
+        .alias("median_words"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("w")))
+        .cast("long")
+        .alias("p90_words"),
+        F.max("w").cast("long").alias("max_words"),
+    )
