@@ -15179,3 +15179,175 @@ def q277_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_words"),
         F.max("w").cast("long").alias("max_words"),
     )
+
+
+@register(
+    "q278_median_ci",
+    """
+    WITH h AS (SELECT o_orderpriority AS pri,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY 1, 2),
+    cum AS (SELECT pri, cents, cnt,
+                   sum(cnt) OVER (PARTITION BY pri ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY pri) AS n
+            FROM h),
+    rk AS (SELECT pri, cents, cum, n,
+                  CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2)
+                       AS BIGINT) AS rlo,
+                  CAST(ceil(1 + (n + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2)
+                       AS BIGINT) AS rhi
+           FROM cum)
+    SELECT pri, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN 2 * cum >= n THEN cents END) AS BIGINT)
+             AS median_cents,
+           CAST(min(CASE WHEN cum >= rlo THEN cents END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(min(CASE WHEN cum >= rhi THEN cents END) AS BIGINT)
+             AS ci_hi_cents
+    FROM rk GROUP BY pri
+    """,
+)
+def q278_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN with a 95% order-statistic confidence interval per
+    priority: the CI endpoints are the values at ranks
+    (n ± 1.96√n)/2 — the distribution-free binomial bound, so the
+    interval needs NO normality assumption and costs two more
+    crossings of the SAME cumulative histogram the median already
+    walks (q133's machinery; q235 did the Bernoulli-parameter
+    analogue).  The rank bounds touch doubles once (sqrt on an exact
+    integer, floor/ceil) identically on both engines; all values are
+    exact cents."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("pri")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "pri",
+        "cents",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("pri")).alias("n"),
+    )
+    rk = cum.selectExpr(
+        "pri", "cents", "cum", "n",
+        "CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)"
+        " AS rlo",
+        "CAST(ceil(1 + (n + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)"
+        " AS rhi",
+    )
+    return rk.groupBy("pri").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("median_cents"),
+        F.min(F.when(F.col("cum") >= F.col("rlo"), F.col("cents")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.min(F.when(F.col("cum") >= F.col("rhi"), F.col("cents")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+
+
+@register(
+    "q279_drawdown",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1),
+    p AS (SELECT day, x,
+                 max(x) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS peak
+          FROM d)
+    SELECT day, CAST(x AS BIGINT) AS day_cents,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(peak - x AS BIGINT) AS drawdown_cents
+    FROM p
+    ORDER BY peak - x DESC, day LIMIT 10
+    """,
+)
+def q279_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN screen: the 10 days furthest below the
+    running-peak daily revenue — the risk lens (how bad did it get
+    relative to the best day SO FAR — a causal comparison, unlike
+    distance from the global max which peeks at the future) that
+    finance runs on equity curves and ops runs on throughput.  One
+    running-max window over the daily aggregate, pure integer
+    subtraction, TakeOrdered(10) with a day tie-break."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = d.select("day", "x", F.max("x").over(w).alias("peak"))
+    return (
+        p.select(
+            "day",
+            F.col("x").cast("long").alias("day_cents"),
+            F.col("peak").cast("long").alias("peak_cents"),
+            (F.col("peak") - F.col("x")).cast("long").alias("drawdown_cents"),
+        )
+        .orderBy(F.col("drawdown_cents").desc(), "day")
+        .limit(10)
+    )
+
+
+@register(
+    "q280_dup_rate_by_source",
+    r"""
+    WITH fp AS (SELECT source,
+                       md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                               '\s+', ' ', 'g'))) AS f
+                FROM documents),
+    per AS (SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT f) AS BIGINT) AS n_unique
+            FROM fp GROUP BY source)
+    SELECT source, n_docs, n_unique,
+           CAST(((n_docs - n_unique) * 1000) // n_docs AS BIGINT)
+             AS dup_permille
+    FROM per
+    """,
+)
+def q280_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DUPLICATION RATE under the prefix fingerprint:
+    docs minus distinct keys, as permille — the one-line-per-source
+    scorecard that decides which feed needs dedup attention first
+    (q147 profiles strata corpus-wide; q271 counts provenances;
+    this ranks the FEEDS).  One aggregate carrying count +
+    distinct-count per source; exact integers."""
+    from .functions.textfn import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(
+            F.md5(normalize_ws(F.substring(F.col("text"), 1, 100)))
+        )
+        .cast("long")
+        .alias("n_unique"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.expr(
+            "CAST(((n_docs - n_unique) * 1000) DIV n_docs AS BIGINT)"
+        ).alias("dup_permille"),
+    )

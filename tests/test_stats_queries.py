@@ -209,3 +209,24 @@ def test_lsh_precision_rises_with_bands(spark, sf_dir):
     # monotonicity; tiny buckets can tie)
     prec = [r.precision_permille for r in rows]
     assert all(b >= a - 100 for a, b in zip(prec, prec[1:]))
+
+
+def test_median_ci_brackets_median(spark, sf_dir):
+    rows = QUERIES["q278_median_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo_cents <= r.median_cents <= r.ci_hi_cents
+
+
+def test_drawdown_non_negative_and_causal(spark, sf_dir):
+    rows = QUERIES["q279_drawdown"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.drawdown_cents == r.peak_cents - r.day_cents >= 0
+
+
+def test_dup_rate_bounds(spark, sf_dir):
+    rows = QUERIES["q280_dup_rate_by_source"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_unique <= r.n_docs
+        assert 0 <= r.dup_permille < 1000
