@@ -15351,3 +15351,190 @@ def q280_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(((n_docs - n_unique) * 1000) DIV n_docs AS BIGINT)"
         ).alias("dup_permille"),
     )
+
+
+@register(
+    "q281_capture_recapture",
+    """
+    WITH w1 AS (SELECT DISTINCT user_id FROM events
+                WHERE ts < TIMESTAMP '2024-01-08'),
+    w2 AS (SELECT DISTINCT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-08'
+             AND ts < TIMESTAMP '2024-01-15'),
+    m AS (SELECT CAST((SELECT count(*) FROM w1) AS BIGINT) AS n1,
+                 CAST((SELECT count(*) FROM w2) AS BIGINT) AS n2,
+                 CAST((SELECT count(*) FROM w1
+                       WHERE user_id IN (SELECT user_id FROM w2))
+                      AS BIGINT) AS recaptured)
+    SELECT n1, n2, recaptured,
+           CAST((n1 * n2) // recaptured AS BIGINT) AS population_estimate
+    FROM m
+    """,
+)
+def q281_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINCOLN-PETERSEN capture-recapture: week-1 actives are the
+    tagged sample, week-2 actives the recapture, and N̂ = n1·n2/m
+    estimates the TOTAL population including users never observed —
+    the ecology estimator data teams reuse to size the
+    audience-beyond-the-logs (every other census in this inventory
+    counts only what appeared).  Two distinct sets, one semi-join
+    overlap, an exact integer-division estimate; on this fixture
+    the estimate should land near the observed 150/1500 (all users
+    active weekly), which the oracle certifies."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = ev.filter(F.col("ts") < "2024-01-08").select("user_id").distinct()
+    w2 = (
+        ev.filter((F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15"))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = w1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = w2.agg(F.count("*").cast("long").alias("n2"))
+    m = (
+        w1.join(w2, "user_id", "left_semi")
+        .agg(F.count("*").cast("long").alias("recaptured"))
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "n1", "n2", "recaptured",
+            "CAST((n1 * n2) DIV recaptured AS BIGINT)"
+            " AS population_estimate",
+        )
+    )
+
+
+@register(
+    "q282_eb_smoothing",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS us
+               FROM events),
+    m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS sid
+          FROM m),
+    ranked AS (SELECT user_id, sid, event_type,
+                      row_number() OVER (PARTITION BY user_id, sid
+                                         ORDER BY us, event_id) AS rn
+               FROM s),
+    conv AS (SELECT user_id, sid,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS converted
+             FROM s GROUP BY 1, 2),
+    per AS (SELECT r.event_type AS entry_type, c.converted
+            FROM ranked r JOIN conv c USING (user_id, sid)
+            WHERE r.rn = 1),
+    agg AS (SELECT entry_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS k
+            FROM per GROUP BY entry_type),
+    g AS (SELECT sum(n) AS gn, sum(k) AS gk FROM agg)
+    SELECT a.entry_type, a.n, a.k,
+           CAST((a.k * 1000000) // a.n AS BIGINT) AS raw_ppm,
+           CAST(((a.k * g.gn + 100 * g.gk) * 1000000)
+                // ((a.n + 100) * g.gn) AS BIGINT) AS smoothed_ppm
+    FROM agg a CROSS JOIN g
+    """,
+)
+def q282_eb_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES smoothed conversion per entry type: each
+    rate shrinks toward the global rate with prior strength k=100
+    pseudo-sessions — (conversions + 100·p_global)/(n + 100) — the
+    standard fix for ranking sparse categories where a 2/2 cell
+    would otherwise beat a 900/1000 one (q235 quantifies the
+    uncertainty; this REMOVES it from the ranking).  Algebra is
+    kept in one integer fraction ((k·gn + 100·gk)·1e6) //
+    ((n+100)·gn) — no float prior ever materializes, so the ppm is
+    exact on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = base.withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.lag("us").over(w).isNull()
+                | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("us", "event_id")).alias(
+            "entry_type"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    agg = per.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    g = agg.agg(F.sum("n").alias("gn"), F.sum("k").alias("gk"))
+    return agg.crossJoin(F.broadcast(g)).selectExpr(
+        "entry_type", "n", "k",
+        "CAST((k * 1000000) DIV n AS BIGINT) AS raw_ppm",
+        "CAST(((k * gn + 100 * gk) * 1000000)"
+        " DIV ((n + 100) * gn) AS BIGINT) AS smoothed_ppm",
+    )
+
+
+@register(
+    "q283_weekday_adjusted",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1),
+    dw AS (SELECT day, x, (day + 4) % 7 AS dow FROM d),
+    idx AS (SELECT dow, sum(x) AS dow_rev,
+                   CAST(count(*) AS BIGINT) AS dow_days
+            FROM dw GROUP BY dow),
+    t AS (SELECT sum(dow_rev) AS tot, sum(dow_days) AS nd FROM idx)
+    SELECT dw.day, CAST(dw.x AS BIGINT) AS raw_cents,
+           CAST((CAST(dw.x AS HUGEINT) * i.dow_days * t.tot)
+                // (i.dow_rev * t.nd) AS BIGINT) AS adjusted_cents
+    FROM dw JOIN idx i ON dw.dow = i.dow CROSS JOIN t
+    """,
+)
+def q283_weekday_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKDAY-ADJUSTED daily revenue: each day divided by its
+    weekday's own average-vs-overall factor (x · (dow_days/dow_rev)
+    · (tot/nd), composed as ONE integer fraction so nothing rounds
+    twice) — the de-seasonalized series an anomaly monitor should
+    consume instead of raw (a slow Sunday stops tripping q123's
+    z-score every single week).  The weekday factors are q259's
+    index inverted; broadcast 7-row + 1-row joins; DECIMAL/HUGEINT
+    against the value-sum-product overflow class."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    dw = d.select("day", "x", ((F.col("day") + 4) % 7).alias("dow"))
+    idx = dw.groupBy("dow").agg(
+        F.sum("x").alias("dow_rev"),
+        F.count("*").cast("long").alias("dow_days"),
+    )
+    t = idx.agg(F.sum("dow_rev").alias("tot"), F.sum("dow_days").alias("nd"))
+    return (
+        dw.join(F.broadcast(idx), "dow")
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "day", "CAST(x AS BIGINT) AS raw_cents",
+            "CAST((CAST(x AS DECIMAL(38,0)) * dow_days * tot)"
+            " DIV (CAST(dow_rev AS DECIMAL(38,0)) * nd) AS BIGINT)"
+            " AS adjusted_cents",
+        )
+    )

@@ -230,3 +230,20 @@ def test_dup_rate_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r.n_unique <= r.n_docs
         assert 0 <= r.dup_permille < 1000
+
+
+def test_eb_smoothing_shrinks_toward_global(spark, sf_dir):
+    rows = QUERIES["q282_eb_smoothing"](spark, sf_dir).collect()
+    gn = sum(r.n for r in rows)
+    gk = sum(r.k for r in rows)
+    global_ppm = gk * 1_000_000 // gn
+    for r in rows:
+        lo, hi = sorted((r.raw_ppm, global_ppm))
+        # smoothed lies between raw and global (integer floor slack 1)
+        assert lo - 1 <= r.smoothed_ppm <= hi + 1
+
+
+def test_capture_recapture_estimate_sane(spark, sf_dir):
+    r = QUERIES["q281_capture_recapture"](spark, sf_dir).collect()[0]
+    assert r.recaptured <= min(r.n1, r.n2)
+    assert r.population_estimate >= max(r.n1, r.n2)
