@@ -15538,3 +15538,231 @@ def q283_weekday_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS adjusted_cents",
         )
     )
+
+
+@register(
+    "q284_cents_grid_audit",
+    """
+    WITH checks AS (
+      SELECT 'orders.o_totalprice' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN abs(o_totalprice * 100
+                                    - round(o_totalprice * 100)) > 1e-6
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_offgrid
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_extendedprice',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN abs(l_extendedprice * 100
+                                    - round(l_extendedprice * 100)) > 1e-6
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer.c_acctbal',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN abs(c_acctbal * 100
+                                    - round(c_acctbal * 100)) > 1e-6
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'supplier.s_acctbal',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN abs(s_acctbal * 100
+                                    - round(s_acctbal * 100)) > 1e-6
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM supplier)
+    SELECT col, n_rows, n_offgrid,
+           CASE WHEN n_offgrid = 0 THEN 'on_cent_grid'
+                ELSE 'off_grid' END AS verdict
+    FROM checks
+    """,
+)
+def q284_cents_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENT-GRID certification: does every money column actually sit
+    on the 1/100-dollar lattice the whole inventory's
+    round(x*100)-to-integer contract assumes?  Four columns, one
+    pass each, counting values whose double is more than 1e-6 cents
+    off the grid — all zero here, which PROVES the exactness
+    machinery's premise instead of assuming it (and on a feed where
+    it fails, this is the query that says which column lies).  The
+    audit the house exactness rules owed themselves."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def check(df, col, label):
+        off = F.abs(F.col(col) * 100 - F.round(F.col(col) * 100)) > 1e-6
+        return df.agg(
+            F.lit(label).alias("col"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(off, 1).otherwise(0)).cast("long").alias(
+                "n_offgrid"
+            ),
+        )
+
+    checks = (
+        check(orders, "o_totalprice", "orders.o_totalprice")
+        .unionByName(
+            check(li, "l_extendedprice", "lineitem.l_extendedprice")
+        )
+        .unionByName(check(cust, "c_acctbal", "customer.c_acctbal"))
+        .unionByName(check(supp, "s_acctbal", "supplier.s_acctbal"))
+    )
+    return checks.select(
+        "col",
+        "n_rows",
+        "n_offgrid",
+        F.when(F.col("n_offgrid") == 0, "on_cent_grid")
+        .otherwise("off_grid")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "q285_other_bucketing",
+    """
+    WITH rev AS (SELECT p.p_brand AS brand,
+                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS e4
+                 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                 GROUP BY 1),
+    top5 AS (SELECT brand FROM rev
+             ORDER BY e4 DESC, brand LIMIT 5),
+    lab AS (SELECT CASE WHEN r.brand IN (SELECT brand FROM top5)
+                        THEN r.brand ELSE 'OTHER' END AS brand_group,
+                   r.e4
+            FROM rev r)
+    SELECT brand_group,
+           CAST(sum(e4) AS BIGINT) AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM lab GROUP BY brand_group
+    """,
+)
+def q285_other_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-N + OTHER bucketing: the five highest-revenue brands kept
+    by name, the tail collapsed into one 'OTHER' row — the transform
+    every chart legend needs and every naive GROUP BY lacks (25
+    slices make unreadable pies; dropping the tail silently loses
+    revenue — OTHER keeps the total exact, pinned by the n_brands
+    census riding along).  Deterministic (revenue, brand) top-5 cut
+    broadcast back as a semi-filterable set; one aggregate each
+    side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(e4).alias("e4"))
+    )
+    top5 = (
+        rev.orderBy(F.col("e4").desc(), "brand")
+        .limit(5)
+        .select(F.col("brand").alias("tb"))
+    )
+    lab = rev.join(
+        F.broadcast(top5), rev["brand"] == F.col("tb"), "left"
+    ).select(
+        F.when(F.col("tb").isNotNull(), F.col("brand"))
+        .otherwise("OTHER")
+        .alias("brand_group"),
+        "e4",
+    )
+    return lab.groupBy("brand_group").agg(
+        F.sum("e4").cast("long").alias("revenue_e4"),
+        F.count("*").cast("long").alias("n_brands"),
+    )
+
+
+@register(
+    "q286_winsorized_mean",
+    """
+    WITH h AS (SELECT event_type AS t,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1, 2),
+    cum AS (SELECT t, cents, cnt,
+                   sum(cnt) OVER (PARTITION BY t ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY t) AS n
+            FROM h),
+    bounds AS (SELECT t, max(n) AS n,
+                      min(CASE WHEN 20 * cum >= n THEN cents END) AS lo,
+                      min(CASE WHEN 20 * cum >= 19 * n THEN cents END) AS hi
+               FROM cum GROUP BY t),
+    w AS (SELECT c.t, c.cnt,
+                 CASE WHEN c.cents < b.lo THEN b.lo
+                      WHEN c.cents > b.hi THEN b.hi
+                      ELSE c.cents END AS wc
+          FROM h c JOIN bounds b ON c.t = b.t)
+    SELECT w.t AS event_type,
+           CAST(max(b.n) AS BIGINT) AS n_events,
+           CAST(max(b.lo) AS BIGINT) AS p5_cents,
+           CAST(max(b.hi) AS BIGINT) AS p95_cents,
+           CAST(sum(w.wc * w.cnt) // max(b.n) AS BIGINT)
+             AS winsorized_mean_cents
+    FROM w JOIN bounds b ON w.t = b.t
+    GROUP BY w.t
+    """,
+)
+def q286_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean event value per type: clip at the exact
+    p5/p95 crossings, then average — the third robust-center tool
+    (q133's median ignores magnitude entirely; trimming DELETES
+    tails; winsorizing keeps their count but caps their leverage —
+    the estimator of choice for spend-like metrics with whales).
+    The clip bounds come from the SAME histogram the mean then
+    re-walks — two passes over state bounded by distinct cents,
+    never raw rows; the floor-divided mean is exact integer cents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("t")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "t",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("t")).alias("n"),
+    )
+    bounds = cum.groupBy("t").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(20 * F.col("cum") >= F.col("n"), F.col("cents"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("cents"))
+        ).alias("hi"),
+    )
+    w = h.join(F.broadcast(bounds), "t").select(
+        "t",
+        "cnt",
+        "n",
+        "lo",
+        "hi",
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+        .alias("wc"),
+    )
+    return w.groupBy(F.col("t").alias("event_type")).agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max("lo").cast("long").alias("p5_cents"),
+        F.max("hi").cast("long").alias("p95_cents"),
+        F.expr(
+            "CAST(sum(wc * cnt) DIV max(n) AS BIGINT)"
+        ).alias("winsorized_mean_cents"),
+    )
