@@ -15766,3 +15766,338 @@ def q286_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(wc * cnt) DIV max(n) AS BIGINT)"
         ).alias("winsorized_mean_cents"),
     )
+
+
+@register(
+    "q287_decomposition_quality",
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                           AS BIGINT) AS month,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders GROUP BY 1),
+    w AS (SELECT month, cents,
+                 row_number() OVER (ORDER BY month) AS i,
+                 count(*) OVER () AS n,
+                 lag(cents, 6) OVER (ORDER BY month)
+                   + lead(cents, 6) OVER (ORDER BY month)
+                   + 2 * (sum(cents) OVER (ORDER BY month
+                                           ROWS BETWEEN 5 PRECEDING
+                                           AND 5 FOLLOWING)) AS trend_x24
+          FROM m),
+    det AS (SELECT 24 * cents AS y24, trend_x24,
+                   24 * cents - trend_x24 AS r24
+            FROM w WHERE i > 6 AND i <= n - 6),
+    s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(y24) AS HUGEINT) AS sy,
+                 sum(CAST(y24 AS HUGEINT) * y24) AS syy,
+                 CAST(sum(r24) AS HUGEINT) AS sr,
+                 sum(CAST(r24 AS HUGEINT) * r24) AS srr
+          FROM det)
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(1000000 - ((n * srr - sr * sr) * 1000000)
+                          // (n * syy - sy * sy) AS BIGINT)
+             AS trend_r2_ppm
+    FROM s
+    """,
+)
+def q287_decomposition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does q219's trend actually EXPLAIN?  R² of the
+    centered-MA decomposition — one minus the residual-to-total
+    variance ratio — computed from integer x24 units end to end:
+    both sums of squares are exact DECIMAL/HUGEINT, the ratio is one
+    integer division, so the quality score is reproducible to the
+    ppm (a float R² would wobble in its last digits across engines).
+    Low R² here is the honest verdict that this fixture's monthly
+    revenue is mostly noise around a flat trend — the
+    decomposition-worthiness gate run BEFORE anyone trusts q221's
+    seasonal indices."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    wo = Window.orderBy("month")
+    w = m.select(
+        "month",
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(
+            Window.orderBy("month").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        (
+            F.lag("cents", 6).over(wo)
+            + F.lead("cents", 6).over(wo)
+            + 2 * F.sum("cents").over(wo.rowsBetween(-5, 5))
+        ).alias("trend_x24"),
+    )
+    det = w.filter((F.col("i") > 6) & (F.col("i") <= F.col("n") - 6)).select(
+        (24 * F.col("cents")).alias("y24"),
+        (24 * F.col("cents") - F.col("trend_x24")).alias("r24"),
+    )
+    dy = F.col("y24").cast("decimal(38,0)")
+    dr = F.col("r24").cast("decimal(38,0)")
+    s = det.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("y24").cast("decimal(38,0)").alias("sy"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum("r24").cast("decimal(38,0)").alias("sr"),
+        F.sum(dr * dr).alias("srr"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_months",
+        "CAST(1000000 - ((n * srr - sr * sr) * 1000000)"
+        " DIV (n * syy - sy * sy) AS BIGINT) AS trend_r2_ppm",
+    )
+
+
+@register(
+    "q288_effective_brands",
+    """
+    WITH c AS (SELECT cu.c_nationkey AS nk, p.p_brand AS brand,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer cu ON o.o_custkey = cu.c_custkey
+               JOIN part p ON l.l_partkey = p.p_partkey
+               GROUP BY 1, 2)
+    SELECT nk AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(c) AS BIGINT) AS n_items,
+           CAST((CAST(sum(c) AS HUGEINT) * sum(c))
+                // sum(CAST(c AS HUGEINT) * c) AS BIGINT)
+             AS effective_brands
+    FROM c GROUP BY nk
+    """,
+)
+def q288_effective_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE number of brands per nation's purchase mix — the
+    inverse-Simpson (Σc)²/Σc², i.e. 'this portfolio behaves like N
+    equally-bought brands' — diversity in interpretable UNITS where
+    q216's Simpson ppm and q206's nats are abstract (25 raw brands
+    collapsing to an effective 8 is a concentration story the raw
+    count hides).  Floor-divided exact integers with the squared
+    sums in DECIMAL/HUGEINT; one fact pass, one 25-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    c = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    dc = F.col("c").cast("decimal(38,0)")
+    return c.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum("c").cast("long").alias("n_items"),
+        F.expr(
+            "CAST((CAST(sum(c) AS DECIMAL(38,0)) * sum(c))"
+            " DIV sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)"
+        ).alias("effective_brands"),
+    )
+
+
+@register(
+    "q289_partition_planning",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT)
+                        AS week,
+                      CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                           AS BIGINT) AS month
+               FROM orders),
+    g AS (SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+                      WHEN grouping(week) = 0 THEN 'week'
+                      ELSE 'month' END AS grain,
+                 COALESCE(day, week, month) AS bucket,
+                 CAST(count(*) AS BIGINT) AS rows_in
+          FROM d GROUP BY GROUPING SETS ((day), (week), (month)))
+    SELECT grain,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(min(rows_in) AS BIGINT) AS min_rows,
+           CAST(sum(rows_in) // count(*) AS BIGINT) AS avg_rows,
+           CAST(max(rows_in) AS BIGINT) AS max_rows
+    FROM g GROUP BY grain
+    """,
+)
+def q289_partition_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-GRAIN planning table: for day/week/month layouts,
+    how many partitions and how many rows each would hold (min/avg/
+    max) — the numbers that decide ``build_time_partitioned``'s
+    date grain BEFORE writing 20k tiny directories or 80 giant ones
+    (the small-files problem and its inverse, quantified).  One
+    scan through q233's time-grain GROUPING SETS, then a 3-row
+    census of the partition census."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 604800)
+        .cast("long")
+        .alias("week"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month"),
+    )
+    d.createOrReplaceTempView("_part_plan_d")
+    g = spark.sql(
+        """
+        SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+                    WHEN grouping(week) = 0 THEN 'week'
+                    ELSE 'month' END AS grain,
+               COALESCE(day, week, month) AS bucket,
+               CAST(count(*) AS BIGINT) AS rows_in
+        FROM _part_plan_d GROUP BY GROUPING SETS ((day), (week), (month))
+        """
+    )
+    return g.groupBy("grain").agg(
+        F.count("*").cast("long").alias("n_partitions"),
+        F.min("rows_in").cast("long").alias("min_rows"),
+        F.expr("CAST(sum(rows_in) DIV count(*) AS BIGINT)").alias(
+            "avg_rows"
+        ),
+        F.max("rows_in").cast("long").alias("max_rows"),
+    )
+
+
+@register(
+    "q290_health_dashboard",
+    """
+    WITH checks AS (
+      SELECT 'fk_lineitem_orders' AS chk,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orderkey_unique',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'linenumber_dense',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN max_ln <> n_lines
+                             OR distinct_ln <> n_lines
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, count(*) AS n_lines,
+                   max(l_linenumber) AS max_ln,
+                   count(DISTINCT l_linenumber) AS distinct_ln
+            FROM lineitem GROUP BY 1) t
+      UNION ALL
+      SELECT 'totalprice_on_cent_grid',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN abs(o_totalprice * 100
+                                    - round(o_totalprice * 100)) > 1e-6
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'shipdate_not_null',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem)
+    SELECT chk, n_checked, n_bad,
+           CASE WHEN n_bad = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM checks
+    """,
+)
+def q290_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MORNING HEALTH DASHBOARD: five integrity families — FK
+    resolution, key uniqueness, sequence density, money-grid, and
+    null screens — as one PASS/FAIL page, each a single-aggregate
+    summary of its dedicated deep-dive query (q107/q204/q274/q284)
+    — because what an on-call actually loads at 9am is ONE page,
+    not five reports.  Every check is one scan + one reduce; the
+    unions are of 1-row aggregates, so the whole page costs two
+    fact passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    fk = li.join(
+        F.broadcast(orders.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    ).agg(
+        F.lit("fk_lineitem_orders").alias("chk"),
+        F.count("*").cast("long").alias("n_checked"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    uniq = orders.agg(
+        F.lit("orderkey_unique").alias("chk"),
+        F.count("*").cast("long").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    dense = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.max("l_linenumber").alias("max_ln"),
+            F.countDistinct("l_linenumber").alias("distinct_ln"),
+        )
+        .agg(
+            F.lit("linenumber_dense").alias("chk"),
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(
+                F.when(
+                    (F.col("max_ln") != F.col("n_lines"))
+                    | (F.col("distinct_ln") != F.col("n_lines")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bad"),
+        )
+    )
+    grid = orders.agg(
+        F.lit("totalprice_on_cent_grid").alias("chk"),
+        F.count("*").cast("long").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.abs(
+                    F.col("o_totalprice") * 100
+                    - F.round(F.col("o_totalprice") * 100)
+                )
+                > 1e-6,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad"),
+    )
+    nn = li.agg(
+        F.lit("shipdate_not_null").alias("chk"),
+        F.count("*").cast("long").alias("n_checked"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    checks = fk.unionByName(uniq).unionByName(dense).unionByName(
+        grid
+    ).unionByName(nn)
+    return checks.select(
+        "chk",
+        "n_checked",
+        "n_bad",
+        F.when(F.col("n_bad") == 0, "PASS").otherwise("FAIL").alias(
+            "status"
+        ),
+    )
