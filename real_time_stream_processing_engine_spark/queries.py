@@ -16101,3 +16101,242 @@ def q290_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status"
         ),
     )
+
+
+@register(
+    "q291_tenure_cohorts",
+    """
+    WITH fo AS (SELECT o_custkey,
+                       CAST(min(year(o_orderdate)) AS BIGINT) AS cohort
+                FROM orders GROUP BY 1),
+    j AS (SELECT f.cohort,
+                 o.o_custkey,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey)
+    SELECT cohort,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) // count(*) AS BIGINT) AS avg_order_cents,
+           CAST((count(*) * 1000) // count(DISTINCT o_custkey) AS BIGINT)
+             AS orders_per_customer_permille
+    FROM j GROUP BY cohort
+    """,
+)
+def q291_tenure_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TENURE cohorts: customers grouped by their FIRST order year,
+    with lifetime order counts and average order value — do early
+    adopters order more, or just longer?  (q173's decay triangle
+    tracks value over months-since; this is the flat per-cohort
+    summary sales quotes.)  The cohort label is a broadcast
+    min-aggregate joined back; all ratios integer permille / floored
+    cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort")
+    )
+    j = orders.join(F.broadcast(fo), "o_custkey").select(
+        "cohort",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return j.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias(
+            "avg_order_cents"
+        ),
+        F.expr(
+            "CAST((count(*) * 1000) DIV count(DISTINCT o_custkey)"
+            " AS BIGINT)"
+        ).alias("orders_per_customer_permille"),
+    )
+
+
+@register(
+    "q292_top_terms_per_source",
+    """
+    WITH tok AS (SELECT source,
+                        unnest(string_split_regex(lower(text), '\\s+')) AS w
+                 FROM documents),
+    tc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq
+           FROM tok WHERE w <> '' GROUP BY 1, 2),
+    r AS (SELECT source, w, freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, w) AS rk
+          FROM tc)
+    SELECT source, CAST(rk AS BIGINT) AS rank, w AS term, freq
+    FROM r WHERE rk <= 5
+    """,
+)
+def q292_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms PER SOURCE — the per-feed vocabulary head (q12 is
+    the global head; feeds differ, and a source whose head diverges
+    from the corpus head is a genre outlier worth routing
+    differently).  One (source, word) aggregate — vocabulary-sized
+    state — then a source-partitioned rank window that only sorts
+    each source's vocab, deterministic (freq desc, term) ties."""
+    from pyspark.sql import Window
+
+    from .functions.textfn import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    r = tc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("freq").desc(), "w")
+        ),
+    )
+    return r.filter(F.col("rk") <= 5).select(
+        "source",
+        F.col("rk").cast("long").alias("rank"),
+        F.col("w").alias("term"),
+        "freq",
+    )
+
+
+@register(
+    "q293_return_rates",
+    """
+    SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                // 1000000 AS BIGINT) AS price_band_10k_cents,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST((sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 * 1000) // count(*) AS BIGINT) AS return_permille
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q293_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN RATE by price band: do expensive items come back more?
+    — the merchandising question behind every return-policy change,
+    as one scan-side banded aggregate (integer 10k-cent bands shared
+    with q276's surface, so the two reports join on band).  Rates in
+    integer permille; a flat profile here is the fixture's honest
+    answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.expr(
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("price_band_10k_cents")
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+        F.expr(
+            "CAST((sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+            " * 1000) DIV count(*) AS BIGINT)"
+        ).alias("return_permille"),
+    )
+
+
+@register(
+    "q294_lang_vocab_overlap",
+    """
+    WITH lw AS (SELECT DISTINCT lang,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents),
+    lw2 AS (SELECT lang, w FROM lw WHERE w <> ''),
+    p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM lw2 a JOIN lw2 b ON a.w = b.w AND a.lang < b.lang
+          GROUP BY 1, 2),
+    sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM lw2
+           GROUP BY lang)
+    SELECT p.lang_a, p.lang_b, p.n_common,
+           za.n AS n_a, zb.n AS n_b,
+           CAST((p.n_common * 1000) // (za.n + zb.n - p.n_common)
+                AS BIGINT) AS jaccard_permille
+    FROM p JOIN sz za ON p.lang_a = za.lang
+           JOIN sz zb ON p.lang_b = zb.lang
+    """,
+)
+def q294_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY overlap between language pairs: Jaccard of the
+    distinct word sets — the quantitative basis for q265's confusion
+    diagonal (languages sharing half their surface vocabulary WILL
+    confuse a lexicon detector; disjoint ones should never).  The
+    per-language vocab sets join on the word (vocabulary-sized, not
+    corpus-sized); 10 pairs, integer permille."""
+    from .functions.textfn import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(tokenize(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    a = lw.select(F.col("lang").alias("lang_a"), F.col("w").alias("wa"))
+    b = lw.select(F.col("lang").alias("lang_b"), F.col("w").alias("wb"))
+    p = (
+        a.join(
+            b,
+            (F.col("wa") == F.col("wb")) & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sz = lw.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    za = sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(za), "lang_a")
+        .join(F.broadcast(zb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((n_common * 1000) DIV (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+@register(
+    "q295_ytd_matrix",
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                      CAST(month(o_orderdate) AS BIGINT) AS mo,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders GROUP BY 1, 2)
+    SELECT yr, mo, CAST(cents AS BIGINT) AS month_cents,
+           CAST(sum(cents) OVER (PARTITION BY yr ORDER BY mo
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS ytd_cents
+    FROM m
+    """,
+)
+def q295_ytd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YEAR-TO-DATE running totals: monthly revenue with its YTD
+    cumulative, partitioned so each January RESETS — the finance
+    report shape (q272's reach cumulates forever; fiscal reporting
+    cumulates within the year), one year-partitioned ordered window
+    over the ~80-row monthly aggregate, exact cents."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    w = (
+        Window.partitionBy("yr")
+        .orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "yr",
+        "mo",
+        F.col("cents").cast("long").alias("month_cents"),
+        F.sum("cents").over(w).cast("long").alias("ytd_cents"),
+    )
