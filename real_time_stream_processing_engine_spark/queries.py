@@ -16340,3 +16340,401 @@ def q295_ytd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("month_cents"),
         F.sum("cents").over(w).cast("long").alias("ytd_cents"),
     )
+
+
+@register(
+    "q296_brand_share_trend",
+    """
+    WITH rev AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                        p.p_brand AS brand,
+                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS e4
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN part p ON l.l_partkey = p.p_partkey
+                 GROUP BY 1, 2),
+    top5 AS (SELECT brand FROM (SELECT brand, sum(e4) AS t FROM rev
+                                GROUP BY brand)
+             ORDER BY t DESC, brand LIMIT 5),
+    lab AS (SELECT yr,
+                   CASE WHEN brand IN (SELECT brand FROM top5)
+                        THEN brand ELSE 'OTHER' END AS brand_group,
+                   e4
+            FROM rev),
+    g AS (SELECT yr, brand_group, sum(e4) AS e4 FROM lab GROUP BY 1, 2),
+    t AS (SELECT yr, sum(e4) AS tot FROM g GROUP BY yr)
+    SELECT g.yr, g.brand_group,
+           CAST(g.e4 AS BIGINT) AS revenue_e4,
+           CAST((CAST(g.e4 AS HUGEINT) * 1000) // t.tot AS BIGINT)
+             AS share_permille
+    FROM g JOIN t ON g.yr = t.yr
+    """,
+)
+def q296_brand_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE-OF-VOICE trend: the top-5 brands' (plus OTHER's) revenue
+    share per year — is the market concentrating or fragmenting over
+    time?  (q285 is the snapshot; trends are what category managers
+    actually watch.)  The top-5 set is fixed ACROSS years from
+    all-time revenue — a per-year top-5 would silently swap members
+    and fake share jumps, the classic share-trend bug.  Shares in
+    integer permille per year, DECIMAL against the value-sum
+    class."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum(e4).alias("e4"))
+    )
+    top5 = (
+        rev.groupBy("brand")
+        .agg(F.sum("e4").alias("t"))
+        .orderBy(F.col("t").desc(), "brand")
+        .limit(5)
+        .select(F.col("brand").alias("tb"))
+    )
+    lab = rev.join(
+        F.broadcast(top5), rev["brand"] == F.col("tb"), "left"
+    ).select(
+        "yr",
+        F.when(F.col("tb").isNotNull(), F.col("brand"))
+        .otherwise("OTHER")
+        .alias("brand_group"),
+        "e4",
+    )
+    g = lab.groupBy("yr", "brand_group").agg(F.sum("e4").alias("e4"))
+    t = g.groupBy("yr").agg(F.sum("e4").alias("tot"))
+    return g.join(F.broadcast(t), "yr").selectExpr(
+        "yr", "brand_group",
+        "CAST(e4 AS BIGINT) AS revenue_e4",
+        "CAST((CAST(e4 AS DECIMAL(38,0)) * 1000) DIV tot AS BIGINT)"
+        " AS share_permille",
+    )
+
+
+@register(
+    "q297_sla_trend",
+    """
+    WITH lat AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                        CAST(floor(epoch(l.l_shipdate) / 86400)
+                             - floor(epoch(o.o_orderdate) / 86400)
+                             AS BIGINT) AS days
+                 FROM orders o
+                 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                 WHERE o.o_orderpriority = '1-URGENT'),
+    h AS (SELECT yr, days, CAST(count(*) AS BIGINT) AS cnt
+          FROM lat GROUP BY 1, 2),
+    cum AS (SELECT yr, days, cnt,
+                   sum(cnt) OVER (PARTITION BY yr ORDER BY days
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY yr) AS n
+            FROM h)
+    SELECT yr, CAST(max(n) AS BIGINT) AS n_items,
+           CAST(min(CASE WHEN 2 * cum >= n THEN days END) AS BIGINT)
+             AS median_days,
+           CAST(min(CASE WHEN 20 * cum >= 19 * n THEN days END) AS BIGINT)
+             AS p95_days
+    FROM cum GROUP BY yr
+    """,
+)
+def q297_sla_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URGENT-order SLA TREND: median and p95 fulfillment latency per
+    year — the drift view of q223's snapshot (a p95 creeping up two
+    days a year is invisible in any single quarter and obvious here).
+    Same histogram-crossing quantiles, now per (year) partition;
+    the priority filter pushes to the orders scan before the
+    join."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (
+            F.floor(F.unix_timestamp(F.col("l_shipdate")) / 86400)
+            - F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    h = lat.groupBy("yr", "days").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("yr")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "yr",
+        "days",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("yr")).alias("n"),
+    )
+    return cum.groupBy("yr").agg(
+        F.max("n").cast("long").alias("n_items"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("days")))
+        .cast("long")
+        .alias("median_days"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("days")))
+        .cast("long")
+        .alias("p95_days"),
+    )
+
+
+@register(
+    "q298_emerging_terms",
+    """
+    WITH med AS (SELECT CAST(max(doc_id) + min(doc_id) AS BIGINT) // 2
+                   AS cut FROM documents),
+    tok AS (SELECT CASE WHEN d.doc_id <= m.cut THEN 0 ELSE 1 END AS half,
+                   unnest(string_split_regex(lower(d.text), '\\s+')) AS w
+            FROM documents d CROSS JOIN med m),
+    tc AS (SELECT w,
+                  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c0,
+                  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1
+           FROM tok WHERE w <> '' GROUP BY w),
+    g AS (SELECT w, c0, c1,
+                 CAST(((c1 - c0) * 1000) // (c0 + c1) AS BIGINT)
+                   AS growth_permille
+          FROM tc WHERE c0 + c1 >= 50)
+    SELECT w AS term, c0 AS early_count, c1 AS late_count,
+           growth_permille
+    FROM g ORDER BY growth_permille DESC, w LIMIT 20
+    """,
+)
+def q298_emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMERGING terms: vocabulary whose frequency grows most between
+    the early and late document halves (doc_id as ingest order) —
+    the trend-detection pass a corpus curator runs to catch topic
+    drift before it skews a training mix (q267 watches the TYPE mix;
+    this watches the CONTENT).  Growth is the symmetric
+    (late-early)/total in integer permille with a min-support floor
+    so rare words can't fake 1000-permille growth; deterministic
+    top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.textfn import tokenize
+
+    med = docs.agg(
+        F.expr("CAST(max(doc_id) + min(doc_id) AS BIGINT) DIV 2").alias(
+            "cut"
+        )
+    )
+    tok = docs.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("doc_id") <= F.col("cut"), 0).otherwise(1).alias(
+            "half"
+        ),
+        F.explode(tokenize(F.col("text"))).alias("w"),
+    )
+    tc = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    g = tc.filter(F.col("c0") + F.col("c1") >= 50).selectExpr(
+        "w", "c0", "c1",
+        "CAST(((c1 - c0) * 1000) DIV (c0 + c1) AS BIGINT)"
+        " AS growth_permille",
+    )
+    return (
+        g.select(
+            F.col("w").alias("term"),
+            F.col("c0").alias("early_count"),
+            F.col("c1").alias("late_count"),
+            "growth_permille",
+        )
+        .orderBy(F.col("growth_permille").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "q299_whale_mix",
+    """
+    WITH sp AS (SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+                FROM orders GROUP BY 1),
+    r AS (SELECT o_custkey,
+                 CASE WHEN 10 * (row_number() OVER (ORDER BY s DESC,
+                                                    o_custkey) - 1)
+                        < count(*) OVER ()
+                      THEN 'top_decile' ELSE 'rest' END AS tier
+          FROM sp),
+    j AS (SELECT r.tier, o.o_orderpriority AS pri,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders o JOIN r ON o.o_custkey = r.o_custkey
+          GROUP BY 1, 2),
+    t AS (SELECT tier, sum(n) AS tot FROM j GROUP BY tier)
+    SELECT j.tier, j.pri, j.n,
+           CAST((j.n * 1000) // t.tot AS BIGINT) AS share_permille
+    FROM j JOIN t ON j.tier = t.tier
+    """,
+)
+def q299_whale_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do WHALES order differently?  Priority mix of the top spend
+    decile against everyone else — the behavioral-difference check
+    behind every 'treat VIPs differently' proposal (identical mixes
+    here = the honest null).  The decile cut is an integer rank
+    predicate (10*(rank-1) < n), shares are per-tier permille;
+    one rank window over the per-customer aggregate and one
+    broadcast join back onto orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    sp = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+    )
+    r = sp.select(
+        "o_custkey",
+        F.when(
+            10
+            * (
+                F.row_number().over(
+                    Window.orderBy(F.col("s").desc(), "o_custkey")
+                )
+                - 1
+            )
+            < F.count("*").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            "top_decile",
+        )
+        .otherwise("rest")
+        .alias("tier"),
+    )
+    j = (
+        orders.join(F.broadcast(r), "o_custkey")
+        .groupBy("tier", F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = j.groupBy("tier").agg(F.sum("n").alias("tot"))
+    return j.join(F.broadcast(t), "tier").select(
+        "tier",
+        "pri",
+        "n",
+        F.expr("CAST((n * 1000) DIV tot AS BIGINT)").alias(
+            "share_permille"
+        ),
+    )
+
+
+@register(
+    "q300_executive_summary",
+    """
+    WITH rev AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                        CAST(count(DISTINCT o_custkey) AS BIGINT)
+                          AS n_customers,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS revenue_cents
+                 FROM orders),
+    li AS (SELECT CAST(count(*) AS BIGINT) AS n_lineitems FROM lineitem),
+    topn AS (SELECT c.c_nationkey AS top_nation
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             GROUP BY 1
+             ORDER BY sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        DESC, 1
+             LIMIT 1),
+    docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(count(*) - count(DISTINCT
+                      md5(trim(regexp_replace(lower(substr(text, 1, 100)),
+                                              '\\s+', ' ', 'g'))))
+                      AS BIGINT) AS n_prefix_dups
+             FROM documents),
+    ev AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events)
+    SELECT rev.n_orders, rev.n_customers, rev.revenue_cents,
+           CAST(rev.revenue_cents // rev.n_orders AS BIGINT) AS aov_cents,
+           li.n_lineitems,
+           CAST(topn.top_nation AS BIGINT) AS top_nation,
+           docs.n_docs, docs.n_prefix_dups,
+           ev.n_events, ev.n_users
+    FROM rev, li, topn, docs, ev
+    """,
+)
+def q300_executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 300th entry: a ONE-ROW executive summary spanning every
+    domain in the warehouse — orders/customers/revenue/AOV from the
+    fact, the top nation, corpus size and prefix-dup count, event
+    and user counts — the number tiles on page one of any BI
+    deployment, each a 1-row aggregate broadcast into a single
+    cross-joined row (five tiny sub-aggregates, no correlated
+    anything).  Every figure is produced elsewhere in this
+    inventory with full provenance; this is the front page."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    from .functions.textfn import normalize_ws
+
+    rev = orders.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    lin = li.agg(F.count("*").cast("long").alias("n_lineitems"))
+    topn = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("top_nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "s"
+            )
+        )
+        .orderBy(F.col("s").desc(), "top_nation")
+        .limit(1)
+        .select("top_nation")
+    )
+    dc = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.count("*")
+            - F.countDistinct(
+                F.md5(normalize_ws(F.substring(F.col("text"), 1, 100)))
+            )
+        )
+        .cast("long")
+        .alias("n_prefix_dups"),
+    )
+    ec = ev.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        rev.crossJoin(F.broadcast(lin))
+        .crossJoin(F.broadcast(topn))
+        .crossJoin(F.broadcast(dc))
+        .crossJoin(F.broadcast(ec))
+        .selectExpr(
+            "n_orders", "n_customers", "revenue_cents",
+            "CAST(revenue_cents DIV n_orders AS BIGINT) AS aov_cents",
+            "n_lineitems",
+            "CAST(top_nation AS BIGINT) AS top_nation",
+            "n_docs", "n_prefix_dups", "n_events", "n_users",
+        )
+    )
