@@ -16738,3 +16738,300 @@ def q300_executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "n_prefix_dups", "n_events", "n_users",
         )
     )
+
+
+@register(
+    "q301_kendall_tau",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+               FROM customer),
+    sp AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+           FROM orders GROUP BY 1),
+    j AS (SELECT c.c_nationkey AS nk, c.c_custkey AS id, c.bal,
+                 COALESCE(sp.spend, 0) AS spend
+          FROM c LEFT JOIN sp ON c.c_custkey = sp.o_custkey),
+    pairs AS (SELECT a.nk,
+                     CASE WHEN (a.bal - b.bal) * (a.spend - b.spend) > 0
+                          THEN 1 ELSE 0 END AS conc,
+                     CASE WHEN (a.bal - b.bal) * (a.spend - b.spend) < 0
+                          THEN 1 ELSE 0 END AS disc
+              FROM j a JOIN j b ON a.nk = b.nk AND a.id < b.id)
+    SELECT nk AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           CAST(((sum(conc) - sum(disc)) * 1000000) // count(*) AS BIGINT)
+             AS tau_ppm
+    FROM pairs GROUP BY nk
+    """,
+)
+def q301_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau between balance and spend per nation — the
+    PAIRWISE-concordance view of the association q197's Spearman
+    measures by ranks (tau is more robust to outliers and has the
+    cleaner probabilistic reading: P(concordant)-P(discordant)).
+    Counted exactly over within-nation pairs — the self-join is
+    BOUNDED per nation (the q128 bucket argument: Σ|group|², never
+    |table|²), the sign test is pure integer products, tau is
+    signed integer-division ppm (numerator can be negative; both
+    engines floor-divide the same HUGEINT/DECIMAL path and the
+    committed values pin agreement)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    sp = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend"
+        )
+    )
+    j = c.join(sp, c["c_custkey"] == sp["o_custkey"], "left").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("id"),
+        "bal",
+        F.coalesce(F.col("spend"), F.lit(0)).alias("spend"),
+    )
+    a, b = j.alias("a"), j.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.nk").alias("nk"),
+        F.when(
+            (F.col("a.bal") - F.col("b.bal"))
+            * (F.col("a.spend") - F.col("b.spend"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            (F.col("a.bal") - F.col("b.bal"))
+            * (F.col("a.spend") - F.col("b.spend"))
+            < 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+    )
+    return pairs.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        F.expr(
+            "CAST(((sum(conc) - sum(disc)) * 1000000) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("tau_ppm"),
+    )
+
+
+@register(
+    "q302_theil_index",
+    """
+    WITH o AS (SELECT c.c_nationkey AS nk,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE o.o_totalprice > 0)
+    SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))) / sum(x)
+                 - ln(CAST(sum(x) AS DOUBLE) / count(*)), 6) AS theil
+    FROM o GROUP BY nk
+    """,
+)
+def q302_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality per nation — the ENTROPY-based index
+    (mean of (x/μ)ln(x/μ)) that, unlike q198's Gini, DECOMPOSES
+    exactly into within-group + between-group terms at any
+    hierarchy level — the property national statistics offices pick
+    it for.  Computed via the un-nested identity
+    T = Σx·ln(x)/S - ln(S/n), so one aggregate pass carries it with
+    no per-row share column; ln on exact integers is the q156
+    contract, one 6dp round."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        )
+    )
+    # the decomposed identity T = Σx·ln(x)/S - ln(S/n) keeps every
+    # aggregate un-nested (one pass, no per-row share materialized)
+    return o.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.expr(
+                "sum(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))) / sum(x)"
+                " - ln(CAST(sum(x) AS DOUBLE) / count(*))"
+            ),
+            6,
+        ).alias("theil"),
+    )
+
+
+@register(
+    "q303_cadence_burstiness",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day, o_orderkey
+               FROM orders),
+    g AS (SELECT c.c_mktsegment AS segment,
+                 o.day - lag(o.day) OVER (PARTITION BY o.o_custkey
+                                          ORDER BY o.day, o.o_orderkey)
+                   AS gap
+          FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (SELECT segment,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(gap) AS HUGEINT) AS sg,
+                 sum(CAST(gap AS HUGEINT) * gap) AS sgg
+          FROM g WHERE gap IS NOT NULL GROUP BY segment)
+    SELECT segment, CAST(n AS BIGINT) AS n_gaps,
+           CAST(sg // n AS BIGINT) AS mean_gap_days,
+           CAST(((n * sgg - sg * sg) * 1000000) // (sg * sg) AS BIGINT)
+             AS cv2_ppm
+    FROM s
+    """,
+)
+def q303_cadence_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-cadence BURSTINESS per segment: the squared coefficient
+    of variation of inter-order gaps — CV² = 1 is the Poisson
+    (memoryless) signature, above is bursty, below is regular —
+    THE one-number answer to 'do customers order on a schedule or
+    in sprees' (q200 gives the gap quantiles; CV² is the
+    shape-class).  n·Σg²-(Σg)² over (Σg)² in pure DECIMAL/HUGEINT
+    ppm — no float variance, no mean materialized."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+        "o_orderkey",
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = (
+        o.withColumn("gap", F.col("day") - F.lag("day").over(wl))
+        .filter(F.col("gap").isNotNull())
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "gap")
+    )
+    dg = F.col("gap").cast("decimal(38,0)")
+    s = g.groupBy("segment").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("gap").cast("decimal(38,0)").alias("sg"),
+        F.sum(dg * dg).alias("sgg"),
+    )
+    return s.selectExpr(
+        "segment",
+        "CAST(n AS BIGINT) AS n_gaps",
+        "CAST(sg DIV n AS BIGINT) AS mean_gap_days",
+        "CAST(((n * sgg - sg * sg) * 1000000) DIV (sg * sg) AS BIGINT)"
+        " AS cv2_ppm",
+    )
+
+
+@register(
+    "q304_kpi_tree",
+    """
+    WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                      CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+                      CAST(count(*) AS BIGINT) AS orders,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM orders GROUP BY 1)
+    SELECT yr, custs, orders, cents,
+           CAST((orders * 1000) // custs AS BIGINT)
+             AS orders_per_cust_permille,
+           CAST(cents // orders AS BIGINT) AS aov_cents,
+           ROUND(ln(CAST(custs AS DOUBLE)) + ln(CAST(orders AS DOUBLE)
+                                                / custs)
+                 + ln(CAST(cents AS DOUBLE) / orders)
+                 - ln(CAST(cents AS DOUBLE)), 9) AS ln_identity_check
+    FROM y
+    """,
+)
+def q304_kpi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiplicative KPI TREE per year: revenue = customers x
+    orders-per-customer x value-per-order, each factor emitted in
+    exact integer units plus the LOG-IDENTITY residual (ln-sum minus
+    ln-total, ~0 to 9dp) proving the decomposition multiplies back
+    EXACTLY — the growth-accounting frame that turns 'revenue is
+    down 8%' into which lever moved (q247 decomposes by segment;
+    this decomposes by MECHANISM).  One yearly aggregate carries
+    everything."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = orders.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("custs"),
+        F.count("*").cast("long").alias("orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return y.selectExpr(
+        "yr", "custs", "orders", "cents",
+        "CAST((orders * 1000) DIV custs AS BIGINT)"
+        " AS orders_per_cust_permille",
+        "CAST(cents DIV orders AS BIGINT) AS aov_cents",
+        "ROUND(ln(CAST(custs AS DOUBLE)) + ln(CAST(orders AS DOUBLE)"
+        " / custs) + ln(CAST(cents AS DOUBLE) / orders)"
+        " - ln(CAST(cents AS DOUBLE)), 9) AS ln_identity_check",
+    )
+
+
+@register(
+    "q305_range_window",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1)
+    SELECT day, CAST(x AS BIGINT) AS day_cents,
+           CAST(sum(x) OVER (ORDER BY day
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling7_cents,
+           CAST(count(*) OVER (ORDER BY day
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS days_present
+    FROM d
+    """,
+)
+def q305_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling 7-day revenue: the frame is bounded by
+    the day VALUE (day-6 .. day), not by row count — on a series
+    with missing days a ROWS frame silently stretches its window
+    over the gap (q66/q123 avoid this by zero-filled spines; the
+    RANGE frame is the engine-native alternative that needs no
+    spine), and the days_present column makes the gap handling
+    visible.  One value-framed window over the daily aggregate —
+    the last ANSI frame type without a dedicated green entry."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "day",
+        F.col("x").cast("long").alias("day_cents"),
+        F.sum("x").over(w).cast("long").alias("rolling7_cents"),
+        F.count("*").over(w).cast("long").alias("days_present"),
+    )
