@@ -17035,3 +17035,365 @@ def q305_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w).cast("long").alias("rolling7_cents"),
         F.count("*").over(w).cast("long").alias("days_present"),
     )
+
+
+@register(
+    "q306_aggregation_reversal",
+    """
+    WITH b AS (SELECT c.c_nationkey AS nk,
+                      CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+                      CAST(round(l.l_quantity) AS BIGINT) AS y
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (SELECT nk,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM b GROUP BY nk),
+    g AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                 sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy
+          FROM s),
+    signs AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(CASE WHEN s.n * s.sxy - s.sx * s.sy > 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(sum(CASE WHEN s.n * s.sxy - s.sx * s.sy < 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+              FROM s)
+    SELECT ROUND(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                 / sqrt(CAST((g.n * g.sxx - g.sx * g.sx) AS DOUBLE)
+                        * CAST((g.n * g.syy - g.sy * g.sy) AS DOUBLE)), 6)
+             AS pooled_corr,
+           signs.n_groups, signs.n_pos, signs.n_neg
+    FROM g, signs
+    """,
+)
+def q306_aggregation_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX screen: the pooled discount-quantity
+    correlation next to the per-nation association SIGN census —
+    when n_pos and n_neg split while the pooled r leans one way,
+    group structure is confounding the aggregate and q222's
+    per-group numbers are the ones to trust.  Per-group signs come
+    from the EXACT integer covariance numerator n·Σxy-ΣxΣy (no
+    float ever decides a sign); only the pooled r touches doubles,
+    once.  The per-group moments ALSO sum exactly into the pooled
+    moments — one aggregation tree, two readings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    b = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+            F.round(F.col("l_quantity")).cast("long").alias("y"),
+        )
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    s = b.groupBy("nk").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    g = s.agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"), F.sum("sxy").alias("sxy"),
+    )
+    signs = s.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(
+            F.when(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy") > 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy") < 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_neg"),
+    )
+    return g.crossJoin(F.broadcast(signs)).selectExpr(
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)"
+        "        * CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS pooled_corr",
+        "n_groups", "n_pos", "n_neg",
+    )
+
+
+@register(
+    "q307_similarity_transitivity",
+    f"""
+    WITH sh0 AS MATERIALIZED ({_SQL_SHINGLE3}),
+    seeds AS (SELECT unnest(['0','1','2','3','4','5','6','7']) AS seed),
+    sig AS MATERIALIZED (
+      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh
+      FROM sh0 CROSS JOIN seeds GROUP BY doc_id, seed),
+    p AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p
+                       UNION ALL SELECT doc_b, doc_a FROM p),
+    w AS (SELECT a.u AS x, a.v AS mid, b.v AS z
+          FROM e a JOIN e b ON a.v = b.u AND a.u < b.v),
+    closed AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+                      CAST(sum(CASE WHEN EXISTS
+                        (SELECT 1 FROM p WHERE p.doc_a = w.x
+                                           AND p.doc_b = w.z)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+               FROM w)
+    SELECT n_wedges, n_closed,
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                     ELSE (n_closed * 1000) // n_wedges END AS BIGINT)
+             AS closure_permille
+    FROM closed
+    """,
+)
+def q307_similarity_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is near-duplicate similarity TRANSITIVE here?  Count the open
+    wedges (A~B, B~C without A~C) in the LSH candidate graph — the
+    number that says how much q56's connected components OVER-MERGE
+    relative to pairwise similarity (a closure near 1000 permille
+    means components = cliques and cluster-dedup is safe; low
+    closure means chains of borderline pairs are welding clusters).
+    Wedges enumerate from the symmetrized pair list (bounded by
+    Σdeg², the q128 argument); closure is a semi-join flag sum."""
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = lsh_candidate_pairs(docs, on_overflow="error").select(
+        "doc_a", "doc_b"
+    )
+    e = p.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        p.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    w = a.join(
+        b, (F.col("a.v") == F.col("b.u")) & (F.col("a.u") < F.col("b.v"))
+    ).select(F.col("a.u").alias("x"), F.col("b.v").alias("z"))
+    closed_flag = w.join(
+        F.broadcast(p),
+        (F.col("x") == F.col("doc_a")) & (F.col("z") == F.col("doc_b")),
+        "left",
+    ).select(
+        F.when(F.col("doc_a").isNotNull(), 1).otherwise(0).alias("closed")
+    )
+    c = closed_flag.agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum("closed").cast("long").alias("n_closed"),
+    )
+    return c.selectExpr(
+        "n_wedges", "n_closed",
+        "CAST(CASE WHEN n_wedges = 0 THEN 0"
+        " ELSE (n_closed * 1000) DIV n_wedges END AS BIGINT)"
+        " AS closure_permille",
+    )
+
+
+@register(
+    "q308_expected_shortfall",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1),
+    h AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY x),
+    cum AS (SELECT x, cnt,
+                   sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                     AS cum,
+                   sum(cnt) OVER () AS n
+            FROM h),
+    cuts AS (SELECT unnest([50, 10]) AS pm),
+    v AS (SELECT c.pm,
+                 min(CASE WHEN 1000 * cum >= c.pm * n THEN x END) AS var_x
+          FROM cum CROSS JOIN cuts c GROUP BY c.pm),
+    tail AS (SELECT v.pm, v.var_x,
+                    CAST(sum(h.x * h.cnt) AS BIGINT) AS tail_cents,
+                    CAST(sum(h.cnt) AS BIGINT) AS tail_days
+             FROM h JOIN v ON h.x <= v.var_x
+             GROUP BY v.pm, v.var_x)
+    SELECT pm AS level_permille,
+           CAST(var_x AS BIGINT) AS var_cents,
+           tail_days,
+           CAST(tail_cents // tail_days AS BIGINT) AS es_cents
+    FROM tail
+    """,
+)
+def q308_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-AT-RISK and EXPECTED SHORTFALL of daily revenue at the
+    5% and 1% levels: the worst-case threshold (VaR, a histogram
+    crossing) and the MEAN of the days at or below it (ES — the
+    coherent tail measure regulators moved to because VaR ignores
+    how bad the tail is once entered).  Both levels read off ONE
+    cumulative histogram; the tail mean is an exact integer floor
+    over the tail slice.  q279's drawdown is the path-wise risk
+    view; this is the distributional one."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    h = d.groupBy("x").agg(F.count("*").alias("cnt"))
+    cum = h.select(
+        "x",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    cuts = d.sparkSession.createDataFrame([(50,), (10,)], "pm long")
+    v = (
+        cum.crossJoin(F.broadcast(cuts))
+        .groupBy("pm")
+        .agg(
+            F.min(
+                F.when(
+                    1000 * F.col("cum") >= F.col("pm") * F.col("n"),
+                    F.col("x"),
+                )
+            ).alias("var_x")
+        )
+    )
+    tail = (
+        h.crossJoin(F.broadcast(v))
+        .filter(F.col("x") <= F.col("var_x"))
+        .groupBy("pm", "var_x")
+        .agg(
+            F.sum(F.col("x") * F.col("cnt")).cast("long").alias("tail_cents"),
+            F.sum("cnt").cast("long").alias("tail_days"),
+        )
+    )
+    return tail.selectExpr(
+        "pm AS level_permille",
+        "CAST(var_x AS BIGINT) AS var_cents",
+        "tail_days",
+        "CAST(tail_cents DIV tail_days AS BIGINT) AS es_cents",
+    )
+
+
+@register(
+    "q309_session_count_histogram",
+    """
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS us
+               FROM events),
+    m AS (SELECT user_id, CASE WHEN lag(us) OVER w IS NULL
+                                 OR us - lag(us) OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    per AS (SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions
+            FROM m GROUP BY user_id)
+    SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+    FROM per GROUP BY n_sessions
+    """,
+)
+def q309_session_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions-per-user HISTOGRAM: how many users had exactly N
+    30-minute sessions over the month — the engagement-depth
+    distribution whose shape (geometric vs bimodal) decides whether
+    'average sessions' means anything (q209's stickiness is the
+    mean view; this is the whole curve).  The session count per
+    user is just Σ is_new — no session ids materialized at all —
+    then a bounded census."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    m = ev.select(
+        "user_id",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    per = m.groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("n_sessions")
+    )
+    return per.groupBy("n_sessions").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@register(
+    "q310_mix_stability",
+    """
+    WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                      o_orderpriority AS pri,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1, 2),
+    t AS (SELECT yr, sum(n) AS tot FROM y GROUP BY yr),
+    sh AS (SELECT y.pri, y.yr,
+                  CAST((y.n * 1000) // t.tot AS BIGINT) AS share
+           FROM y JOIN t ON y.yr = t.yr)
+    SELECT pri,
+           CAST(count(*) AS BIGINT) AS n_years,
+           CAST(min(share) AS BIGINT) AS min_share_permille,
+           CAST(max(share) AS BIGINT) AS max_share_permille,
+           CAST(max(share) - min(share) AS BIGINT) AS swing_permille
+    FROM sh GROUP BY pri
+    """,
+)
+def q310_mix_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY-MIX stability: each priority's order share per year
+    collapsed to its min/max/swing across the history — the
+    one-glance answer to 'has the order mix ever shifted'
+    (near-zero swings certify this fixture's generator is
+    stationary, the premise q121/q267's drift monitors test against
+    in windows).  Two bounded aggregates and integer permille
+    shares."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count("*").alias("n"))
+    t = y.groupBy("yr").agg(F.sum("n").alias("tot"))
+    sh = y.join(F.broadcast(t), "yr").selectExpr(
+        "pri", "yr", "CAST((n * 1000) DIV tot AS BIGINT) AS share"
+    )
+    return sh.groupBy("pri").agg(
+        F.count("*").cast("long").alias("n_years"),
+        F.min("share").cast("long").alias("min_share_permille"),
+        F.max("share").cast("long").alias("max_share_permille"),
+        (F.max("share") - F.min("share"))
+        .cast("long")
+        .alias("swing_permille"),
+    )
