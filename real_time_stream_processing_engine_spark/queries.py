@@ -17397,3 +17397,303 @@ def q310_mix_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("swing_permille"),
     )
+
+
+@register(
+    "q311_first_order_predicts",
+    """
+    WITH fo AS (SELECT o_custkey, min(o_orderdate) AS fd,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1),
+    fk AS (SELECT f.o_custkey, f.n_orders,
+                  min(o.o_orderkey) AS first_key
+           FROM fo f JOIN orders o ON f.o_custkey = o.o_custkey
+                                  AND f.fd = o.o_orderdate
+           GROUP BY 1, 2),
+    sz AS (SELECT fk.o_custkey, fk.n_orders,
+                  CAST(count(*) AS BIGINT) AS first_lines
+           FROM fk JOIN lineitem l ON fk.first_key = l.l_orderkey
+           GROUP BY 1, 2)
+    SELECT first_lines,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST((sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) * 1000)
+                // count(*) AS BIGINT) AS repeat_permille
+    FROM sz GROUP BY first_lines
+    """,
+)
+def q311_first_order_predicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a BIG first order predict a repeat customer?  Repeat
+    rate by the line count of each customer's FIRST order — the
+    onboarding-quality signal acquisition teams act on (if 1-line
+    first baskets never return, fix the first-purchase flow, not
+    retention).  The first order is pinned deterministically
+    (earliest date, then min orderkey for same-day ties); rates in
+    integer permille per basket-size stratum."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fo = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("fd"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    fk = (
+        fo.join(
+            orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+            ["o_custkey"],
+        )
+        .filter(F.col("o_orderdate") == F.col("fd"))
+        .groupBy("o_custkey", "n_orders")
+        .agg(F.min("o_orderkey").alias("first_key"))
+    )
+    sz = (
+        fk.join(li, fk["first_key"] == li["l_orderkey"])
+        .groupBy("o_custkey", "n_orders")
+        .agg(F.count("*").cast("long").alias("first_lines"))
+    )
+    return sz.groupBy("first_lines").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) * 1000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("repeat_permille"),
+    )
+
+
+@register(
+    "q312_dim_variance",
+    """
+    WITH x AS (SELECT g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+               FROM embeddings, generate_series(1, 64) g(i)),
+    s AS (SELECT i, count(*) AS n, avg(v) AS mu,
+                 sum(v * v) AS svv, sum(v) AS sv
+          FROM x GROUP BY i)
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           ROUND(sv / n, 6) AS mean,
+           ROUND((svv - sv * sv / n) / (n - 1), 6) AS variance
+    FROM s ORDER BY (svv - sv * sv / n) / (n - 1) DESC, i LIMIT 16
+    """,
+)
+def q312_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION variance ranking of the embedding space: the 16
+    highest-variance coordinates with their means — the cheap
+    axis-aligned cousin of q225's principal direction (if a handful
+    of raw dims carry most variance, PQ subspace splits and JL
+    budgets should respect them; if variance is flat, the space is
+    isotropic and rotation-invariant methods win).  One explode
+    pass, per-dim moments, deterministic (variance, dim) top-16."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("i", "vf")).select(
+        "i", F.col("vf").cast("double").alias("v")
+    )
+    s = x.groupBy("i").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum("v").alias("sv"),
+    )
+    return (
+        s.selectExpr(
+            "CAST(i AS BIGINT) AS dim",
+            "ROUND(sv / n, 6) AS mean",
+            "ROUND((svv - sv * sv / n) / (n - 1), 6) AS variance",
+            "(svv - sv * sv / n) / (n - 1) AS vraw",
+            "i AS iord",
+        )
+        .orderBy(F.col("vraw").desc(), "iord")
+        .limit(16)
+        .select("dim", "mean", "variance")
+    )
+
+
+@register(
+    "q313_supplier_load_balance",
+    """
+    WITH per AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+                 FROM lineitem GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n) AS BIGINT) AS n_items,
+           CAST(min(n) AS BIGINT) AS min_load,
+           CAST(sum(n) // count(*) AS BIGINT) AS avg_load,
+           CAST(max(n) AS BIGINT) AS max_load,
+           CAST((max(n) * count(*) * 1000) // sum(n) AS BIGINT)
+             AS imbalance_permille
+    FROM per
+    """,
+)
+def q313_supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier LOAD-BALANCE factor: max/mean line-item load in
+    permille (1000 = perfectly even; the shuffle-skew number q218
+    profiles per COLUMN, here read for the business entity that
+    becomes the partition key at scale) — an imbalance factor of
+    3000 means the hottest supplier's partition runs 3x the average
+    task and q75/q82's salting earns its keep.  One partial
+    aggregate, one 1-row reduce, integer permille (max·n·1000/Σ —
+    no float mean)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("n").cast("long").alias("n_items"),
+        F.min("n").cast("long").alias("min_load"),
+        F.expr("CAST(sum(n) DIV count(*) AS BIGINT)").alias("avg_load"),
+        F.max("n").cast("long").alias("max_load"),
+        F.expr(
+            "CAST((max(n) * count(*) * 1000) DIV sum(n) AS BIGINT)"
+        ).alias("imbalance_permille"),
+    )
+
+
+@register(
+    "q314_status_consistency",
+    """
+    SELECT o.o_orderstatus, l.l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q314_status_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status x line-status CONSISTENCY matrix: in clean TPC-H
+    data an 'F' order implies all-'F' lines and an 'O' order
+    all-'O' — off-diagonal mass here is state-machine corruption
+    (partial fulfillment written without updating the header), the
+    workflow analogue of q274's sequence audit.  One joined
+    aggregate, at most 6 cells; whatever mass the fixture puts off
+    the diagonal is the finding, exactly counted."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus", "l_linestatus")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+    )
+
+
+@register(
+    "q315_mann_whitney",
+    """
+    WITH a AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders WHERE o_orderpriority = '5-LOW'),
+    hb AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY v),
+    cb AS (SELECT v, cnt,
+                  COALESCE(sum(cnt) OVER (ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+                  sum(cnt) OVER () AS nb
+           FROM hb),
+    ha AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM a GROUP BY v),
+    u AS (SELECT CAST(sum(ha.cnt *
+                   COALESCE((SELECT max(cb.below + cb.cnt) FROM cb
+                             WHERE cb.v < ha.v), 0)) AS HUGEINT) AS u_strict,
+                 CAST(sum(ha.cnt *
+                   COALESCE((SELECT max(cb.cnt) FROM cb
+                             WHERE cb.v = ha.v), 0)) AS HUGEINT) AS ties,
+                 CAST(sum(ha.cnt) AS HUGEINT) AS na
+          FROM ha),
+    nn AS (SELECT CAST(sum(cnt) AS HUGEINT) AS nb FROM hb)
+    SELECT CAST(u.na AS BIGINT) AS n_urgent,
+           CAST(nn.nb AS BIGINT) AS n_low,
+           CAST(u.u_strict AS BIGINT) AS u_strict,
+           CAST(u.ties AS BIGINT) AS n_tie_pairs,
+           CAST(((2 * u.u_strict + u.ties - u.na * nn.nb) * 1000000)
+                // (u.na * nn.nb) AS BIGINT) AS rank_biserial_ppm
+    FROM u, nn
+    """,
+)
+def q315_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U between urgent and low-priority order values —
+    the distribution-free 'is one group stochastically larger'
+    test — computed EXACTLY from histograms: U = Σ_a cnt_a ·
+    |{b < a}| via the cumulative histogram of B, never the O(n²)
+    pair walk and never a pooled global rank sort.  Ties counted
+    separately (U with half-tie convention folds in as 2U+ties);
+    the rank-biserial effect size (2U+T-nm)/(nm) emits in signed
+    integer ppm.  ~0 here is the fixture's honest null — priorities
+    don't change prices."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(cents.alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("cnt_a"))
+    )
+    b = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select(cents.alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("cnt_b"))
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cb = b.select(
+        "v",
+        "cnt_b",
+        F.coalesce(F.sum("cnt_b").over(wb), F.lit(0)).alias("below"),
+    )
+    # merge A values against B's cumulative histogram with ONE
+    # union-sort carry (the as-of pattern) instead of a per-value probe
+    ua = a.select(
+        "v", "cnt_a", F.lit(None).cast("long").alias("below"),
+        F.lit(None).cast("long").alias("cnt_b"), F.lit(0).alias("is_b"),
+    )
+    ub = cb.select(
+        "v", F.lit(None).cast("long").alias("cnt_a"), "below",
+        "cnt_b", F.lit(1).alias("is_b"),
+    )
+    u = ua.unionByName(ub)
+    wc = Window.orderBy("v", F.col("is_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = u.select(
+        "v", "cnt_a", "is_b", "cnt_b",
+        F.last(
+            F.when(F.col("is_b") == 1, F.col("below") + F.col("cnt_b")),
+            ignorenulls=True,
+        )
+        .over(wc)
+        .alias("b_le"),
+        F.last(
+            F.when(F.col("is_b") == 1, F.struct("v", "cnt_b")),
+            ignorenulls=True,
+        )
+        .over(wc)
+        .alias("last_b"),
+    ).filter(F.col("is_b") == 0)
+    scored = carried.select(
+        "cnt_a",
+        F.coalesce(
+            F.when(
+                F.col("last_b.v") == F.col("v"),
+                F.col("b_le") - F.col("last_b.cnt_b"),
+            ).otherwise(F.col("b_le")),
+            F.lit(0),
+        ).alias("b_below"),
+        F.coalesce(
+            F.when(F.col("last_b.v") == F.col("v"), F.col("last_b.cnt_b")),
+            F.lit(0),
+        ).alias("b_tied"),
+    )
+    agg = scored.agg(
+        F.sum(F.col("cnt_a").cast("decimal(38,0)") * F.col("b_below")).alias(
+            "u_strict"
+        ),
+        F.sum(F.col("cnt_a").cast("decimal(38,0)") * F.col("b_tied")).alias(
+            "ties"
+        ),
+        F.sum("cnt_a").cast("decimal(38,0)").alias("na"),
+    )
+    nb = b.agg(F.sum("cnt_b").cast("decimal(38,0)").alias("nb"))
+    return agg.crossJoin(F.broadcast(nb)).selectExpr(
+        "CAST(na AS BIGINT) AS n_urgent",
+        "CAST(nb AS BIGINT) AS n_low",
+        "CAST(u_strict AS BIGINT) AS u_strict",
+        "CAST(ties AS BIGINT) AS n_tie_pairs",
+        "CAST(((2 * u_strict + ties - na * nb) * 1000000)"
+        " DIV (na * nb) AS BIGINT) AS rank_biserial_ppm",
+    )
