@@ -17697,3 +17697,378 @@ def q315_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(((2 * u_strict + ties - na * nb) * 1000000)"
         " DIV (na * nb) AS BIGINT) AS rank_biserial_ppm",
     )
+
+
+@register(
+    "q316_ks_statistic",
+    """
+    WITH a AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders WHERE o_orderpriority = '5-LOW'),
+    u AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
+                 CAST(sum(cb) AS BIGINT) AS cb
+          FROM (SELECT v, 1 AS ca, 0 AS cb FROM a
+                UNION ALL SELECT v, 0, 1 FROM b) t
+          GROUP BY v),
+    c AS (SELECT v,
+                 sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cuma,
+                 sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cumb,
+                 sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+          FROM u)
+    SELECT CAST(max(na) AS BIGINT) AS n_urgent,
+           CAST(max(nb) AS BIGINT) AS n_low,
+           CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+           CAST((max(abs(cuma * nb - cumb * na)) * 1000000)
+                // (max(na) * max(nb)) AS BIGINT) AS ks_ppm
+    FROM c
+    """,
+)
+def q316_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV distance between urgent and
+    low-priority order values: max |F_A - F_B| over the merged value
+    grid — the whole-distribution companion to q315's U (U can miss
+    equal-median shape differences; KS cannot).  The sup runs over
+    one merged cumulative histogram, and the statistic stays EXACT
+    by cross-multiplying (|cumA·nb - cumB·na|, never the float
+    CDFs) until a single ppm division at the end."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    u = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(cents.alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionByName(
+            orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+                cents.alias("v"), F.lit(0).alias("ca"), F.lit(1).alias("cb")
+            )
+        )
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = u.select(
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return c.agg(
+        F.max("na").cast("long").alias("n_urgent"),
+        F.max("nb").cast("long").alias("n_low"),
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        )
+        .cast("long")
+        .alias("d_num"),
+        F.expr(
+            "CAST((max(abs(cuma * nb - cumb * na)) * 1000000)"
+            " DIV (max(na) * max(nb)) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
+@register(
+    "q317_runs_test",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1),
+    h AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY x),
+    cum AS (SELECT x, sum(cnt) OVER (ORDER BY x
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER () AS n
+            FROM h),
+    med AS (SELECT min(CASE WHEN 2 * cum >= n THEN x END) AS m FROM cum),
+    sgn AS (SELECT d.day,
+                   CASE WHEN d.x > med.m THEN 1 ELSE 0 END AS above
+            FROM d, med),
+    runs AS (SELECT above,
+                    CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                           OR lag(above) OVER (ORDER BY day) <> above
+                         THEN 1 ELSE 0 END AS is_new
+             FROM sgn)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+           CAST(sum(is_new) AS BIGINT) AS n_runs
+    FROM runs
+    """,
+)
+def q317_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ runs count on daily revenue: days flagged
+    above/below the exact median, consecutive same-side days fused
+    into runs — too FEW runs means sticky regimes (momentum), too
+    many means oscillation; near the 2·n_a·n_b/n+1 expectation
+    means memorylessness, q243's verdict by a test that needs no
+    moments at all.  The median is a histogram crossing, the run
+    labels are one lag window, the output is the exact integer
+    census a test table turns into a z-score."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    h = d.groupBy("x").agg(F.count("*").alias("cnt"))
+    cum = h.select(
+        "x",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    med = cum.agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("x"))).alias("m")
+    )
+    sgn = d.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    wl = Window.orderBy("day")
+    runs = sgn.select(
+        "above",
+        F.when(
+            F.lag("above").over(wl).isNull()
+            | (F.lag("above").over(wl) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return runs.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("above")).cast("long").alias("n_below"),
+        F.sum("is_new").cast("long").alias("n_runs"),
+    )
+
+
+@register(
+    "q318_durbin_watson",
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                           AS BIGINT) AS month,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               FROM orders GROUP BY 1),
+    w AS (SELECT month, cents,
+                 row_number() OVER (ORDER BY month) AS i,
+                 count(*) OVER () AS n,
+                 lag(cents, 6) OVER (ORDER BY month)
+                   + lead(cents, 6) OVER (ORDER BY month)
+                   + 2 * (sum(cents) OVER (ORDER BY month
+                                           ROWS BETWEEN 5 PRECEDING
+                                           AND 5 FOLLOWING)) AS trend_x24
+          FROM m),
+    r AS (SELECT month, 24 * cents - trend_x24 AS res
+          FROM w WHERE i > 6 AND i <= n - 6),
+    dd AS (SELECT res,
+                  res - lag(res) OVER (ORDER BY month) AS dres
+           FROM r),
+    s AS (SELECT sum(CAST(dres AS HUGEINT) * dres) AS sdd,
+                 sum(CAST(res AS HUGEINT) * res) AS srr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM dd)
+    SELECT n AS n_months,
+           CAST((sdd * 1000) // srr AS BIGINT) AS dw_permille
+    FROM s
+    """,
+)
+def q318_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON on the q219 detrended residuals: Σ(Δr)²/Σr² in
+    exact integer permille (the x24 residual units square through
+    DECIMAL/HUGEINT) — ~2000 permille means uncorrelated residuals
+    (the decomposition took all the structure), toward 0 means the
+    trend UNDER-fits (positive residual autocorrelation), toward
+    4000 over-differencing.  The standard regression-diagnostic
+    completing q287's R² — fit quality AND residual independence,
+    both ppm-exact."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    wo = Window.orderBy("month")
+    w = m.select(
+        "month",
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(
+            Window.orderBy("month").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        (
+            F.lag("cents", 6).over(wo)
+            + F.lead("cents", 6).over(wo)
+            + 2 * F.sum("cents").over(wo.rowsBetween(-5, 5))
+        ).alias("trend_x24"),
+    )
+    r = w.filter((F.col("i") > 6) & (F.col("i") <= F.col("n") - 6)).select(
+        "month", (24 * F.col("cents") - F.col("trend_x24")).alias("res")
+    )
+    dd = r.select(
+        "res", (F.col("res") - F.lag("res").over(Window.orderBy("month"))).alias("dres")
+    )
+    dr = F.col("dres").cast("decimal(38,0)")
+    rr = F.col("res").cast("decimal(38,0)")
+    s = dd.agg(
+        F.sum(dr * dr).alias("sdd"),
+        F.sum(rr * rr).alias("srr"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return s.selectExpr(
+        "n AS n_months",
+        "CAST((sdd * 1000) DIV srr AS BIGINT) AS dw_permille",
+    )
+
+
+@register(
+    "q319_hhi_trend",
+    """
+    WITH rev AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                        p.p_brand AS brand,
+                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS e4
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN part p ON l.l_partkey = p.p_partkey
+                 GROUP BY 1, 2),
+    t AS (SELECT yr, sum(e4) AS tot FROM rev GROUP BY yr)
+    SELECT rev.yr,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum((CAST(rev.e4 AS HUGEINT) * 10000 // t.tot)
+                    * (CAST(rev.e4 AS HUGEINT) * 10000 // t.tot))
+                AS BIGINT) AS hhi_x1e8
+    FROM rev JOIN t ON rev.yr = t.yr
+    GROUP BY rev.yr
+    """,
+)
+def q319_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-concentration HHI per YEAR — the antitrust index
+    (Σ share²; 10000-basis-point shares squared, so 1e8 = monopoly)
+    as a trend, answering whether the category is concentrating
+    (q180 computes daily HHI over nations; q296 shows the share
+    curves this number compresses).  Shares are floor-divided
+    integer basis points BEFORE squaring — both engines floor the
+    same way, so the index is reproducible bit-for-bit, the q133
+    philosophy applied to an index definition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum(e4).alias("e4"))
+    )
+    t = rev.groupBy("yr").agg(F.sum("e4").alias("tot"))
+    return (
+        rev.join(F.broadcast(t), "yr")
+        .selectExpr(
+            "yr",
+            "CAST(e4 AS DECIMAL(38,0)) * 10000 DIV tot AS bp",
+        )
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_brands"),
+            F.sum(F.col("bp") * F.col("bp")).cast("long").alias("hhi_x1e8"),
+        )
+    )
+
+
+@register(
+    "q320_peak_day_drill",
+    """
+    WITH daily AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+    peak AS (SELECT day FROM daily ORDER BY n DESC, day LIMIT 1),
+    hourly AS (SELECT CAST(hour(ts) AS BIGINT) AS hr,
+                      CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+               FROM events),
+    pk AS (SELECT h.hr, CAST(count(*) AS BIGINT) AS peak_count
+           FROM hourly h JOIN peak p ON h.day = p.day
+           GROUP BY h.hr),
+    avgh AS (SELECT hr, CAST(count(*) AS BIGINT) AS total,
+                    CAST(count(DISTINCT day) AS BIGINT) AS n_days
+             FROM hourly GROUP BY hr)
+    SELECT a.hr AS hour,
+           COALESCE(pk.peak_count, 0) AS peak_day_count,
+           CAST(a.total // a.n_days AS BIGINT) AS avg_day_count,
+           CAST(COALESCE(pk.peak_count, 0) * 1000
+                // (a.total // a.n_days) AS BIGINT) AS ratio_permille
+    FROM avgh a LEFT JOIN pk ON a.hr = pk.hr
+    """,
+)
+def q320_peak_day_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRILL into the busiest day: its hourly event profile side by
+    side with the average day's — the incident-review workflow
+    (find the anomaly deterministically, then explain WHEN within
+    it) in one query, the q247 pick-then-decompose pattern applied
+    to time-of-day.  The peak day is a 1-row TakeOrdered broadcast;
+    the 24-row comparison emits integer permille ratios against
+    the floor-averaged baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count("*").alias("n"))
+    peak = daily.orderBy(F.col("n").desc(), "day").limit(1).select("day")
+    hourly = ev.select(
+        F.hour("ts").cast("long").alias("hr"),
+        F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    pk = (
+        hourly.join(F.broadcast(peak), "day")
+        .groupBy("hr")
+        .agg(F.count("*").cast("long").alias("peak_count"))
+    )
+    avgh = hourly.groupBy("hr").agg(
+        F.count("*").cast("long").alias("total"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    return (
+        avgh.join(pk, "hr", "left")
+        .selectExpr(
+            "hr AS hour",
+            "COALESCE(peak_count, 0) AS peak_day_count",
+            "CAST(total DIV n_days AS BIGINT) AS avg_day_count",
+            "CAST(COALESCE(peak_count, 0) * 1000"
+            " DIV (total DIV n_days) AS BIGINT) AS ratio_permille",
+        )
+    )
