@@ -18072,3 +18072,407 @@ def q320_peak_day_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (total DIV n_days) AS BIGINT) AS ratio_permille",
         )
     )
+
+
+@register(
+    "q321_cramers_v",
+    """
+    WITH cell AS (SELECT c.c_nationkey AS nk, o.o_orderpriority AS pri,
+                         CAST(count(*) AS BIGINT) AS obs
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  GROUP BY 1, 2),
+    rx AS (SELECT nk, sum(obs) AS rn FROM cell GROUP BY nk),
+    cy AS (SELECT pri, sum(obs) AS cn FROM cell GROUP BY pri),
+    t AS (SELECT sum(obs) AS n,
+                 count(DISTINCT nk) AS r, count(DISTINCT pri) AS c
+          FROM cell),
+    chi AS (SELECT sum((CAST(cell.obs AS DOUBLE)
+                        - CAST(rx.rn AS DOUBLE) * cy.cn / t.n)
+                       * (CAST(cell.obs AS DOUBLE)
+                          - CAST(rx.rn AS DOUBLE) * cy.cn / t.n)
+                       / (CAST(rx.rn AS DOUBLE) * cy.cn / t.n)) AS chi2,
+                  max(t.n) AS n, max(t.r) AS r, max(t.c) AS c
+           FROM cell JOIN rx USING (nk) JOIN cy USING (pri) CROSS JOIN t)
+    SELECT ROUND(chi2, 6) AS chi2,
+           CAST(n AS BIGINT) AS n,
+           ROUND(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def q321_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V for nation x priority: the chi-square statistic
+    NORMALIZED to [0,1] effect size — q177 emits the per-cell terms;
+    this is the one number that says whether the association is
+    worth acting on regardless of n (chi-square grows with data even
+    for trivial effects; V does not).  Expected counts come from the
+    margins of the SAME 125-cell aggregate; the double arithmetic is
+    a fixed expression over exact integers, rounded once each for
+    chi2 and V."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cell = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    rx = cell.groupBy("nk").agg(F.sum("obs").alias("rn"))
+    cy = cell.groupBy("pri").agg(F.sum("obs").alias("cn"))
+    t = cell.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("nk").alias("r"),
+        F.countDistinct("pri").alias("c"),
+    )
+    j = (
+        cell.join(F.broadcast(rx), "nk")
+        .join(F.broadcast(cy), "pri")
+        .crossJoin(F.broadcast(t))
+    )
+    exp = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    chi = j.agg(
+        F.sum(
+            (F.col("obs").cast("double") - exp)
+            * (F.col("obs").cast("double") - exp)
+            / exp
+        ).alias("chi2"),
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+    )
+    return chi.selectExpr(
+        "ROUND(chi2, 6) AS chi2",
+        "CAST(n AS BIGINT) AS n",
+        "ROUND(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v",
+    )
+
+
+@register(
+    "q322_odds_ratio",
+    """
+    WITH u AS (SELECT user_id,
+                      CASE WHEN CAST('0x' || substr(md5(CAST(user_id
+                                                             AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 2 = 0
+                           THEN 'A1' ELSE 'A2' END AS arm
+               FROM (SELECT DISTINCT user_id FROM events) t),
+    per AS (SELECT u.arm, e.user_id,
+                   max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS converted
+            FROM events e JOIN u ON e.user_id = u.user_id
+            GROUP BY 1, 2),
+    tab AS (SELECT
+              CAST(sum(CASE WHEN arm = 'A1' AND converted = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN arm = 'A1' AND converted = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              CAST(sum(CASE WHEN arm = 'A2' AND converted = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN arm = 'A2' AND converted = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM per)
+    SELECT a, b, c, d,
+           CASE WHEN b = 0 OR c = 0 OR a = 0 OR d = 0 THEN NULL
+                ELSE ROUND(ln(CAST(a AS DOUBLE) * d
+                              / (CAST(b AS DOUBLE) * c)), 6) END
+             AS log_odds_ratio,
+           CASE WHEN b = 0 OR c = 0 OR a = 0 OR d = 0 THEN NULL
+                ELSE ROUND(1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6)
+           END AS ci_halfwidth
+    FROM tab
+    """,
+)
+def q322_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODDS RATIO with a Woolf 95% interval for the q273 A/A arms'
+    user-level conversion — the 2x2-table effect measure (log OR 0
+    within ±halfwidth is the expected A/A verdict, and the same
+    query IS the A/B readout once a real assignment replaces the
+    md5 parity).  The 2x2 cells are one exact aggregate; ln and the
+    1/a+1/b+1/c+1/d variance are fixed double expressions over
+    them, NULL-guarded for empty cells on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "A1",
+            )
+            .otherwise("A2")
+            .alias("arm"),
+        )
+    )
+    per = (
+        ev.join(F.broadcast(u), "user_id")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    tab = per.agg(
+        F.sum(
+            F.when((F.col("arm") == "A1") & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("a"),
+        F.sum(
+            F.when((F.col("arm") == "A1") & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when((F.col("arm") == "A2") & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("c"),
+        F.sum(
+            F.when((F.col("arm") == "A2") & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("d"),
+    )
+    return tab.selectExpr(
+        "a", "b", "c", "d",
+        "CASE WHEN b = 0 OR c = 0 OR a = 0 OR d = 0 THEN NULL"
+        " ELSE ROUND(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)),"
+        " 6) END AS log_odds_ratio",
+        "CASE WHEN b = 0 OR c = 0 OR a = 0 OR d = 0 THEN NULL"
+        " ELSE ROUND(1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6)"
+        " END AS ci_halfwidth",
+    )
+
+
+@register(
+    "q323_sign_test",
+    """
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                        AS day,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+               FROM orders GROUP BY 1),
+    wk AS (SELECT day // 7 AS week,
+                  CASE WHEN (day + 4) % 7 >= 5 THEN 'we' ELSE 'wd' END
+                    AS kind,
+                  x
+           FROM d),
+    per AS (SELECT week,
+                   sum(CASE WHEN kind = 'we' THEN x ELSE 0 END) AS we,
+                   sum(CASE WHEN kind = 'we' THEN 1 ELSE 0 END) AS nwe,
+                   sum(CASE WHEN kind = 'wd' THEN x ELSE 0 END) AS wd,
+                   sum(CASE WHEN kind = 'wd' THEN 1 ELSE 0 END) AS nwd
+            FROM wk GROUP BY week
+            HAVING sum(CASE WHEN kind = 'we' THEN 1 ELSE 0 END) = 2
+               AND sum(CASE WHEN kind = 'wd' THEN 1 ELSE 0 END) = 5)
+    SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+           CAST(sum(CASE WHEN we * nwd > wd * nwe THEN 1 ELSE 0 END)
+                AS BIGINT) AS weekend_wins,
+           CAST(sum(CASE WHEN we * nwd < wd * nwe THEN 1 ELSE 0 END)
+                AS BIGINT) AS weekday_wins,
+           CAST(sum(CASE WHEN we * nwd = wd * nwe THEN 1 ELSE 0 END)
+                AS BIGINT) AS ties
+    FROM per
+    """,
+)
+def q323_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED SIGN TEST: week by week, does the average weekend day
+    out-earn the average weekday?  Each complete week contributes
+    one sign — the comparison is the EXACT integer cross-product
+    we·n_wd vs wd·n_we, so no per-day float average exists — and
+    the census (wins/losses/ties over ~340 weeks) is what a
+    binomial table turns into a p-value.  The nonparametric answer
+    to q259's weekday index: same question, zero distributional
+    assumptions, and incomplete boundary weeks are excluded by an
+    exact day-count predicate rather than silently diluted."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    wk = d.select(
+        F.expr("day DIV 7").alias("week"),
+        F.when((F.col("day") + 4) % 7 >= 5, "we").otherwise("wd").alias(
+            "kind"
+        ),
+        "x",
+    )
+    per = (
+        wk.groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("kind") == "we", F.col("x")).otherwise(0)).alias("we"),
+            F.sum(F.when(F.col("kind") == "we", 1).otherwise(0)).alias("nwe"),
+            F.sum(F.when(F.col("kind") == "wd", F.col("x")).otherwise(0)).alias("wd"),
+            F.sum(F.when(F.col("kind") == "wd", 1).otherwise(0)).alias("nwd"),
+        )
+        .filter((F.col("nwe") == 2) & (F.col("nwd") == 5))
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        F.sum(
+            F.when(F.col("we") * F.col("nwd") > F.col("wd") * F.col("nwe"), 1)
+            .otherwise(0)
+        ).cast("long").alias("weekend_wins"),
+        F.sum(
+            F.when(F.col("we") * F.col("nwd") < F.col("wd") * F.col("nwe"), 1)
+            .otherwise(0)
+        ).cast("long").alias("weekday_wins"),
+        F.sum(
+            F.when(F.col("we") * F.col("nwd") == F.col("wd") * F.col("nwe"), 1)
+            .otherwise(0)
+        ).cast("long").alias("ties"),
+    )
+
+
+@register(
+    "q324_lorenz_curve",
+    """
+    WITH sp AS (SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+                FROM orders GROUP BY 1),
+    r AS (SELECT s,
+                 row_number() OVER (ORDER BY s, o_custkey) AS rk,
+                 count(*) OVER () AS n,
+                 sum(s) OVER (ORDER BY s, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(s) OVER () AS tot
+          FROM sp)
+    SELECT CAST((10 * rk) // n AS BIGINT) AS decile,
+           CAST(max(rk) AS BIGINT) AS n_customers_cum,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           CAST((CAST(max(cum) AS HUGEINT) * 1000000) // max(tot)
+                AS BIGINT) AS cum_share_ppm
+    FROM r WHERE (10 * rk) // n >= 1 GROUP BY 1
+    """,
+)
+def q324_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE points: cumulative revenue share at each customer
+    decile (poorest first) — the curve whose area q198's Gini
+    integrates, emitted as the 10-point table an equity chart plots
+    (decile 10 = 1e6 ppm by construction, the built-in checksum).
+    One ascending rank window over the per-customer aggregate,
+    crossing values read at decile boundaries; exact DECIMAL ppm."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    sp = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+    )
+    wr = Window.orderBy("s", "o_custkey")
+    r = sp.select(
+        "s",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+        F.sum("s")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("s")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+    return (
+        r.selectExpr("CAST((10 * rk) DIV n AS BIGINT) AS decile",
+                     "rk", "cum", "tot")
+        .filter(F.col("decile") >= 1)
+        .groupBy("decile")
+        .agg(
+            F.max("rk").cast("long").alias("n_customers_cum"),
+            F.max("cum").cast("long").alias("cum_cents"),
+            F.expr(
+                "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
+                " DIV max(tot) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+@register(
+    "q325_decile_ratio",
+    """
+    WITH h AS (SELECT c.c_mktsegment AS seg,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+    cum AS (SELECT seg, cents, cnt,
+                   sum(cnt) OVER (PARTITION BY seg ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY seg) AS n
+            FROM h)
+    SELECT seg AS segment, CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(min(CASE WHEN 10 * cum >= n THEN cents END) AS BIGINT)
+             AS p10_cents,
+           CAST(min(CASE WHEN 10 * cum >= 9 * n THEN cents END) AS BIGINT)
+             AS p90_cents,
+           CAST((CAST(min(CASE WHEN 10 * cum >= 9 * n THEN cents END)
+                      AS HUGEINT) * 1000)
+                // min(CASE WHEN 10 * cum >= n THEN cents END) AS BIGINT)
+             AS p90_p10_permille
+    FROM cum GROUP BY seg
+    """,
+)
+def q325_decile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P90/P10 DECILE RATIO of order values per segment — the
+    economist's scale-free dispersion number (how many of the cheap
+    orders fit inside an expensive one), robust where q303's CV²
+    is moment-based and q198's Gini aggregates the whole curve.
+    Both deciles are crossings of one per-segment histogram; the
+    ratio is integer permille in DECIMAL."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    h = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "seg",
+        "cents",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("seg")).alias("n"),
+    )
+    return cum.groupBy(F.col("seg").alias("segment")).agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("p10_cents"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("p90_cents"),
+        F.expr(
+            "CAST((CAST(min(CASE WHEN 10 * cum >= 9 * n THEN cents END)"
+            " AS DECIMAL(38,0)) * 1000)"
+            " DIV min(CASE WHEN 10 * cum >= n THEN cents END) AS BIGINT)"
+        ).alias("p90_p10_permille"),
+    )
