@@ -18476,3 +18476,409 @@ def q325_decile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV min(CASE WHEN 10 * cum >= n THEN cents END) AS BIGINT)"
         ).alias("p90_p10_permille"),
     )
+
+
+@register(
+    "q326_return_impact",
+    """
+    WITH ro AS (SELECT l_orderkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                         AS had_return
+                FROM lineitem GROUP BY 1),
+    o AS (SELECT o_custkey,
+                 CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+                 o_orderkey, r.had_return
+          FROM orders JOIN ro r ON o_orderkey = r.l_orderkey),
+    g AS (SELECT had_return,
+                 lead(day) OVER (PARTITION BY o_custkey
+                                 ORDER BY day, o_orderkey) - day AS gap
+          FROM o),
+    h AS (SELECT had_return, gap, CAST(count(*) AS BIGINT) AS cnt
+          FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+    cum AS (SELECT had_return, gap, cnt,
+                   sum(cnt) OVER (PARTITION BY had_return ORDER BY gap
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY had_return) AS n
+            FROM h)
+    SELECT CAST(had_return AS BIGINT) AS had_return,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(min(CASE WHEN 2 * cum >= n THEN gap END) AS BIGINT)
+             AS median_days_to_next,
+           CAST(min(CASE WHEN 10 * cum >= 9 * n THEN gap END) AS BIGINT)
+             AS p90_days_to_next
+    FROM cum GROUP BY had_return
+    """,
+)
+def q326_return_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a RETURN delay the next order?  Median/p90 days until
+    the customer's next purchase, split by whether the order
+    contained returned items — the churn-causality screen behind
+    every returns-policy debate (matched gaps here are the honest
+    null; a fatter returned-order tail is the alarm).  The
+    days-to-next comes from one lead() window; the split quantiles
+    are the house histogram crossings on each arm."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ro = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("had_return")
+    )
+    o = orders.join(ro, orders["o_orderkey"] == ro["l_orderkey"]).select(
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+        orders["o_orderkey"].alias("ok"),
+        "had_return",
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("day", "ok")
+    g = o.select(
+        "had_return", (F.lead("day").over(wl) - F.col("day")).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    h = g.groupBy("had_return", "gap").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("had_return")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "had_return",
+        "gap",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("had_return")).alias("n"),
+    )
+    return cum.groupBy(
+        F.col("had_return").cast("long").alias("had_return")
+    ).agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("gap")))
+        .cast("long")
+        .alias("median_days_to_next"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("gap")))
+        .cast("long")
+        .alias("p90_days_to_next"),
+    )
+
+
+@register(
+    "q327_priority_shift",
+    """
+    WITH o AS (SELECT o_custkey,
+                      CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                           THEN 0 ELSE 1 END AS half,
+                      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END AS hot
+               FROM orders),
+    per AS (SELECT o_custkey,
+                   sum(CASE WHEN half = 0 THEN hot ELSE 0 END) AS h0,
+                   sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN half = 1 THEN hot ELSE 0 END) AS h1,
+                   sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+            FROM o GROUP BY 1
+            HAVING sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN h1 * n0 > h0 * n1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS escalated,
+           CAST(sum(CASE WHEN h1 * n0 < h0 * n1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS deescalated,
+           CAST(sum(CASE WHEN h1 * n0 = h0 * n1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS unchanged
+    FROM per
+    """,
+)
+def q327_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY ESCALATION census: per customer, did the urgent+high
+    share of their orders RISE between the two eras?  The paired
+    per-entity sign comparison (q323's machinery on a behavioral
+    axis): shares compare as exact cross-products h1·n0 vs h0·n1,
+    so a customer with 2/7 then 1/3 urgent orders is compared
+    fraction-exactly with no float shares; an
+    escalated ≈ deescalated split is the stationarity null."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < "1998-01-01", 0).otherwise(1).alias(
+            "half"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hot"),
+    )
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("hot")).otherwise(0)).alias("h0"),
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("half") == 1, F.col("hot")).otherwise(0)).alias("h1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        )
+        .filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(
+            F.when(F.col("h1") * F.col("n0") > F.col("h0") * F.col("n1"), 1)
+            .otherwise(0)
+        ).cast("long").alias("escalated"),
+        F.sum(
+            F.when(F.col("h1") * F.col("n0") < F.col("h0") * F.col("n1"), 1)
+            .otherwise(0)
+        ).cast("long").alias("deescalated"),
+        F.sum(
+            F.when(F.col("h1") * F.col("n0") == F.col("h0") * F.col("n1"), 1)
+            .otherwise(0)
+        ).cast("long").alias("unchanged"),
+    )
+
+
+@register(
+    "q328_recency_weighted_value",
+    """
+    WITH mx AS (SELECT CAST(year(max(o_orderdate)) * 12
+                            + month(max(o_orderdate)) AS BIGINT) AS nowm
+                FROM orders),
+    o AS (SELECT o_custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 least(CAST(mx.nowm - (year(o_orderdate) * 12
+                                       + month(o_orderdate)) AS BIGINT),
+                       40) AS age
+          FROM orders, mx),
+    sc AS (SELECT o_custkey,
+                  sum(CAST(cents AS HUGEINT)
+                      * (CAST(1 AS BIGINT) << CAST(40 - age AS INT)))
+                    AS score
+           FROM o GROUP BY 1)
+    SELECT o_custkey AS custkey,
+           CAST(score // (CAST(1 AS BIGINT) << 40) AS BIGINT)
+             AS rfv_cents_now
+    FROM sc ORDER BY score DESC, o_custkey LIMIT 25
+    """,
+)
+def q328_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-WEIGHTED customer value: every order's cents decay by
+    half per month of age (dyadic, q220's trick at the customer
+    grain) and the top 25 emerge — the 'who matters NOW' ranking
+    where q191's RFM buckets coarsely and lifetime spend ignores
+    recency entirely.  Ages clamp at 40 months (2^-40 < 1e-12 of a
+    cent); scores accumulate as EXACT integers scaled by 2^40
+    (shifted cents — no float decay), divide back down only for
+    display.  Deterministic (score, custkey) cut."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        (F.year(F.max("o_orderdate")) * 12 + F.month(F.max("o_orderdate")))
+        .cast("long")
+        .alias("nowm")
+    )
+    o = orders.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.least(
+            F.col("nowm")
+            - (F.year("o_orderdate") * 12 + F.month("o_orderdate")),
+            F.lit(40),
+        )
+        .cast("int")
+        .alias("age"),
+    )
+    sc = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.expr("CAST(shiftleft(1L, 40 - age) AS DECIMAL(38,0))")
+        ).alias("score")
+    )
+    return (
+        sc.selectExpr(
+            "o_custkey AS custkey",
+            "CAST(score DIV CAST(shiftleft(1L, 40) AS DECIMAL(38,0))"
+            " AS BIGINT) AS rfv_cents_now",
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "custkey")
+        .limit(25)
+        .select("custkey", "rfv_cents_now")
+    )
+
+
+@register(
+    "q329_brand_audience_overlap",
+    """
+    WITH top5 AS (SELECT p_brand AS brand FROM (
+                    SELECT p.p_brand, sum(CAST(round(l.l_extendedprice
+                                                     * 100) AS BIGINT)) AS t
+                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                    GROUP BY 1)
+                  ORDER BY t DESC, brand LIMIT 5),
+    cb AS (SELECT DISTINCT c.c_custkey AS cust, p.p_brand AS brand
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_brand IN (SELECT brand FROM top5)),
+    p AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+          GROUP BY 1, 2),
+    sz AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM cb
+           GROUP BY brand)
+    SELECT p.brand_a, p.brand_b, p.n_common,
+           za.n AS n_a, zb.n AS n_b,
+           CAST((p.n_common * 1000) // (za.n + zb.n - p.n_common)
+                AS BIGINT) AS jaccard_permille
+    FROM p JOIN sz za ON p.brand_a = za.brand
+           JOIN sz zb ON p.brand_b = zb.brand
+    """,
+)
+def q329_brand_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP matrix for the top-5 brands: Jaccard of
+    their buyer sets — near-total overlap (this catalog's reality)
+    means brands don't segment customers and co-marketing
+    cannibalizes; disjoint audiences justify brand-level targeting.
+    q294's machinery (distinct membership sets joined on the
+    entity) pointed at commerce; buyer sets stay bounded by the
+    top-5 cut before any pairing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "t"
+            )
+        )
+    )
+    top5 = (
+        rev.orderBy(F.col("t").desc(), "p_brand")
+        .limit(5)
+        .select(F.col("p_brand").alias("tb"))
+    )
+    cb = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(top5), F.col("p_brand") == F.col("tb"), "left_semi")
+        .select(
+            F.col("c_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    a = cb.select(F.col("cust"), F.col("brand").alias("brand_a"))
+    b = cb.select(F.col("cust").alias("cust_b"), F.col("brand").alias("brand_b"))
+    p = (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sz = cb.groupBy("brand").agg(F.count("*").cast("long").alias("n"))
+    za = sz.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(za), "brand_a")
+        .join(F.broadcast(zb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((n_common * 1000) DIV (n_a + n_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+@register(
+    "q330_curation_scorecard",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(length(list_filter(string_split_regex(lower(text),
+                                                        '\s+'),
+                                     x -> x <> '')) AS BIGINT) AS n_tokens,
+             md5(trim(regexp_replace(lower(substr(text, 1, 100)), '\s+',
+                                     ' ', 'g'))) AS pfp,
+             CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+                  AS BIGINT) AS sentences
+      FROM documents),
+    dup AS (SELECT pfp, CAST(count(*) AS BIGINT) AS nfp,
+                   min(doc_id) AS keeper
+            FROM base GROUP BY pfp),
+    g AS (SELECT b.source,
+                 CASE WHEN b.n_tokens >= 20 THEN 1 ELSE 0 END AS g_len,
+                 CASE WHEN b.doc_id = d.keeper THEN 1 ELSE 0 END AS g_dup,
+                 CASE WHEN b.sentences > 0 THEN 1 ELSE 0 END AS g_sent
+          FROM base b JOIN dup d ON b.pfp = d.pfp)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g_len) AS BIGINT) AS pass_length,
+           CAST(sum(g_dup) AS BIGINT) AS pass_dedup,
+           CAST(sum(g_sent) AS BIGINT) AS pass_structure,
+           CAST(sum(g_len * g_dup * g_sent) AS BIGINT) AS pass_all,
+           CAST((sum(g_len * g_dup * g_sent) * 1000) // count(*)
+                AS BIGINT) AS yield_permille
+    FROM g GROUP BY source
+    """,
+)
+def q330_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION SCORECARD: per source, how many documents clear
+    each training-data gate — minimum length (q21's token contract),
+    prefix-dedup survivorship (q280's key, min-doc_id keeper), and
+    structural sanity (has sentence terminators, q229's
+    denominator guard) — plus the all-gates yield in permille: the
+    per-feed acceptance report a data-sourcing contract is settled
+    against (q65 RUNS the curation; this SCORES each feed's raw
+    quality before any pipeline spend).  Gate flags multiply so
+    pass_all is exact, one fingerprint join, one census."""
+    from .functions.textfn import normalize_ws, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(normalize_ws(F.substring(F.col("text"), 1, 100))).alias("pfp"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", ""))
+        .cast("long")
+        .alias("sentences"),
+    )
+    dup = base.groupBy("pfp").agg(F.min("doc_id").alias("keeper"))
+    g = base.join(dup, "pfp").select(
+        "source",
+        F.when(F.col("n_tokens") >= 20, 1).otherwise(0).alias("g_len"),
+        F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0).alias(
+            "g_dup"
+        ),
+        F.when(F.col("sentences") > 0, 1).otherwise(0).alias("g_sent"),
+    )
+    return g.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("g_len").cast("long").alias("pass_length"),
+        F.sum("g_dup").cast("long").alias("pass_dedup"),
+        F.sum("g_sent").cast("long").alias("pass_structure"),
+        F.sum(F.col("g_len") * F.col("g_dup") * F.col("g_sent"))
+        .cast("long")
+        .alias("pass_all"),
+        F.expr(
+            "CAST((sum(g_len * g_dup * g_sent) * 1000) DIV count(*)"
+            " AS BIGINT)"
+        ).alias("yield_permille"),
+    )
