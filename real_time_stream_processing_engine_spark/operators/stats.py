@@ -1,0 +1,249 @@
+"""Distribution-comparison statistics as exact-integer DataFrame plans.
+
+The q301+ statistics wing (queries.py) computes nonparametric
+two-sample tests and inequality curves from HISTOGRAMS, never from
+pooled per-row rank sorts or O(n²) pair walks: group → per-value
+counts → one ordered carry over the merged (or per-group cumulative)
+histogram.  That keeps the shuffle proportional to |distinct values|,
+not |rows|, and keeps every intermediate an exact integer — the final
+ratio is one DECIMAL(38,0) division emitted in ppm/permille (the q198
+overflow lesson: n·m and Σ-of-products cross int64 around 10⁹ rows²,
+so the wide-decimal hop is load-bearing, not decorative).
+
+Factored here so the queries (q315/q316/q324/q325) and the 4M-row
+scale smoke (tests/test_scale_smoke.py) drive ONE audited code path.
+
+Reference parity: the reference engine has no statistics surface at
+all (its aggregate verb is count/sum/max/min/avg per key,
+``Operators.java:13-19``); this module is north-star extension
+territory per SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "mann_whitney_u",
+    "ks_statistic",
+    "lorenz_points",
+    "grouped_quantile_crossings",
+]
+
+
+def mann_whitney_u(a: DataFrame, b: DataFrame, value_col: str = "v") -> DataFrame:
+    """Exact Mann-Whitney U between samples ``a`` and ``b`` (each a
+    DataFrame with integer ``value_col``), from histograms.
+
+    U_strict = Σ_a cnt_a · |{b < a}| via B's cumulative histogram,
+    merged against A's values with ONE union-sort carry (the as-of
+    pattern) instead of a per-value probe join; tie pairs counted
+    separately so the half-tie convention folds in as 2U+T.  Returns
+    one row: na, nb, u_strict, ties, rank_biserial_ppm where the
+    effect size is (2U+T-nm)·1e6/(nm) — all products in
+    DECIMAL(38,0) (nm·1e6 overflows int64 beyond ~3M×3M rows).
+    """
+    av = a.groupBy(F.col(value_col).alias("v")).agg(
+        F.count("*").alias("cnt_a")
+    )
+    bv = b.groupBy(F.col(value_col).alias("v")).agg(
+        F.count("*").alias("cnt_b")
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cb = bv.select(
+        "v",
+        "cnt_b",
+        F.coalesce(F.sum("cnt_b").over(wb), F.lit(0)).alias("below"),
+    )
+    ua = av.select(
+        "v", "cnt_a", F.lit(None).cast("long").alias("below"),
+        F.lit(None).cast("long").alias("cnt_b"), F.lit(0).alias("is_b"),
+    )
+    ub = cb.select(
+        "v", F.lit(None).cast("long").alias("cnt_a"), "below",
+        "cnt_b", F.lit(1).alias("is_b"),
+    )
+    u = ua.unionByName(ub)
+    wc = Window.orderBy("v", F.col("is_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = u.select(
+        "v", "cnt_a", "is_b", "cnt_b",
+        F.last(
+            F.when(F.col("is_b") == 1, F.col("below") + F.col("cnt_b")),
+            ignorenulls=True,
+        )
+        .over(wc)
+        .alias("b_le"),
+        F.last(
+            F.when(F.col("is_b") == 1, F.struct("v", "cnt_b")),
+            ignorenulls=True,
+        )
+        .over(wc)
+        .alias("last_b"),
+    ).filter(F.col("is_b") == 0)
+    scored = carried.select(
+        "cnt_a",
+        F.coalesce(
+            F.when(
+                F.col("last_b.v") == F.col("v"),
+                F.col("b_le") - F.col("last_b.cnt_b"),
+            ).otherwise(F.col("b_le")),
+            F.lit(0),
+        ).alias("b_below"),
+        F.coalesce(
+            F.when(F.col("last_b.v") == F.col("v"), F.col("last_b.cnt_b")),
+            F.lit(0),
+        ).alias("b_tied"),
+    )
+    agg = scored.agg(
+        F.sum(F.col("cnt_a").cast("decimal(38,0)") * F.col("b_below")).alias(
+            "u_strict"
+        ),
+        F.sum(F.col("cnt_a").cast("decimal(38,0)") * F.col("b_tied")).alias(
+            "ties"
+        ),
+        F.sum("cnt_a").cast("decimal(38,0)").alias("na"),
+    )
+    nb = bv.agg(F.sum("cnt_b").cast("decimal(38,0)").alias("nb"))
+    return agg.crossJoin(F.broadcast(nb)).selectExpr(
+        "CAST(na AS BIGINT) AS na",
+        "CAST(nb AS BIGINT) AS nb",
+        "CAST(u_strict AS BIGINT) AS u_strict",
+        "CAST(ties AS BIGINT) AS ties",
+        "CAST(((2 * u_strict + ties - na * nb) * 1000000)"
+        " DIV (na * nb) AS BIGINT) AS rank_biserial_ppm",
+    )
+
+
+def ks_statistic(a: DataFrame, b: DataFrame, value_col: str = "v") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance, exact: sup|F_A - F_B|
+    over the merged cumulative histogram, cross-multiplied
+    (|cumA·nb - cumB·na|) so no float CDF exists until the single
+    ppm division.  Returns one row: na, nb, d_num, ks_ppm.
+
+    The cross-multiply is the overflow surface: cum·n reaches
+    na·nb ≈ 10¹³ at 3M×3M and d_num·1e6 ≈ 10¹⁹ crosses int64, so
+    the sup and the ppm step run in DECIMAL(38,0).
+    """
+    u = (
+        a.select(
+            F.col(value_col).alias("v"),
+            F.lit(1).alias("ca"),
+            F.lit(0).alias("cb"),
+        )
+        .unionByName(
+            b.select(
+                F.col(value_col).alias("v"),
+                F.lit(0).alias("ca"),
+                F.lit(1).alias("cb"),
+            )
+        )
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = u.select(
+        F.sum("ca").over(wc).cast("decimal(38,0)").alias("cuma"),
+        F.sum("cb").over(wc).cast("decimal(38,0)").alias("cumb"),
+        F.sum("ca").over(wall).cast("decimal(38,0)").alias("na"),
+        F.sum("cb").over(wall).cast("decimal(38,0)").alias("nb"),
+    )
+    return c.agg(
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        )
+        .cast("long")
+        .alias("d_num"),
+        F.expr(
+            "CAST((max(abs(cuma * nb - cumb * na)) * 1000000)"
+            " DIV (max(na) * max(nb)) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
+def lorenz_points(keyed_sums: DataFrame, sum_col: str = "s",
+                  key_col: str = "o_custkey", n_points: int = 10) -> DataFrame:
+    """Lorenz curve: cumulative share of ``sum_col`` at each 1/n_points
+    quantile of entities ranked ascending.  One ascending rank window
+    over the per-entity aggregate; crossing values read at bucket
+    boundaries; the share is exact DECIMAL ppm.  Returns
+    (decile, n_cum, cum, cum_share_ppm) for deciles 1..n_points
+    (point n_points = 1e6 ppm by construction — the checksum).
+    """
+    wr = Window.orderBy(sum_col, key_col)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = keyed_sums.select(
+        F.col(sum_col).alias("s"),
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+        F.sum(sum_col)
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum(sum_col).over(wall).alias("tot"),
+    )
+    return (
+        r.selectExpr(
+            f"CAST(({n_points} * rk) DIV n AS BIGINT) AS decile",
+            "rk", "cum", "tot",
+        )
+        .filter(F.col("decile") >= 1)
+        .groupBy("decile")
+        .agg(
+            F.max("rk").cast("long").alias("n_cum"),
+            F.max("cum").cast("long").alias("cum"),
+            F.expr(
+                "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
+                " DIV max(tot) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+def grouped_quantile_crossings(df: DataFrame, group_col: str,
+                               value_col: str) -> DataFrame:
+    """P10/P90 per group as crossings of one per-group cumulative
+    histogram (the ``min(v) where 10·cum ≥ q·n`` form — no global
+    sort of rows, no percentile buffer), plus the P90/P10 ratio in
+    exact integer permille.  Returns (group, n, p10, p90,
+    p90_p10_permille).  The inequality quantile definition matches
+    ``ceil(q·n)``-th order statistic with ascending ranks.
+    """
+    h = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("n"),
+    )
+    return cum.groupBy(F.col("g").alias("group")).agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("p10"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("p90"),
+        F.expr(
+            "CAST((CAST(min(CASE WHEN 10 * cum >= 9 * n THEN v END)"
+            " AS DECIMAL(38,0)) * 1000)"
+            " DIV min(CASE WHEN 10 * cum >= n THEN v END) AS BIGINT)"
+        ).alias("p90_p10_permille"),
+    )

@@ -4761,7 +4761,7 @@ def _q118_sql() -> str:
     from .operators.sampling import fraction_threshold_hex
 
     t80, t90 = fraction_threshold_hex(0.8), fraction_threshold_hex(0.9)
-    return f"""
+    return rf"""
     WITH d AS (
       SELECT md5(trim(regexp_replace(lower(substr(text, 1, 100)),
                                      '\s+', ' ', 'g'))) AS fp,
@@ -4793,7 +4793,7 @@ ORACLE["q118_split_leakage_audit"] = _q118_sql()
     """
     WITH o AS (SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
                       o_custkey,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
     spine AS (SELECT n_name, unnest(generate_series(b.lo, b.hi)) AS day
@@ -4834,7 +4834,7 @@ def q122_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day"),
         "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = (
@@ -4867,7 +4867,7 @@ def q122_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
                       o_custkey,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     rev AS (SELECT n.n_name, o.day, sum(o.cents) AS rev_cents
             FROM o
@@ -4925,7 +4925,7 @@ def q123_moving_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("day"),
             "o_custkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
@@ -5531,7 +5531,7 @@ def q132_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q133_group_median_mad",
     """
     WITH o AS (SELECT o_orderpriority AS pri,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     med AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
                    median(cents) AS med_cents
@@ -5568,7 +5568,7 @@ def q133_group_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         F.col("o_orderpriority").alias("pri"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
 
     def crossing_median(df: DataFrame, group: str, val: str) -> DataFrame:
@@ -5618,7 +5618,7 @@ def q133_group_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q134_above_nation_average",
     """
     WITH c AS (SELECT c_custkey, c_name, c_nationkey,
-                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
                FROM customer)
     SELECT c.c_custkey, c.c_name, n.n_name,
            ROUND(c.cents / 100.0, 2) AS acctbal,
@@ -5643,7 +5643,7 @@ def q134_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     c = customer.select(
         "c_custkey", "c_name", "c_nationkey",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     stats = c.groupBy("c_nationkey").agg(
         F.sum("cents").alias("s"), F.count("*").alias("n")
@@ -5668,7 +5668,7 @@ def q134_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q135_revenue_share_rank",
     """
     WITH rev AS (SELECT n.n_name,
-                        sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+                        sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                  FROM orders o
                  JOIN customer c ON o.o_custkey = c.c_custkey
                  JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -5698,7 +5698,7 @@ def q135_revenue_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.select(
             "o_custkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
@@ -5756,8 +5756,8 @@ def q136_stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q137_shipping_priority",
     """
     SELECT l.l_orderkey,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS revenue_e4,
            CAST(floor(epoch(o.o_orderdate)/86400) AS BIGINT) AS orderdate,
            o.o_orderpriority
@@ -5787,8 +5787,8 @@ def q137_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l.l_orderkey,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                     AS BIGINT) AS revenue_e4,
                CAST(floor(unix_timestamp(o.o_orderdate)/86400) AS BIGINT)
                  AS orderdate,
@@ -5810,8 +5810,8 @@ def q137_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q138_local_supplier_volume",
     """
     SELECT n.n_name,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS revenue_e4
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -5839,8 +5839,8 @@ def q138_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                     AS BIGINT) AS revenue_e4
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -5862,7 +5862,7 @@ def q138_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT user_id,
                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                      CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+                      CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
                       event_id
                FROM events),
     seg AS (SELECT user_id, v_micro,
@@ -5895,7 +5895,7 @@ def q139_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "user_id",
         F.unix_timestamp("ts").cast("long").alias("sec"),
-        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v_micro"),
         "event_id",
     )
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
@@ -6034,7 +6034,7 @@ def q141_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT o_custkey,
                       CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     daily AS (SELECT n.n_name, o.day, sum(o.cents) AS rev
               FROM o
@@ -6070,7 +6070,7 @@ def q142_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
             .cast("long")
             .alias("day"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
@@ -6098,7 +6098,7 @@ def _q143_sql() -> str:
     return f"""
     WITH assigned AS (
       SELECT user_id, event_type,
-             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
              CASE WHEN substr(md5('ab1' || '|' || CAST(user_id AS VARCHAR)),
                               1, 28) < '{t50}'
                   THEN 'control' ELSE 'treatment' END AS arm
@@ -6138,7 +6138,7 @@ def q143_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ev.select(
         "user_id",
         "event_type",
-        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v_micro"),
         F.when(draw < t50, "control").otherwise("treatment").alias("arm"),
     )
     return assigned.groupBy("arm").agg(
@@ -6257,7 +6257,7 @@ def q144_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q145_embedding_profile",
     """
     WITH v AS (SELECT e.label, g.i AS dim,
-                      CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1000000)
+                      CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
                            AS BIGINT) AS micro
                FROM embeddings e CROSS JOIN generate_series(1, 64) g(i))
     SELECT label, CAST(dim AS INTEGER) AS dim,
@@ -6288,7 +6288,7 @@ def q145_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("dim0") + 1).cast("int").alias("dim"),
-        F.round(F.col("val").cast("double") * 1_000_000)
+        F.floor(F.col("val").cast("double") * 1_000_000 + F.lit(0.5))
         .cast("long")
         .alias("micro"),
     )
@@ -6699,12 +6699,12 @@ def q150_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT user_id AS entity_id,
                        CAST(epoch_us(ts) AS BIGINT) AS us,
                        'event:' || event_type AS kind,
-                       CAST(round(value * 1000000) AS BIGINT) AS amount_micro
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS amount_micro
                 FROM events),
     od AS (SELECT o_custkey AS entity_id,
                   CAST(epoch_us(o_orderdate) AS BIGINT) AS us,
                   'order:' || o_orderstatus AS kind,
-                  CAST(round(o_totalprice * 1000000) AS BIGINT)
+                  CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)
                     AS amount_micro
            FROM orders)
     SELECT entity_id, us, kind, amount_micro,
@@ -6728,10 +6728,10 @@ def q151_activity_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("entity_id"),
         F.unix_micros(F.col("ts")).alias("us"),
         F.concat(F.lit("event:"), F.col("event_type")).alias("kind"),
-        F.round(F.col("value") * 1_000_000).cast("long").alias("amount_micro"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("amount_micro"),
     )
     od = load_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 1_000_000)
+        F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5))
         .cast("long")
         .alias("amount_micro"),
         F.col("o_custkey").alias("entity_id"),
@@ -6797,7 +6797,7 @@ def q152_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT o_custkey,
                       CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     daily AS (SELECT n.n_name, o.day, sum(o.cents) AS rev
               FROM o
@@ -6856,7 +6856,7 @@ def q153_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
         .cast("long")
         .alias("day"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     daily = (
         o.join(
@@ -7101,11 +7101,11 @@ def q157_weekly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctot AS (SELECT lang, sum(cnt) AS ct FROM cw GROUP BY 1),
     vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
     model AS (SELECT cw.lang AS cls, cw.term,
-                     CAST(round(ROUND(ln((cw.cnt + 1.0) / (ct.ct + v.v)), 6)
-                                * 1000000) AS BIGINT) AS ll_micro
+                     CAST(floor(ROUND(ln((cw.cnt + 1.0) / (ct.ct + v.v)), 6)
+                                * 1000000 + 0.5) AS BIGINT) AS ll_micro
               FROM cw JOIN ctot ct ON cw.lang = ct.lang CROSS JOIN vocab v),
     ll0 AS (SELECT ct.lang AS cls,
-                   CAST(round(ROUND(ln(1.0 / (ct.ct + v.v)), 6) * 1000000)
+                   CAST(floor(ROUND(ln(1.0 / (ct.ct + v.v)), 6) * 1000000 + 0.5)
                         AS BIGINT) AS ll0_micro
             FROM ctot ct CROSS JOIN vocab v),
     dt AS (SELECT doc_id, lang, term, count(*) AS tc FROM toks
@@ -7156,7 +7156,7 @@ def q158_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = toks.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
     ctot = cw.groupBy("lang").agg(F.sum("cnt").alias("ct"))
     vocab = toks.agg(F.count_distinct("term").alias("v"))
-    micro = lambda c: F.round(F.round(c, 6) * 1_000_000).cast("long")
+    micro = lambda c: F.floor(F.round(c, 6) * 1_000_000 + F.lit(0.5)).cast("long")
     model = (
         cw.join(F.broadcast(ctot), "lang")
         .crossJoin(F.broadcast(vocab))
@@ -7220,7 +7220,7 @@ def q158_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lagd AS (
       SELECT user_id, event_id, epoch_us(ts) AS us,
-             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev
       FROM events),
@@ -7254,7 +7254,7 @@ def q159_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.select(
         "user_id",
         "ts",
-        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v_micro"),
     ).groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("w")
     ).agg(
@@ -7484,7 +7484,7 @@ def q162_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CASE WHEN o.c_custkey IS NULL THEN 'added'
                       WHEN n.c_custkey IS NULL THEN 'removed'
                       WHEN o.c_name = n.c_name
-                       AND round(o.c_acctbal * 100) = round(n.c_acctbal * 100)
+                       AND floor(o.c_acctbal * 100 + 0.5) = floor(n.c_acctbal * 100 + 0.5)
                         THEN 'unchanged'
                       ELSE 'changed' END AS status
           FROM customer o FULL OUTER JOIN new_snap n
@@ -7538,12 +7538,12 @@ def q163_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = customer.select(
         F.col("c_custkey").alias("o_key"),
         F.col("c_name").alias("o_name"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("o_cents"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("o_cents"),
     )
     new = new_snap.select(
         F.col("c_custkey").alias("n_key"),
         F.col("c_name").alias("n_name"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("n_cents"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("n_cents"),
     )
     d = old.join(new, old.o_key == new.n_key, "full_outer").select(
         F.coalesce("o_key", "n_key").alias("key"),
@@ -7570,7 +7570,7 @@ def _q164_sql() -> str:
     t = fraction_threshold_hex(0.1)  # each replica silently lost ~10%
     reps = " UNION ALL ".join(
         f"""SELECT c_custkey, c_name,
-                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
             FROM customer
             WHERE substr(md5('rep{i}' || '|' || CAST(c_custkey AS VARCHAR)),
                          1, 28) >= '{t}'"""
@@ -7606,7 +7606,7 @@ def q164_replica_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = customer.select(
         "c_custkey",
         "c_name",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     reps = None
     for i in (1, 2, 3):
@@ -7631,7 +7631,7 @@ def q164_replica_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q165_cheapest_two_hop",
     """
     WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst,
-                      min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
                         AS w
                FROM lineitem l
                JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -7680,7 +7680,7 @@ def q165_cheapest_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_suppkey",
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("w"),
         )
         .join(
             F.broadcast(orders.select("o_orderkey", "o_custkey")),
@@ -7725,10 +7725,10 @@ def q165_cheapest_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q166_array_functions",
     """
     SELECT vec_id, label,
-           CAST(round(sqrt(list_sum(list_transform(embedding,
-                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
-                       * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                ) / 1e12) * 1000000) AS BIGINT) AS norm_micro,
+           CAST(floor(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                       * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                ) / 1e12) * 1000000 + 0.5) AS BIGINT) AS norm_micro,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
              AS n_positive,
            CAST(list_sum(list_transform(
@@ -7752,19 +7752,18 @@ def q166_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond none at all (zero exchanges, plan-pinned), no
     Python."""
     emb = load_table(spark, sf_dir, "embeddings")
-    micro = "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+    micro = "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
     return emb.select(
         "vec_id",
         "label",
-        F.round(
+        F.floor(
             F.sqrt(
                 F.expr(
                     f"aggregate(embedding, 0L, (acc, x) -> acc + {micro} * {micro})"
                 )
                 / F.lit(1e12)
             )
-            * 1_000_000
-        )
+            * 1_000_000 + F.lit(0.5))
         .cast("long")
         .alias("norm_micro"),
         F.expr("size(filter(embedding, x -> x > 0))")
@@ -7786,7 +7785,7 @@ def q166_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT o_custkey,
                       CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     lo AS (SELECT min(day) AS d0 FROM o),
     daily AS (SELECT n.n_name, o.day - l.d0 AS x, sum(o.cents) AS y
@@ -7830,7 +7829,7 @@ def q167_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
         .cast("long")
         .alias("day"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     lo = o.agg(F.min("day").alias("d0"))
     daily = (
@@ -7870,7 +7869,7 @@ def q167_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q168_duplicate_payments",
     """
     WITH e AS (SELECT event_id, user_id,
-                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
                FROM events WHERE event_type = 'purchase')
     SELECT a.user_id,
@@ -7898,7 +7897,7 @@ def q168_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         F.unix_timestamp("ts").cast("long").alias("sec"),
     )
     a = e.select(
@@ -7932,7 +7931,7 @@ def q168_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
                       CAST(floor(epoch(ts)/3600) AS BIGINT) % 24 AS hour,
-                      CAST(round(value * 1000000) AS BIGINT) AS v_micro
+                      CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
                FROM events)
     SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
            CAST(hour AS BIGINT) AS hour,
@@ -7947,7 +7946,8 @@ def q169_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows assume you know the weekly shape; this measures it).
 
     Day-of-week computes PORTABLY as (epoch_day + 4) % 7 (1970-01-01
-    was a Thursday; 0=Monday) — engine date functions disagree on
+    was a Thursday, day 0 -> (0+4)%7 = 4 = Thursday, so the scale is
+    0=Sunday..6=Saturday) — engine date functions disagree on
     week start and 1- vs 0-basing, so the oracle-exact form is pure
     integer arithmetic on the epoch.  One partial-aggregated exchange
     over at most 168 cells."""
@@ -7957,7 +7957,7 @@ def q169_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.unix_timestamp("ts") / F.lit(3600)) % 24)
         .cast("long")
         .alias("hour"),
-        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v_micro"),
     )
     return (
         e.select(
@@ -7979,7 +7979,7 @@ def q169_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (SELECT o_custkey,
                       CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) // 7
                         AS week,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     w AS (SELECT n.n_name, o.week, sum(o.cents) AS rev
           FROM o
@@ -8016,7 +8016,7 @@ def q170_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("floor(unix_timestamp(o_orderdate) / 86400) div 7")
             .cast("long")
             .alias("week"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
@@ -8079,7 +8079,7 @@ def q171_stream_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q172_grouped_pandas_mad_outliers",
     """
     WITH e AS (SELECT user_id, event_id,
-                      CAST(round(value * 1000000) AS BIGINT) AS v
+                      CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
                FROM events),
     med AS (SELECT user_id, median(v) AS m FROM e GROUP BY 1),
     dev AS (SELECT e.user_id, e.event_id, e.v, abs(e.v - med.m) AS d,
@@ -8115,7 +8115,7 @@ def q172_grouped_pandas_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFr
     e = ev.select(
         "user_id",
         "event_id",
-        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v"),
     )
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -8157,7 +8157,7 @@ def q172_grouped_pandas_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFr
     """
     WITH o AS (SELECT o_custkey,
                       year(o_orderdate) * 12 + month(o_orderdate) AS ym,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     cohort AS (SELECT o_custkey, min(ym) AS m0 FROM o GROUP BY 1),
     cell AS (SELECT c.m0, o.ym - c.m0 AS age,
@@ -8192,7 +8192,7 @@ def q173_ltv_cohort_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     cohort = o.groupBy("o_custkey").agg(F.min("ym").alias("m0"))
     cell = (
@@ -8384,7 +8384,7 @@ def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q176_hierarchical_shares",
     """
     WITH o AS (SELECT o_custkey,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     rev AS (SELECT r.r_name, n.n_name, sum(o.cents) AS rev
             FROM o
@@ -8421,7 +8421,7 @@ def q176_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.select(
             "o_custkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
@@ -8520,7 +8520,7 @@ def q177_contingency_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lagd AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
              CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
-             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev
       FROM events)
@@ -8554,7 +8554,7 @@ def q178_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts")).alias("us"),
         F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day"),
-        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v_micro"),
         F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev"),
     )
     new_sess = F.when(
@@ -8937,7 +8937,7 @@ def q184_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q185_monthly_value_bands",
     """
     WITH o AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     h AS (SELECT ym, cents, count(*) AS c FROM o GROUP BY 1, 2),
     cum AS (SELECT ym, cents,
@@ -8967,7 +8967,7 @@ def q185_monthly_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     h = o.groupBy("ym", "cents").agg(F.count("*").alias("c"))
     w = Window.partitionBy("ym").orderBy("cents").rowsBetween(
@@ -9225,7 +9225,7 @@ def q188_decode_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame
     "q189_order_basket_arrays",
     """
     WITH li AS (SELECT l_orderkey, l_partkey,
-                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
                 FROM lineitem)
     SELECT l_orderkey,
            CAST(count(*) AS BIGINT) AS n_items,
@@ -9248,7 +9248,7 @@ def q189_order_basket_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = li.select(
         "l_orderkey",
         "l_partkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     return rows.groupBy("l_orderkey").agg(
         F.count("*").cast("long").alias("n_items"),
@@ -9266,7 +9266,7 @@ def q189_order_basket_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q190_pareto_revenue_share",
     """
-    WITH c AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))
+    WITH c AS (SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS cents
                FROM orders GROUP BY 1),
     h AS (SELECT cents, count(*) AS k, sum(cents) AS rev
@@ -9303,7 +9303,7 @@ def q190_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents")
     )
     h = c.groupBy("cents").agg(
         F.count("*").alias("k"), F.sum("cents").alias("rev")
@@ -9347,7 +9347,7 @@ def q190_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (SELECT o_custkey,
                       CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     mx AS (SELECT max(day) AS today FROM o),
     cust AS (SELECT o.o_custkey,
@@ -9392,7 +9392,7 @@ def q191_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
         .cast("long")
         .alias("day"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     mx = o.agg(F.max("day").alias("today"))
     cust = (
@@ -9534,18 +9534,18 @@ def q193_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
              AS ship_month,
            CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                         THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                              * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
                          ELSE 0 END) AS BIGINT) AS promo_e4,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS total_e4,
            CAST((sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                               * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
                           ELSE 0 END) * 1000000)
-                // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                // sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS promo_ppm
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
@@ -9563,8 +9563,8 @@ def q194_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
     agg = j.groupBy(
@@ -9593,18 +9593,18 @@ def q194_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
            CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
-                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                         THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                              * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
                          ELSE 0 END) AS BIGINT) AS nation7_e4,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS total_e4,
            CAST((sum(CASE WHEN sn.n_name = 'NATION_7'
-                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                               * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
                           ELSE 0 END) * 1000000)
-                // sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                // sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS share_ppm
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -9648,8 +9648,8 @@ def q195_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey")
     ).select("s_suppkey", F.col("sn.n_name").alias("supp_nation"))
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     j = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -9681,7 +9681,7 @@ def q195_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q196_idle_rich_customers",
     """
     WITH c AS (SELECT c_custkey, c_name,
-                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
                FROM customer),
     s AS (SELECT sum(cents) AS s, count(*) AS n FROM c WHERE cents > 0)
     SELECT c.c_custkey, c.c_name, ROUND(c.cents / 100.0, 2) AS acctbal
@@ -9705,7 +9705,7 @@ def q196_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cust.select(
         "c_custkey",
         "c_name",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     stats = c.filter(F.col("cents") > 0).agg(
         F.sum("cents").alias("s"), F.count("*").alias("n")
@@ -9729,10 +9729,10 @@ def q196_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q197_spearman_rank_corr",
     """
     WITH c AS (SELECT c_custkey, c_nationkey,
-                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
                FROM customer),
     sp AS (SELECT o_custkey,
-                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
            FROM orders GROUP BY 1),
     j AS (SELECT c.c_nationkey AS nk, c.c_custkey, c.bal,
                  COALESCE(sp.spend, 0) AS spend
@@ -9769,10 +9769,10 @@ def q197_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cust.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
     )
     sp = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("spend")
     )
     j = (
         c.join(sp, c["c_custkey"] == sp["o_custkey"], "left")
@@ -9808,7 +9808,7 @@ def q197_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q198_gini_order_values",
     """
     WITH o AS (SELECT c.c_nationkey AS nk, o_orderkey,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders JOIN customer c ON o_custkey = c_custkey),
     r AS (SELECT nk, cents,
                  row_number() OVER (PARTITION BY nk
@@ -9847,7 +9847,7 @@ def q198_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("c_nationkey").alias("nk"),
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     w = Window.partitionBy("nk").orderBy("cents", "o_orderkey")
     r = o.select("nk", "cents", F.row_number().over(w).alias("i"))
@@ -9872,7 +9872,7 @@ def q198_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q199_benford_first_digit",
     """
-    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+    WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
                                              AS BIGINT) AS VARCHAR),
                                   1, 1) AS BIGINT) AS digit
                FROM orders WHERE o_totalprice > 0),
@@ -9904,7 +9904,7 @@ def q199_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     d = orders.filter(F.col("o_totalprice") > 0).select(
         F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
             1,
             1,
         )
@@ -10403,7 +10403,7 @@ def q206_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                FROM orders GROUP BY 1),
     t AS (SELECT sum(cents) AS tot, count(*) AS nd FROM d),
     c AS (SELECT day, cents,
@@ -10435,7 +10435,7 @@ def q207_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     t = d.agg(F.sum("cents").alias("tot"), F.count("*").alias("nd"))
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -10594,8 +10594,8 @@ def q209_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS revenue_e4
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -10625,8 +10625,8 @@ def q210_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.alias("cn")
     sn = nation.alias("sn")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     j = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -10660,13 +10660,13 @@ def q210_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q211_supplier_rank_profile",
     """
     SELECT s_nationkey AS nationkey, s_suppkey,
-           CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
            ROUND(percent_rank() OVER w, 6) AS pct_rank,
            ROUND(cume_dist() OVER w, 6) AS cume
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey
-                 ORDER BY round(s_acctbal * 100), s_suppkey)
+                 ORDER BY floor(s_acctbal * 100 + 0.5), s_suppkey)
     """,
 )
 def q211_supplier_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10683,13 +10683,13 @@ def q211_supplier_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT s_nationkey AS nationkey, s_suppkey,
-               CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+               CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
                ROUND(percent_rank() OVER w, 6) AS pct_rank,
                ROUND(cume_dist() OVER w, 6) AS cume
         FROM {supp}
         WINDOW w AS (PARTITION BY s_nationkey
-                     ORDER BY round(s_acctbal * 100), s_suppkey)
+                     ORDER BY floor(s_acctbal * 100 + 0.5), s_suppkey)
         """,
         supp=supp,
     )
@@ -10699,7 +10699,7 @@ def q211_supplier_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q212_lateral_topn",
     """
     SELECT c.c_custkey, t.o_orderkey,
-           CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+           CAST(floor(t.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
     FROM customer c,
     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
              WHERE o.o_custkey = c.c_custkey
@@ -10720,7 +10720,7 @@ def q212_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey,
-               CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+               CAST(floor(t.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         FROM customer c,
         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                  WHERE o.o_custkey = c.c_custkey
@@ -10734,9 +10734,9 @@ def q212_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q213_ols_two_features",
     """
     WITH per AS (SELECT o.o_orderkey,
-                        CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+                        CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y,
                         CAST(count(*) AS BIGINT) AS x1,
-                        CAST(sum(CAST(round(l.l_quantity) AS BIGINT))
+                        CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
                              AS BIGINT) AS x2
                  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
                  GROUP BY o.o_orderkey, o.o_totalprice),
@@ -10790,12 +10790,12 @@ def q213_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(
             F.count("*").cast("long").alias("x1"),
-            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
             .cast("long")
             .alias("x2"),
         )
         .select(
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
             "x1",
             "x2",
         )
@@ -10839,8 +10839,8 @@ def q213_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q214_weighted_median_price",
     """
     WITH h AS (SELECT l_returnflag AS flag,
-                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-                      sum(CAST(round(l_quantity) AS BIGINT)) AS w
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                      sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS w
                FROM lineitem GROUP BY 1, 2),
     c AS (SELECT flag, cents, w,
                  sum(w) OVER (PARTITION BY flag ORDER BY cents
@@ -10868,8 +10868,8 @@ def q214_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     h = li.groupBy(
         F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("w"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).agg(F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")).alias("w"))
     wc = (
         Window.partitionBy("flag")
         .orderBy("cents")
@@ -11077,7 +11077,7 @@ def q217_behavior_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
       UNION ALL
       SELECT 'l_quantity',
-             CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR)
+             CAST(CAST(floor(l_quantity + 0.5) AS BIGINT) AS VARCHAR)
       FROM lineitem
       UNION ALL
       SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
@@ -11116,7 +11116,7 @@ def q218_column_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         """stack(5,
            'l_returnflag', CAST(l_returnflag AS STRING),
            'l_linestatus', CAST(l_linestatus AS STRING),
-           'l_quantity', CAST(CAST(round(l_quantity) AS BIGINT) AS STRING),
+           'l_quantity', CAST(CAST(floor(l_quantity + 0.5) AS BIGINT) AS STRING),
            'l_suppkey', CAST(l_suppkey AS STRING),
            'l_partkey', CAST(l_partkey AS STRING)) AS (col, val)"""
     )
@@ -11147,7 +11147,7 @@ def q218_column_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
                            AS BIGINT) AS month,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                FROM orders GROUP BY 1),
     w AS (SELECT month, cents,
                  row_number() OVER (ORDER BY month) AS i,
@@ -11181,7 +11181,7 @@ def q219_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("long")
         .alias("month")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     wo = Window.orderBy("month")
     wsum = wo.rowsBetween(-5, 5)
     w = m.select(
@@ -11234,7 +11234,7 @@ _EWMA_NUM, _EWMA_DEN = _ewma_terms()
     f"""
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                FROM orders GROUP BY 1),
     e AS (SELECT day, cents,
                  {_EWMA_NUM} AS num,
@@ -11264,7 +11264,7 @@ def q220_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     d.createOrReplaceTempView("_ewma_daily")
     return spark.sql(
         f"""
@@ -11283,7 +11283,7 @@ def q220_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
                            AS BIGINT) AS month,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                FROM orders GROUP BY 1),
     w AS (SELECT month, cents,
                  row_number() OVER (ORDER BY month) AS i,
@@ -11319,7 +11319,7 @@ def q221_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("long")
         .alias("month")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     wo = Window.orderBy("month")
     w = m.select(
         "month",
@@ -11353,8 +11353,8 @@ def q221_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q222_price_elasticity",
     """
     WITH b AS (SELECT p.p_brand AS brand,
-                      CAST(round(l.l_discount * 100) AS BIGINT) AS x,
-                      CAST(round(l.l_quantity) AS BIGINT) AS y
+                      CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+                      CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
     s AS (SELECT brand,
                  CAST(count(*) AS HUGEINT) AS n,
@@ -11388,8 +11388,8 @@ def q222_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(part), li["l_partkey"] == part["p_partkey"]
     ).select(
         F.col("p_brand").alias("brand"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
-        F.round(F.col("l_quantity")).cast("long").alias("y"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("y"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = b.groupBy("brand").agg(
@@ -11593,7 +11593,7 @@ def q225_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q226_seat_allocation",
     """
     WITH rev AS (SELECT c.c_nationkey AS nk,
-                        sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
                           AS cents
                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                  GROUP BY 1),
@@ -11639,7 +11639,7 @@ def q226_seat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
                 "cents"
             )
         )
@@ -11677,15 +11677,15 @@ def q226_seat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q227_quantile_normalize",
     """
     WITH sup AS (SELECT s_suppkey,
-                        CAST(round(s_acctbal * 100) AS BIGINT) AS bal,
-                        row_number() OVER (ORDER BY round(s_acctbal * 100),
+                        CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+                        row_number() OVER (ORDER BY floor(s_acctbal * 100 + 0.5),
                                            s_suppkey) AS rk,
                         count(*) OVER () AS n
                  FROM supplier),
     sp AS (SELECT s_suppkey, bal,
                   CAST((1000 * (rk - 1)) // (n - 1) AS BIGINT) AS permille
            FROM sup),
-    ch AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS val,
+    ch AS (SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS val,
                   CAST(count(*) AS BIGINT) AS cnt
            FROM customer GROUP BY 1),
     cc AS (SELECT val, sum(cnt) OVER (ORDER BY val
@@ -11718,7 +11718,7 @@ def q227_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     sup = supplier.select(
         "s_suppkey",
-        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal"),
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
     )
     wall = Window.orderBy("bal", "s_suppkey")
     sp = sup.select(
@@ -11735,7 +11735,7 @@ def q227_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000 * (rk - 1)) DIV (n - 1) AS BIGINT) AS permille",
     )
     ch = customer.groupBy(
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("val")
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("val")
     ).agg(F.count("*").alias("cnt"))
     cc = ch.select(
         "val",
@@ -12021,8 +12021,8 @@ def q230_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q231_abc_classification",
     """
     WITH pr AS (SELECT l_partkey AS part,
-                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                          AS e4
                 FROM lineitem GROUP BY 1),
     c AS (SELECT part, e4,
@@ -12055,8 +12055,8 @@ def q231_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(e4).alias("e4")
@@ -12096,11 +12096,11 @@ def q231_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q232_invoice_reconciliation",
     """
     WITH ls AS (SELECT l_orderkey,
-                       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                          AS line_cents
                 FROM lineitem GROUP BY 1),
     j AS (SELECT o.o_orderkey,
-                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
                  COALESCE(ls.line_cents, 0) AS line_cents
           FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
     SELECT o_orderkey, header_cents, line_cents,
@@ -12122,7 +12122,7 @@ def q232_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     ls = li.groupBy("l_orderkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
             "line_cents"
         )
     )
@@ -12130,7 +12130,7 @@ def q232_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ls, orders["o_orderkey"] == ls["l_orderkey"], "left"
     ).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias(
             "header_cents"
         ),
         F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
@@ -12153,7 +12153,7 @@ def q232_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS week,
                       CAST(year(o_orderdate) * 100 + month(o_orderdate)
                            AS BIGINT) AS month,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders)
     SELECT CASE WHEN grouping(day) = 0 THEN 'day'
                 WHEN grouping(week) = 0 THEN 'week'
@@ -12186,7 +12186,7 @@ def q233_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("long")
         .alias("month"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     d.createOrReplaceTempView("_time_rollup_d")
     return spark.sql(
@@ -12445,11 +12445,11 @@ def q236_neardup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q237_quartile_migration",
     """
     WITH pa AS (SELECT o_custkey AS ck,
-                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sp
                 FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
                 GROUP BY 1),
     pb AS (SELECT o_custkey AS ck,
-                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sp
            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
            GROUP BY 1),
     pres AS (SELECT pa.ck, pa.sp AS sa, pb.sp AS sb
@@ -12477,7 +12477,7 @@ def q237_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     pa = (
         orders.filter(F.col("o_orderdate") < "1998-01-01")
         .groupBy(F.col("o_custkey").alias("ck"))
@@ -12815,7 +12815,7 @@ def q242_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
                FROM orders GROUP BY 1),
     lags AS (SELECT day, x,
                     lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
@@ -12857,7 +12857,7 @@ def q243_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("x"))
     w = Window.orderBy("day")
     lags = d.select(
         "x", *[F.lag("x", k).over(w).alias(f"l{k}") for k in range(1, 8)]
@@ -12891,7 +12891,7 @@ def q243_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q244_log2_histogram",
     """
-    WITH b AS (SELECT CAST(length(bin(CAST(round(o_totalprice * 100)
+    WITH b AS (SELECT CAST(length(bin(CAST(floor(o_totalprice * 100 + 0.5)
                                            AS BIGINT))) - 1 AS BIGINT)
                  AS bucket
                FROM orders WHERE o_totalprice > 0),
@@ -12918,7 +12918,7 @@ def q244_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     b = orders.filter(F.col("o_totalprice") > 0).select(
         (
-            F.length(F.bin(F.round(F.col("o_totalprice") * 100).cast("long")))
+            F.length(F.bin(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")))
             - 1
         )
         .cast("long")
@@ -12939,7 +12939,7 @@ def q244_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q245_mean_triad",
     """
     WITH o AS (SELECT c.c_nationkey AS nk,
-                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                WHERE o.o_totalprice > 0)
     SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n,
@@ -12968,7 +12968,7 @@ def q245_mean_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("c_nationkey").alias("nk"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
     )
     return o.groupBy(F.col("nk").alias("nationkey")).agg(
@@ -12989,7 +12989,7 @@ def q245_mean_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q246_sample_allocation",
     """
     WITH o AS (SELECT c.c_nationkey AS nk,
-                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
     h AS (SELECT nk, cents, CAST(count(*) AS BIGINT) AS cnt
           FROM o GROUP BY 1, 2),
@@ -13040,7 +13040,7 @@ def q246_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders["o_custkey"] == F.col("c_custkey"),
     ).select(
         F.col("c_nationkey").alias("nk"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     h = o.groupBy("nk", "cents").agg(F.count("*").alias("cnt"))
     wc = (
@@ -13098,7 +13098,7 @@ def q246_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
                            AS BIGINT) AS month,
                       c.c_nationkey AS nk,
-                      sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
                         AS cents
                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                GROUP BY 1, 2),
@@ -13153,7 +13153,7 @@ def q247_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nk"),
         )
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
                 "cents"
             )
         )
@@ -13211,10 +13211,10 @@ def q247_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
                 AS BIGINT) AS revenue_e4,
-           CAST(sum(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) >= 8
+           CAST(sum(CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 8
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_discount
     FROM lineitem GROUP BY 1, 2
     """,
@@ -13231,13 +13231,13 @@ def q248_sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION rev_e4(price DOUBLE,"
         " disc DOUBLE) RETURNS BIGINT RETURN"
-        " CAST(round(price * 100) AS BIGINT)"
-        " * (100 - CAST(round(disc * 100) AS BIGINT))"
+        " CAST(floor(price * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(disc * 100 + 0.5) AS BIGINT))"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION is_deep_discount(disc DOUBLE)"
         " RETURNS INT RETURN"
-        " CASE WHEN CAST(round(disc * 100) AS BIGINT) >= 8 THEN 1 ELSE 0 END"
+        " CASE WHEN CAST(floor(disc * 100 + 0.5) AS BIGINT) >= 8 THEN 1 ELSE 0 END"
     )
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "_udf_lineitem"
@@ -13449,10 +13449,10 @@ def q251_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
                       sum(CASE WHEN o_orderpriority = '1-URGENT'
-                               THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                                ELSE 0 END) AS x,
                       sum(CASE WHEN o_orderpriority = '5-LOW'
-                               THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                               THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                                ELSE 0 END) AS y
                FROM orders GROUP BY 1),
     w AS (SELECT day,
@@ -13488,7 +13488,7 @@ def q252_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     d = orders.groupBy(
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
@@ -13620,8 +13620,8 @@ def q253_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q254_diversified_topk",
     """
     WITH pr AS (SELECT p.p_brand AS brand, l.l_partkey AS part,
-                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                           * (100 - CAST(round(l.l_discount * 100)
+                       sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l.l_discount * 100 + 0.5)
                                          AS BIGINT))) AS e4
                 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
                 GROUP BY 1, 2),
@@ -13649,8 +13649,8 @@ def q254_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     pr = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
@@ -13755,17 +13755,17 @@ def q255_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_nationkey AS nationkey,
            CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
-                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS urgent_cents,
            CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1
                          ELSE 0 END) AS BIGINT) AS urgent_n,
            CAST(sum(CASE WHEN o.o_orderpriority = '3-MEDIUM'
-                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS medium_cents,
            CAST(sum(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1
                          ELSE 0 END) AS BIGINT) AS medium_n,
            CAST(sum(CASE WHEN o.o_orderpriority = '5-LOW'
-                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS low_cents,
            CAST(sum(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1
                          ELSE 0 END) AS BIGINT) AS low_n
@@ -13784,7 +13784,7 @@ def q256_two_measure_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract possible at all)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     j = orders.join(
         F.broadcast(cust.select("c_custkey", "c_nationkey")),
         orders["o_custkey"] == F.col("c_custkey"),
@@ -13906,7 +13906,7 @@ def q258_catalog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT (CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 4)
                         % 7 AS dow,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
                FROM orders),
     a AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
                  sum(cents) AS rev FROM d GROUP BY dow),
@@ -13922,7 +13922,7 @@ def q259_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat calendar scores 1000 (rev*7*1000/total) — the seasonality
     fold at the week grain (q221 folds months, q169 folds hours).
     The weekday comes from PURE INTEGER arithmetic ((epoch_day+4)%7,
-    day 0 = Monday) — never from dayofweek()-style functions whose
+    0=Sunday..6=Saturday) — never from dayofweek()-style functions whose
     locale/first-day conventions differ BETWEEN engines; the index
     is integer permille with the x7 folded in (DECIMAL against the
     q198 overflow class)."""
@@ -13936,7 +13936,7 @@ def q259_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % 7
         ).alias("dow"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     a = d.groupBy("dow").agg(
         F.count("*").cast("long").alias("n"), F.sum("cents").alias("rev")
@@ -13953,7 +13953,7 @@ def q259_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q260_customer_concentration",
     """
     WITH sp AS (SELECT o_custkey,
-                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s
                 FROM orders GROUP BY 1),
     r AS (SELECT s, row_number() OVER (ORDER BY s DESC, o_custkey) AS rk,
                  sum(s) OVER () AS tot
@@ -13978,7 +13978,7 @@ def q260_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     sp = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("s")
     )
     r = sp.select(
         "s",
@@ -14173,7 +14173,7 @@ def q262_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q263_linear_attribution",
     """
     WITH e AS (SELECT user_id, event_id, event_type,
-                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                       CAST(epoch_us(ts) AS BIGINT) AS us
                FROM events),
     m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
@@ -14221,7 +14221,7 @@ def q263_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "user_id", "event_id", "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         F.unix_micros(F.col("ts")).alias("us"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -14273,14 +14273,14 @@ def q263_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q264_trade_balance",
     """
     WITH exp AS (SELECT s.s_nationkey AS nk,
-                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                            * (100 - CAST(round(l.l_discount * 100)
+                        sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l.l_discount * 100 + 0.5)
                                           AS BIGINT))) AS e4
                  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
                  GROUP BY 1),
     imp AS (SELECT c.c_nationkey AS nk,
-                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l.l_discount * 100)
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
                                      AS BIGINT))) AS e4
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -14308,8 +14308,8 @@ def q264_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     exp = (
         li.join(
@@ -15066,12 +15066,12 @@ def q275_exit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q276_discount_response",
     """
-    SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+    SELECT CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                 // 1000000 AS BIGINT) AS price_band_10k_cents,
-           CAST(round(l_discount * 100) AS BIGINT) // 2 * 2
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) // 2 * 2
              AS discount_band_pct,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST((sum(CAST(round(l_quantity) AS BIGINT)) * 1000)
+           CAST((sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 1000)
                 // count(*) AS BIGINT) AS qty_permille
     FROM lineitem
     GROUP BY 1, 2
@@ -15088,16 +15088,16 @@ def q276_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
         F.expr(
-            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
             " DIV 1000000 AS BIGINT)"
         ).alias("price_band_10k_cents"),
         F.expr(
-            "CAST(round(l_discount * 100) AS BIGINT) DIV 2 * 2"
+            "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) DIV 2 * 2"
         ).alias("discount_band_pct"),
     ).agg(
         F.count("*").cast("long").alias("n_items"),
         F.expr(
-            "CAST((sum(CAST(round(l_quantity) AS BIGINT)) * 1000)"
+            "CAST((sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 1000)"
             " DIV count(*) AS BIGINT)"
         ).alias("qty_permille"),
     )
@@ -15185,7 +15185,7 @@ def q277_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q278_median_ci",
     """
     WITH h AS (SELECT o_orderpriority AS pri,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
                       CAST(count(*) AS BIGINT) AS cnt
                FROM orders GROUP BY 1, 2),
     cum AS (SELECT pri, cents, cnt,
@@ -15224,7 +15224,7 @@ def q278_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     h = orders.groupBy(
         F.col("o_orderpriority").alias("pri"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     ).agg(F.count("*").alias("cnt"))
     wc = (
         Window.partitionBy("pri")
@@ -15263,7 +15263,7 @@ def q278_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
                FROM orders GROUP BY 1),
     p AS (SELECT day, x,
                  max(x) OVER (ORDER BY day
@@ -15291,7 +15291,7 @@ def q279_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("x"))
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -15494,7 +15494,7 @@ def q282_eb_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
                FROM orders GROUP BY 1),
     dw AS (SELECT day, x, (day + 4) % 7 AS dow FROM d),
     idx AS (SELECT dow, sum(x) AS dow_rev,
@@ -15521,7 +15521,7 @@ def q283_weekday_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("x"))
     dw = d.select("day", "x", ((F.col("day") + 4) % 7).alias("dow"))
     idx = dw.groupBy("dow").agg(
         F.sum("x").alias("dow_rev"),
@@ -15547,28 +15547,28 @@ def q283_weekday_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'orders.o_totalprice' AS col,
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CASE WHEN abs(o_totalprice * 100
-                                    - round(o_totalprice * 100)) > 1e-6
+                                    - floor(o_totalprice * 100 + 0.5)) > 1e-6
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_offgrid
       FROM orders
       UNION ALL
       SELECT 'lineitem.l_extendedprice',
              CAST(count(*) AS BIGINT),
              CAST(sum(CASE WHEN abs(l_extendedprice * 100
-                                    - round(l_extendedprice * 100)) > 1e-6
+                                    - floor(l_extendedprice * 100 + 0.5)) > 1e-6
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM lineitem
       UNION ALL
       SELECT 'customer.c_acctbal',
              CAST(count(*) AS BIGINT),
              CAST(sum(CASE WHEN abs(c_acctbal * 100
-                                    - round(c_acctbal * 100)) > 1e-6
+                                    - floor(c_acctbal * 100 + 0.5)) > 1e-6
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM customer
       UNION ALL
       SELECT 'supplier.s_acctbal',
              CAST(count(*) AS BIGINT),
              CAST(sum(CASE WHEN abs(s_acctbal * 100
-                                    - round(s_acctbal * 100)) > 1e-6
+                                    - floor(s_acctbal * 100 + 0.5)) > 1e-6
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM supplier)
     SELECT col, n_rows, n_offgrid,
@@ -15580,7 +15580,7 @@ def q283_weekday_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q284_cents_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CENT-GRID certification: does every money column actually sit
     on the 1/100-dollar lattice the whole inventory's
-    round(x*100)-to-integer contract assumes?  Four columns, one
+    floor(x*100 + 0.5)-to-integer contract assumes?  Four columns, one
     pass each, counting values whose double is more than 1e-6 cents
     off the grid — all zero here, which PROVES the exactness
     machinery's premise instead of assuming it (and on a feed where
@@ -15592,7 +15592,7 @@ def q284_cents_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
 
     def check(df, col, label):
-        off = F.abs(F.col(col) * 100 - F.round(F.col(col) * 100)) > 1e-6
+        off = F.abs(F.col(col) * 100 - F.floor(F.col(col) * 100 + F.lit(0.5))) > 1e-6
         return df.agg(
             F.lit(label).alias("col"),
             F.count("*").cast("long").alias("n_rows"),
@@ -15623,8 +15623,8 @@ def q284_cents_grid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q285_other_bucketing",
     """
     WITH rev AS (SELECT p.p_brand AS brand,
-                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                            * (100 - CAST(round(l.l_discount * 100)
+                        sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l.l_discount * 100 + 0.5)
                                           AS BIGINT))) AS e4
                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
                  GROUP BY 1),
@@ -15652,8 +15652,8 @@ def q285_other_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     rev = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
@@ -15683,7 +15683,7 @@ def q285_other_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q286_winsorized_mean",
     """
     WITH h AS (SELECT event_type AS t,
-                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                       CAST(count(*) AS BIGINT) AS cnt
                FROM events GROUP BY 1, 2),
     cum AS (SELECT t, cents, cnt,
@@ -15724,7 +15724,7 @@ def q286_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         F.col("event_type").alias("t"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     ).agg(F.count("*").alias("cnt"))
     wc = (
         Window.partitionBy("t")
@@ -15773,7 +15773,7 @@ def q286_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
                            AS BIGINT) AS month,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                FROM orders GROUP BY 1),
     w AS (SELECT month, cents,
                  row_number() OVER (ORDER BY month) AS i,
@@ -15818,7 +15818,7 @@ def q287_decomposition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("long")
         .alias("month")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     wo = Window.orderBy("month")
     w = m.select(
         "month",
@@ -16002,7 +16002,7 @@ def q289_partition_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'totalprice_on_cent_grid',
              CAST(count(*) AS BIGINT),
              CAST(sum(CASE WHEN abs(o_totalprice * 100
-                                    - round(o_totalprice * 100)) > 1e-6
+                                    - floor(o_totalprice * 100 + 0.5)) > 1e-6
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM orders
       UNION ALL
@@ -16074,7 +16074,7 @@ def q290_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.abs(
                     F.col("o_totalprice") * 100
-                    - F.round(F.col("o_totalprice") * 100)
+                    - F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
                 )
                 > 1e-6,
                 1,
@@ -16111,7 +16111,7 @@ def q290_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM orders GROUP BY 1),
     j AS (SELECT f.cohort,
                  o.o_custkey,
-                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
           FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey)
     SELECT cohort,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -16137,7 +16137,7 @@ def q291_tenure_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = orders.join(F.broadcast(fo), "o_custkey").select(
         "cohort",
         "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     return j.groupBy("cohort").agg(
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
@@ -16202,7 +16202,7 @@ def q292_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q293_return_rates",
     """
-    SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+    SELECT CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                 // 1000000 AS BIGINT) AS price_band_10k_cents,
            CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
@@ -16222,7 +16222,7 @@ def q293_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
         F.expr(
-            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
             " DIV 1000000 AS BIGINT)"
         ).alias("price_band_10k_cents")
     ).agg(
@@ -16307,7 +16307,7 @@ def q294_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                       CAST(month(o_orderdate) AS BIGINT) AS mo,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                FROM orders GROUP BY 1, 2)
     SELECT yr, mo, CAST(cents AS BIGINT) AS month_cents,
            CAST(sum(cents) OVER (PARTITION BY yr ORDER BY mo
@@ -16328,7 +16328,7 @@ def q295_ytd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = orders.groupBy(
         F.year("o_orderdate").cast("long").alias("yr"),
         F.month("o_orderdate").cast("long").alias("mo"),
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     w = (
         Window.partitionBy("yr")
         .orderBy("mo")
@@ -16347,8 +16347,8 @@ def q295_ytd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
                         p.p_brand AS brand,
-                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                            * (100 - CAST(round(l.l_discount * 100)
+                        sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l.l_discount * 100 + 0.5)
                                           AS BIGINT))) AS e4
                  FROM lineitem l
                  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -16386,8 +16386,8 @@ def q296_brand_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     rev = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -16569,7 +16569,7 @@ def q298_emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q299_whale_mix",
     """
     WITH sp AS (SELECT o_custkey,
-                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s
                 FROM orders GROUP BY 1),
     r AS (SELECT o_custkey,
                  CASE WHEN 10 * (row_number() OVER (ORDER BY s DESC,
@@ -16599,7 +16599,7 @@ def q299_whale_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     sp = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("s")
     )
     r = sp.select(
         "o_custkey",
@@ -16643,14 +16643,14 @@ def q299_whale_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
                         CAST(count(DISTINCT o_custkey) AS BIGINT)
                           AS n_customers,
-                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                              AS BIGINT) AS revenue_cents
                  FROM orders),
     li AS (SELECT CAST(count(*) AS BIGINT) AS n_lineitems FROM lineitem),
     topn AS (SELECT c.c_nationkey AS top_nation
              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              GROUP BY 1
-             ORDER BY sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             ORDER BY sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
                         DESC, 1
              LIMIT 1),
     docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -16690,7 +16690,7 @@ def q300_executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.agg(
         F.count("*").cast("long").alias("n_orders"),
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("revenue_cents"),
     )
@@ -16702,7 +16702,7 @@ def q300_executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("c_nationkey").alias("top_nation"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
                 "s"
             )
         )
@@ -16744,10 +16744,10 @@ def q300_executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q301_kendall_tau",
     """
     WITH c AS (SELECT c_custkey, c_nationkey,
-                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
                FROM customer),
     sp AS (SELECT o_custkey,
-                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
            FROM orders GROUP BY 1),
     j AS (SELECT c.c_nationkey AS nk, c.c_custkey AS id, c.bal,
                  COALESCE(sp.spend, 0) AS spend
@@ -16782,10 +16782,10 @@ def q301_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     c = cust.select(
         "c_custkey", "c_nationkey",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
     )
     sp = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
             "spend"
         )
     )
@@ -16833,7 +16833,7 @@ def q301_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q302_theil_index",
     """
     WITH o AS (SELECT c.c_nationkey AS nk,
-                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+                      CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS x
                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                WHERE o.o_totalprice > 0)
     SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n,
@@ -16861,7 +16861,7 @@ def q302_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("c_nationkey").alias("nk"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("x"),
         )
     )
     # the decomposed identity T = Σx·ln(x)/S - ln(S/n) keeps every
@@ -16952,7 +16952,7 @@ def q303_cadence_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                       CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
                       CAST(count(*) AS BIGINT) AS orders,
-                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                            AS BIGINT) AS cents
                FROM orders GROUP BY 1)
     SELECT yr, custs, orders, cents,
@@ -16979,7 +16979,7 @@ def q304_kpi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = orders.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
         F.countDistinct("o_custkey").cast("long").alias("custs"),
         F.count("*").cast("long").alias("orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("cents"),
     )
@@ -16999,7 +16999,7 @@ def q304_kpi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
                FROM orders GROUP BY 1)
     SELECT day, CAST(x AS BIGINT) AS day_cents,
            CAST(sum(x) OVER (ORDER BY day
@@ -17027,7 +17027,7 @@ def q305_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("x"))
     w = Window.orderBy("day").rangeBetween(-6, 0)
     return d.select(
         "day",
@@ -17041,8 +17041,8 @@ def q305_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q306_aggregation_reversal",
     """
     WITH b AS (SELECT c.c_nationkey AS nk,
-                      CAST(round(l.l_discount * 100) AS BIGINT) AS x,
-                      CAST(round(l.l_quantity) AS BIGINT) AS y
+                      CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+                      CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
                FROM lineitem l
                JOIN orders o ON l.l_orderkey = o.o_orderkey
                JOIN customer c ON o.o_custkey = c.c_custkey),
@@ -17092,8 +17092,8 @@ def q306_aggregation_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("c_nationkey").alias("nk"),
-            F.round(F.col("l_discount") * 100).cast("long").alias("x"),
-            F.round(F.col("l_quantity")).cast("long").alias("y"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("x"),
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("y"),
         )
     )
     dx = F.col("x").cast("decimal(38,0)")
@@ -17214,7 +17214,7 @@ def q307_similarity_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
                FROM orders GROUP BY 1),
     h AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY x),
     cum AS (SELECT x, cnt,
@@ -17254,7 +17254,7 @@ def q308_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("x"))
     h = d.groupBy("x").agg(F.count("*").alias("cnt"))
     cum = h.select(
         "x",
@@ -17575,9 +17575,9 @@ def q314_status_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q315_mann_whitney",
     """
-    WITH a AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    WITH a AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
                FROM orders WHERE o_orderpriority = '1-URGENT'),
-    b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    b AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
           FROM orders WHERE o_orderpriority = '5-LOW'),
     hb AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY v),
     cb AS (SELECT v, cnt,
@@ -17613,98 +17613,34 @@ def q315_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     separately (U with half-tie convention folds in as 2U+ties);
     the rank-biserial effect size (2U+T-nm)/(nm) emits in signed
     integer ppm.  ~0 here is the fixture's honest null — priorities
-    don't change prices."""
-    from pyspark.sql import Window
+    don't change prices.  Core factored to
+    :func:`operators.stats.mann_whitney_u` (shared with the 4M-row
+    scale smoke)."""
+    from .operators.stats import mann_whitney_u
 
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    a = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(cents.alias("v"))
-        .groupBy("v")
-        .agg(F.count("*").alias("cnt_a"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        cents.alias("v")
     )
-    b = (
-        orders.filter(F.col("o_orderpriority") == "5-LOW")
-        .select(cents.alias("v"))
-        .groupBy("v")
-        .agg(F.count("*").alias("cnt_b"))
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        cents.alias("v")
     )
-    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cb = b.select(
-        "v",
-        "cnt_b",
-        F.coalesce(F.sum("cnt_b").over(wb), F.lit(0)).alias("below"),
-    )
-    # merge A values against B's cumulative histogram with ONE
-    # union-sort carry (the as-of pattern) instead of a per-value probe
-    ua = a.select(
-        "v", "cnt_a", F.lit(None).cast("long").alias("below"),
-        F.lit(None).cast("long").alias("cnt_b"), F.lit(0).alias("is_b"),
-    )
-    ub = cb.select(
-        "v", F.lit(None).cast("long").alias("cnt_a"), "below",
-        "cnt_b", F.lit(1).alias("is_b"),
-    )
-    u = ua.unionByName(ub)
-    wc = Window.orderBy("v", F.col("is_b").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    carried = u.select(
-        "v", "cnt_a", "is_b", "cnt_b",
-        F.last(
-            F.when(F.col("is_b") == 1, F.col("below") + F.col("cnt_b")),
-            ignorenulls=True,
-        )
-        .over(wc)
-        .alias("b_le"),
-        F.last(
-            F.when(F.col("is_b") == 1, F.struct("v", "cnt_b")),
-            ignorenulls=True,
-        )
-        .over(wc)
-        .alias("last_b"),
-    ).filter(F.col("is_b") == 0)
-    scored = carried.select(
-        "cnt_a",
-        F.coalesce(
-            F.when(
-                F.col("last_b.v") == F.col("v"),
-                F.col("b_le") - F.col("last_b.cnt_b"),
-            ).otherwise(F.col("b_le")),
-            F.lit(0),
-        ).alias("b_below"),
-        F.coalesce(
-            F.when(F.col("last_b.v") == F.col("v"), F.col("last_b.cnt_b")),
-            F.lit(0),
-        ).alias("b_tied"),
-    )
-    agg = scored.agg(
-        F.sum(F.col("cnt_a").cast("decimal(38,0)") * F.col("b_below")).alias(
-            "u_strict"
-        ),
-        F.sum(F.col("cnt_a").cast("decimal(38,0)") * F.col("b_tied")).alias(
-            "ties"
-        ),
-        F.sum("cnt_a").cast("decimal(38,0)").alias("na"),
-    )
-    nb = b.agg(F.sum("cnt_b").cast("decimal(38,0)").alias("nb"))
-    return agg.crossJoin(F.broadcast(nb)).selectExpr(
-        "CAST(na AS BIGINT) AS n_urgent",
-        "CAST(nb AS BIGINT) AS n_low",
-        "CAST(u_strict AS BIGINT) AS u_strict",
-        "CAST(ties AS BIGINT) AS n_tie_pairs",
-        "CAST(((2 * u_strict + ties - na * nb) * 1000000)"
-        " DIV (na * nb) AS BIGINT) AS rank_biserial_ppm",
+    return mann_whitney_u(a, b).selectExpr(
+        "na AS n_urgent",
+        "nb AS n_low",
+        "u_strict",
+        "ties AS n_tie_pairs",
+        "rank_biserial_ppm",
     )
 
 
 @register(
     "q316_ks_statistic",
     """
-    WITH a AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    WITH a AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
                FROM orders WHERE o_orderpriority = '1-URGENT'),
-    b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    b AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
           FROM orders WHERE o_orderpriority = '5-LOW'),
     u AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ca,
                  CAST(sum(cb) AS BIGINT) AS cb
@@ -17733,46 +17669,21 @@ def q316_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-median shape differences; KS cannot).  The sup runs over
     one merged cumulative histogram, and the statistic stays EXACT
     by cross-multiplying (|cumA·nb - cumB·na|, never the float
-    CDFs) until a single ppm division at the end."""
-    from pyspark.sql import Window
+    CDFs) until a single ppm division at the end.  Core factored to
+    :func:`operators.stats.ks_statistic` (shared with the 4M-row
+    scale smoke)."""
+    from .operators.stats import ks_statistic
 
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    u = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(cents.alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb"))
-        .unionByName(
-            orders.filter(F.col("o_orderpriority") == "5-LOW").select(
-                cents.alias("v"), F.lit(0).alias("ca"), F.lit(1).alias("cb")
-            )
-        )
-        .groupBy("v")
-        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        cents.alias("v")
     )
-    wc = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        cents.alias("v")
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = u.select(
-        F.sum("ca").over(wc).alias("cuma"),
-        F.sum("cb").over(wc).alias("cumb"),
-        F.sum("ca").over(wall).alias("na"),
-        F.sum("cb").over(wall).alias("nb"),
-    )
-    return c.agg(
-        F.max("na").cast("long").alias("n_urgent"),
-        F.max("nb").cast("long").alias("n_low"),
-        F.max(
-            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
-        )
-        .cast("long")
-        .alias("d_num"),
-        F.expr(
-            "CAST((max(abs(cuma * nb - cumb * na)) * 1000000)"
-            " DIV (max(na) * max(nb)) AS BIGINT)"
-        ).alias("ks_ppm"),
+    return ks_statistic(a, b).selectExpr(
+        "na AS n_urgent", "nb AS n_low", "d_num", "ks_ppm"
     )
 
 
@@ -17781,7 +17692,7 @@ def q316_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
                FROM orders GROUP BY 1),
     h AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY x),
     cum AS (SELECT x, sum(cnt) OVER (ORDER BY x
@@ -17820,7 +17731,7 @@ def q317_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("x"))
     h = d.groupBy("x").agg(F.count("*").alias("cnt"))
     cum = h.select(
         "x",
@@ -17869,7 +17780,7 @@ def q317_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
                            AS BIGINT) AS month,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
                FROM orders GROUP BY 1),
     w AS (SELECT month, cents,
                  row_number() OVER (ORDER BY month) AS i,
@@ -17910,7 +17821,7 @@ def q318_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("long")
         .alias("month")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
     wo = Window.orderBy("month")
     w = m.select(
         "month",
@@ -17951,8 +17862,8 @@ def q318_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
                         p.p_brand AS brand,
-                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                            * (100 - CAST(round(l.l_discount * 100)
+                        sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l.l_discount * 100 + 0.5)
                                           AS BIGINT))) AS e4
                  FROM lineitem l
                  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -17981,8 +17892,8 @@ def q319_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
     rev = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -18257,10 +18168,10 @@ def q322_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
                         AS day,
-                      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
                FROM orders GROUP BY 1),
     wk AS (SELECT day // 7 AS week,
-                  CASE WHEN (day + 4) % 7 >= 5 THEN 'we' ELSE 'wd' END
+                  CASE WHEN (day + 4) % 7 IN (0, 6) THEN 'we' ELSE 'wd' END
                     AS kind,
                   x
            FROM d),
@@ -18284,7 +18195,9 @@ def q322_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q323_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAIRED SIGN TEST: week by week, does the average weekend day
-    out-earn the average weekday?  Each complete week contributes
+    out-earn the average weekday?  Weekend = Saturday + Sunday, i.e.
+    (epoch_day+4)%7 IN (0, 6) on the 0=Sunday..6=Saturday scale
+    (q169's formula).  Each complete week contributes
     one sign — the comparison is the EXACT integer cross-product
     we·n_wd vs wd·n_we, so no per-day float average exists — and
     the census (wins/losses/ties over ~340 weeks) is what a
@@ -18297,10 +18210,10 @@ def q323_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
         .cast("long")
         .alias("day")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("x"))
     wk = d.select(
         F.expr("day DIV 7").alias("week"),
-        F.when((F.col("day") + 4) % 7 >= 5, "we").otherwise("wd").alias(
+        F.when(((F.col("day") + 4) % 7).isin(0, 6), "we").otherwise("wd").alias(
             "kind"
         ),
         "x",
@@ -18336,7 +18249,7 @@ def q323_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q324_lorenz_curve",
     """
     WITH sp AS (SELECT o_custkey,
-                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s
                 FROM orders GROUP BY 1),
     r AS (SELECT s,
                  row_number() OVER (ORDER BY s, o_custkey) AS rk,
@@ -18359,48 +18272,20 @@ def q324_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrates, emitted as the 10-point table an equity chart plots
     (decile 10 = 1e6 ppm by construction, the built-in checksum).
     One ascending rank window over the per-customer aggregate,
-    crossing values read at decile boundaries; exact DECIMAL ppm."""
-    from pyspark.sql import Window
+    crossing values read at decile boundaries; exact DECIMAL ppm.
+    Core factored to :func:`operators.stats.lorenz_points` (shared
+    with the 2M-entity scale smoke)."""
+    from .operators.stats import lorenz_points
 
     orders = load_table(spark, sf_dir, "orders")
     sp = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("s")
     )
-    wr = Window.orderBy("s", "o_custkey")
-    r = sp.select(
-        "s",
-        F.row_number().over(wr).alias("rk"),
-        F.count("*")
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
-        F.sum("s")
-        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("s")
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("tot"),
-    )
-    return (
-        r.selectExpr("CAST((10 * rk) DIV n AS BIGINT) AS decile",
-                     "rk", "cum", "tot")
-        .filter(F.col("decile") >= 1)
-        .groupBy("decile")
-        .agg(
-            F.max("rk").cast("long").alias("n_customers_cum"),
-            F.max("cum").cast("long").alias("cum_cents"),
-            F.expr(
-                "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
-                " DIV max(tot) AS BIGINT)"
-            ).alias("cum_share_ppm"),
-        )
+    return lorenz_points(sp, sum_col="s", key_col="o_custkey").selectExpr(
+        "decile",
+        "n_cum AS n_customers_cum",
+        "cum AS cum_cents",
+        "cum_share_ppm",
     )
 
 
@@ -18408,7 +18293,7 @@ def q324_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q325_decile_ratio",
     """
     WITH h AS (SELECT c.c_mktsegment AS seg,
-                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
                       CAST(count(*) AS BIGINT) AS cnt
                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                GROUP BY 1, 2),
@@ -18435,46 +18320,28 @@ def q325_decile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders fit inside an expensive one), robust where q303's CV²
     is moment-based and q198's Gini aggregates the whole curve.
     Both deciles are crossings of one per-segment histogram; the
-    ratio is integer permille in DECIMAL."""
-    from pyspark.sql import Window
+    ratio is integer permille in DECIMAL.  Core factored to
+    :func:`operators.stats.grouped_quantile_crossings` (shared with
+    the 4M-row scale smoke)."""
+    from .operators.stats import grouped_quantile_crossings
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    h = (
-        orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
-            orders["o_custkey"] == F.col("c_custkey"),
-        )
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        )
-        .agg(F.count("*").alias("cnt"))
-    )
-    wc = (
-        Window.partitionBy("seg")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = h.select(
-        "seg",
-        "cents",
-        F.sum("cnt").over(wc).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("seg")).alias("n"),
-    )
-    return cum.groupBy(F.col("seg").alias("segment")).agg(
-        F.max("n").cast("long").alias("n_orders"),
-        F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("cents")))
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long")
-        .alias("p10_cents"),
-        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("cents")))
-        .cast("long")
-        .alias("p90_cents"),
-        F.expr(
-            "CAST((CAST(min(CASE WHEN 10 * cum >= 9 * n THEN cents END)"
-            " AS DECIMAL(38,0)) * 1000)"
-            " DIV min(CASE WHEN 10 * cum >= n THEN cents END) AS BIGINT)"
-        ).alias("p90_p10_permille"),
+        .alias("cents"),
+    )
+    return grouped_quantile_crossings(joined, "seg", "cents").selectExpr(
+        "group AS segment",
+        "n AS n_orders",
+        "p10 AS p10_cents",
+        "p90 AS p90_cents",
+        "p90_p10_permille",
     )
 
 
@@ -18644,7 +18511,7 @@ def q327_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + month(max(o_orderdate)) AS BIGINT) AS nowm
                 FROM orders),
     o AS (SELECT o_custkey,
-                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
                  least(CAST(mx.nowm - (year(o_orderdate) * 12
                                        + month(o_orderdate)) AS BIGINT),
                        40) AS age
@@ -18679,7 +18546,7 @@ def q328_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = orders.crossJoin(F.broadcast(mx)).select(
         "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         F.least(
             F.col("nowm")
             - (F.year("o_orderdate") * 12 + F.month("o_orderdate")),
@@ -18711,8 +18578,8 @@ def q328_recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q329_brand_audience_overlap",
     """
     WITH top5 AS (SELECT p_brand AS brand FROM (
-                    SELECT p.p_brand, sum(CAST(round(l.l_extendedprice
-                                                     * 100) AS BIGINT)) AS t
+                    SELECT p.p_brand, sum(CAST(floor(l.l_extendedprice
+                                                     * 100 + 0.5) AS BIGINT)) AS t
                     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
                     GROUP BY 1)
                   ORDER BY t DESC, brand LIMIT 5),
@@ -18752,7 +18619,7 @@ def q329_brand_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
                 "t"
             )
         )

@@ -893,15 +893,32 @@ def stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     COUNT DISTINCT over a sliding frame has no incremental streaming
     form; the cover-expansion turns it into dedup + tumbling count,
-    both of which DO.  Cover timestamps run up to 6 days ahead of the
-    event, so the watermark (from the ORIGINAL event times, minus the
-    2 h delay) finalizes a cover day only after its last contributing
-    source day has passed — the tail days stay open until stream end,
-    exactly the late-window semantics a batch backfill would see.
-    Stream-end output equals q126's batch answer plus the 6 trailing
-    cover days the batch day-spine filter drops (the oracle keeps
-    them; see the query docstring)."""
-    src = stream_events(spark, sf_dir)
+    both of which DO.  Stream-end output equals q126's batch answer
+    plus the 6 trailing cover days the batch day-spine filter drops
+    (the oracle keeps them; see the query docstring)."""
+    return run_to_memory_available_now(
+        sliding_wau_pipeline(stream_events(spark, sf_dir))
+    )
+
+
+def sliding_wau_pipeline(src: DataFrame) -> DataFrame:
+    """The cover-expand -> watermarked-dedup -> tumbling-count chain
+    behind :func:`stream_sliding_wau`, over any streaming events
+    source (tests feed it a choreographed multi-batch file stream).
+
+    WATERMARK SIZING: the watermark column is ``cover_day``, which
+    runs up to 6 DAYS AHEAD of the event that produced it — so the
+    lateness budget must absorb that skew.  A bare 2 h delay on
+    cover_day puts the watermark at max(event_day)+6d-2h, which is
+    AHEAD of every cover row a later in-order source day generates
+    (day d covers d..d+6, all below that mark): multi-batch runs
+    would drop those rows from the dedup operator wholesale and
+    undercount the curve.  ``6 days 2 hours`` = the 6-day cover
+    expansion + the repo's standard 2 h event lateness policy, so
+    the effective mark on EVENT time is max(event)-2h, and any event
+    within 2 h lateness lands every one of its cover rows at or
+    above the watermark (pinned multi-batch in
+    ``tests/test_sliding_wau_multibatch.py``)."""
     covered = src.select(
         F.explode(
             F.sequence(
@@ -911,9 +928,9 @@ def stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cover_day"),
         "user_id",
-    ).withWatermark("cover_day", "2 hours")
+    ).withWatermark("cover_day", "6 days 2 hours")
     uniq = covered.dropDuplicatesWithinWatermark(["cover_day", "user_id"])
-    agg = (
+    return (
         uniq.groupBy(F.window("cover_day", "1 day").alias("w"))
         .agg(F.count("*").alias("wau"))
         .select(
@@ -923,7 +940,6 @@ def stream_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau").cast("long").alias("wau"),
         )
     )
-    return run_to_memory_available_now(agg)
 
 
 def stream_binned_counts(
@@ -971,7 +987,14 @@ def stream_binned_counts(
             .groupBy("event_type", "bin")
             .agg(F.count("*").alias("n"))
         )
-        try:
+        # Only the first-batch missing-target case may fall back to
+        # merged = delta; any OTHER read failure must propagate so the
+        # checkpoint retries the batch instead of silently discarding
+        # all accumulated state (a transient FS error would otherwise
+        # reset the counts to one batch's worth).
+        if not os.path.exists(target_path):
+            merged = delta
+        else:
             prev = s.read.parquet(target_path)
             applied = prev.agg(F.max("last_batch")).head()[0]
             if applied is not None and batch_id <= applied:
@@ -982,8 +1005,6 @@ def stream_binned_counts(
                 .groupBy("event_type", "bin")
                 .agg(F.sum("n").alias("n"))
             )
-        except Exception:
-            merged = delta
         replace_contents(
             merged.withColumn("last_batch", F.lit(batch_id)), target_path
         )
@@ -1051,15 +1072,19 @@ def stream_bitmap_dau(
             .groupBy("day", "w")
             .agg(F.bit_or("bit").alias("bits"))
         )
-        try:
+        # First batch only: no target yet.  Other read errors propagate
+        # (see stream_binned_counts) — a swallowed transient failure
+        # here would OR one batch's bits over an empty table and lose
+        # every previously-set bit.
+        if not os.path.exists(target_path):
+            merged = delta
+        else:
             prev = s.read.parquet(target_path)
             merged = (
                 prev.unionByName(delta)
                 .groupBy("day", "w")
                 .agg(F.bit_or("bits").alias("bits"))
             )
-        except Exception:
-            merged = delta
         replace_contents(merged, target_path)
 
     schema, conv = read_schema_for("events", src_path)

@@ -107,3 +107,138 @@ def test_bloom_prunes_10m_probe_without_false_negatives(spark):
     # pruning: kept ~= 50k members + fpp * 10M (fpp ~ (1-e^{-3n/m})^3)
     n_kept = kept.count()
     assert n_kept < 50_000 + 0.01 * 10_000_000
+
+
+# ---------------------------------------------------------------------------
+# q301+ statistics wing at millions of rows (the q198 BIGINT-overflow
+# lesson, applied early): the factored operators in operators/stats.py
+# are driven at magnitudes where na*nb*1e6 and d_num*1e6 CROSS int64
+# (~9.2e18), so the DECIMAL(38,0) hops are load-bearing — a long-typed
+# formulation would wrap.  Oracles are exact Python bigints computed
+# from the (small) distinct-value histograms or closed forms.
+# ---------------------------------------------------------------------------
+
+from real_time_stream_processing_engine_spark.operators.stats import (  # noqa: E402
+    grouped_quantile_crossings,
+    ks_statistic,
+    lorenz_points,
+    mann_whitney_u,
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark's DIV)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_mann_whitney_exact_at_4m_x_4m(spark):
+    """4M vs 4M rows, 20k distinct values, group A shifted 3/4 of the
+    domain above B: na*nb = 1.6e13 and (2U+T-nm)*1e6 ~ 1.2e19 > int64.
+    The DataFrame result must equal the exact bigint computation from
+    the collected histograms."""
+    domain, shift, n = 20_000, 15_000, 4_000_000
+    a = spark.range(n).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(domain)) + shift).alias("v")
+    )
+    b = spark.range(n).select(
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(domain)).alias("v")
+    )
+    got = mann_whitney_u(a, b).head()
+    ha = {r.v: r.c for r in a.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    hb = {r.v: r.c for r in b.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    na, nb = sum(ha.values()), sum(hb.values())
+    bs = sorted(hb)
+    prefix, run = {}, 0
+    for v in bs:
+        prefix[v] = run
+        run += hb[v]
+    import bisect
+
+    u_strict = ties = 0
+    for v, c in ha.items():
+        i = bisect.bisect_left(bs, v)
+        below = prefix[bs[i]] if i < len(bs) and bs[i] == v else (
+            run if i == len(bs) else prefix[bs[i]]
+        )
+        u_strict += c * below
+        ties += c * hb.get(v, 0)
+    assert (got.na, got.nb) == (na, nb)
+    assert got.u_strict == u_strict
+    assert got.ties == ties
+    want_rb = _tdiv((2 * u_strict + ties - na * nb) * 1_000_000, na * nb)
+    assert got.rank_biserial_ppm == want_rb
+    assert (2 * u_strict + ties - na * nb) * 1_000_000 > 2**63  # teeth
+
+
+def test_ks_exact_at_4m_x_4m(spark):
+    """Same two samples: sup|cumA*nb - cumB*na| must equal the bigint
+    scan of the merged histograms, at a separation where d_num*1e6
+    crosses int64."""
+    domain, shift, n = 20_000, 15_000, 4_000_000
+    a = spark.range(n).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(domain)) + shift).alias("v")
+    )
+    b = spark.range(n).select(
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(domain)).alias("v")
+    )
+    got = ks_statistic(a, b).head()
+    ha = {r.v: r.c for r in a.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    hb = {r.v: r.c for r in b.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    na, nb = sum(ha.values()), sum(hb.values())
+    cuma = cumb = d_num = 0
+    for v in sorted(set(ha) | set(hb)):
+        cuma += ha.get(v, 0)
+        cumb += hb.get(v, 0)
+        d_num = max(d_num, abs(cuma * nb - cumb * na))
+    assert (got.na, got.nb) == (na, nb)
+    assert got.d_num == d_num
+    assert got.ks_ppm == _tdiv(d_num * 1_000_000, na * nb)
+    assert d_num * 1_000_000 > 2**63  # teeth
+
+
+def test_lorenz_closed_form_at_2m_entities(spark):
+    """2M entities with value (id % 1000)+1 (each value exactly 2000
+    times): every decile boundary rank, cumulative sum, and ppm share
+    has a closed form — the rank window + crossing read must hit all
+    ten exactly, and decile 10 must be 1e6 ppm (the checksum)."""
+    n, dv, per = 2_000_000, 1000, 2000
+    keyed = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % dv + 1).alias("s")
+    )
+    got = {
+        r.decile: (r.n_cum, r.cum, r.cum_share_ppm)
+        for r in lorenz_points(keyed, sum_col="s", key_col="k").collect()
+    }
+    tot = per * dv * (dv + 1) // 2
+    want = {}
+    for d in range(1, 11):
+        rk = min(n, ((d + 1) * n - 1) // 10)
+        vv = -(-rk // per)  # ceil: value at rank rk
+        cum = per * vv * (vv - 1) // 2 + (rk - per * (vv - 1)) * vv
+        want[d] = (rk, cum, cum * 1_000_000 // tot)
+    assert got == want
+    assert got[10][2] == 1_000_000
+
+
+def test_decile_ratio_closed_form_at_4m(spark):
+    """4M rows in 5 groups, per-group uniform over 10k values (80
+    each): P10/P90 crossings and the permille ratio are closed-form."""
+    rows = spark.range(4_000_000).select(
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") / 5).cast("long") % 10_000 + F.col("id") % 5).alias("v"),
+    )
+    got = {
+        r.group: (r.n, r.p10, r.p90, r.p90_p10_permille)
+        for r in grouped_quantile_crossings(rows, "g", "v").collect()
+    }
+    want = {
+        g: (
+            800_000,
+            g + 999,
+            g + 8999,
+            (g + 8999) * 1000 // (g + 999),
+        )
+        for g in range(5)
+    }
+    assert got == want
