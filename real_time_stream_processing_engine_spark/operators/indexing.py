@@ -45,18 +45,12 @@ def data_fingerprint(spark: SparkSession, source_path: str) -> dict[str, int]:
     time.  Goes through the Hadoop FS API so the same check works on
     HDFS/S3 as on the local driver testdata.  Fold the result into the
     params dict passed to :func:`params_fingerprint` so dependent index
-    manifests go stale the moment the source is rewritten."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(source_path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    n_files = total_bytes = max_mtime = 0
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        st = it.next()
-        n_files += 1
-        total_bytes += st.getLen()
-        max_mtime = max(max_mtime, st.getModificationTime())
-    return {"n_files": n_files, "bytes": total_bytes, "max_mtime_ms": max_mtime}
+    manifests go stale the moment the source is rewritten.  The walk
+    itself lives in :mod:`sources.fsmeta` (shared with the parquet
+    ts-unit sniff's staleness keying)."""
+    from ..sources.fsmeta import hadoop_tree_stats
+
+    return hadoop_tree_stats(spark, source_path)
 
 
 def source_params(spark: SparkSession, source_path: str | None) -> dict[str, Any]:
@@ -68,10 +62,16 @@ def source_params(spark: SparkSession, source_path: str | None) -> dict[str, Any
 
 
 def manifest_matches(spark: SparkSession, path: str, fingerprint: str) -> bool:
-    """True iff a completed build with the same parameters sits at path."""
+    """True iff a completed build with the same parameters sits at path.
+
+    Only the missing-manifest case (AnalysisException: no such path —
+    i.e. no completed build) maps to False; a transient read error
+    propagates rather than silently forcing a full index rebuild."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.text(f"{path}/{MANIFEST}").collect()
-    except Exception:
+    except AnalysisException:
         return False
     return len(rows) == 1 and rows[0][0] == fingerprint
 

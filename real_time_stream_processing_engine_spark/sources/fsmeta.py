@@ -1,0 +1,68 @@
+"""Shared filesystem-metadata helpers: ONE audited code path for the
+two staleness checks that had each grown their own walking logic —
+the parquet footer ts-unit sniff (sources/readers.py, keyed on a part
+file's mtime) and the index-manifest data fingerprint
+(operators/indexing.py, keyed on a tree's count/bytes/max-mtime).
+
+Both answer the same question — "has this dataset changed since I
+last looked?" — from metadata only, never a data scan:
+
+- :func:`first_part_file` + :func:`local_mtime` serve the LOCAL-FS
+  fast path (driver testdata): pick a deterministic part file, key a
+  cache on its mtime.
+- :func:`hadoop_tree_stats` serves the portable path (index builds):
+  recursive listing through the Hadoop FS API, so the same
+  fingerprint works on HDFS/S3 as on a local tempdir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def first_part_file(path: str) -> str:
+    """Deterministic representative part file of a parquet dataset.
+
+    A file path returns itself; a directory returns its first
+    data part (sorted, skipping ``_``/``.`` sidecars like _SUCCESS
+    and _manifest).  LOCAL-FS ONLY (os.listdir) — on HDFS/S3 go
+    through :func:`hadoop_tree_stats` instead."""
+    if not os.path.isdir(path):
+        return path
+    parts = sorted(
+        p
+        for p in os.listdir(path)
+        if p.endswith(".parquet") and not p.startswith(("_", "."))
+    )
+    if not parts:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    return os.path.join(path, parts[0])
+
+
+def local_mtime(path: str) -> float:
+    """Cache key for per-file metadata caches: a rewrite of the same
+    path (even with identical size) bumps mtime and invalidates."""
+    return os.path.getmtime(path)
+
+
+def hadoop_tree_stats(spark: SparkSession, path: str) -> dict[str, int]:
+    """Recursive metadata stats of a dataset tree — NO data scan.
+
+    File count, total bytes, max modification time, via the Hadoop FS
+    API (portable to HDFS/S3; the store's mtime/etag discipline is the
+    staleness contract).  The blind spot is an in-place byte flip that
+    preserves size and mtime — no metadata check can see that; callers
+    keep an explicit ``force=True`` override for it."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_files = total_bytes = max_mtime = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        n_files += 1
+        total_bytes += st.getLen()
+        max_mtime = max(max_mtime, st.getModificationTime())
+    return {"n_files": n_files, "bytes": total_bytes, "max_mtime_ms": max_mtime}

@@ -157,19 +157,14 @@ def parquet_ts_unit(path: str, col: str) -> str:
 
     LOCAL-FS ONLY (os.path listing/stat): the driver testdata is local.
     On HDFS/S3 the same sniff would go through pyarrow's filesystem
-    layer with the store's own etag/mtime as the cache key.
+    layer with the store's own etag/mtime as the cache key.  Part-file
+    selection and mtime keying live in :mod:`sources.fsmeta` (shared
+    with the index-manifest staleness check).
     """
-    f = path
-    if os.path.isdir(path):
-        parts = sorted(
-            p
-            for p in os.listdir(path)
-            if p.endswith(".parquet") and not p.startswith(("_", "."))
-        )
-        if not parts:
-            raise FileNotFoundError(f"no parquet part files under {path}")
-        f = os.path.join(path, parts[0])
-    return _parquet_ts_unit_cached(f, os.path.getmtime(f), col)
+    from .fsmeta import first_part_file, local_mtime
+
+    f = first_part_file(path)
+    return _parquet_ts_unit_cached(f, local_mtime(f), col)
 
 
 @lru_cache(maxsize=256)
