@@ -74,6 +74,36 @@ def _as_stream_dir(path: str) -> str:
     return _stage_symlink_dir("streamdir", {os.path.basename(path): path})
 
 
+def _expand_links(prefix: str, src_path: str) -> dict[str, str]:
+    """Per-part symlink map for one source table, file OR directory.
+
+    The file stream source lists a directory NON-recursively, so a
+    multi-file table (directory of part files — the multi-batch test
+    layout, and any real ingest drop zone) must be staged as one link
+    per part, not one link to the directory."""
+    if os.path.isdir(src_path):
+        parts = sorted(
+            p
+            for p in os.listdir(src_path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {src_path}")
+        return {f"{prefix}_{p}": os.path.join(src_path, p) for p in parts}
+    return {f"{prefix}.parquet": src_path}
+
+
+def _env_max_files_per_trigger() -> int | None:
+    """Harness knob: SPARK_GRAFT_STREAM_MAX_FILES forces every file-fed
+    stream into N-files-per-micro-batch mode, so the multi-batch
+    differential suite (tests/test_streaming_multibatch.py) can drive
+    the SHIPPED query functions through real micro-batch sequences
+    (watermark advances BETWEEN batches) instead of the one-shot
+    availableNow drain that hid the sliding-WAU watermark bug."""
+    v = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    return int(v) if v else None
+
+
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events table (the reference's chunk
     stream, E1).  ``maxFilesPerTrigger`` is the backpressure knob the
@@ -83,6 +113,8 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     # and stream reads can never diverge on the timestamp unit
     schema, conv = read_schema_for("events", path)
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is None:
+        max_files_per_trigger = _env_max_files_per_trigger()
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_as_stream_dir(path))
@@ -351,12 +383,15 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     generous)."""
     src_path = os.path.join(sf_dir, "events.parquet")
     d = _stage_symlink_dir(
-        "dupdir", {f"events_{c}.parquet": src_path for c in ("a", "b")}
+        "dupdir",
+        {**_expand_links("events_a", src_path), **_expand_links("events_b", src_path)},
     )
     schema, conv = read_schema_for("events", src_path)
-    src = convert_ts_cols(
-        spark.readStream.schema(schema).parquet(d), conv
-    ).withWatermark("ts", "2 hours")
+    reader = spark.readStream.schema(schema)
+    mft = _env_max_files_per_trigger()
+    if mft is not None:
+        reader = reader.option("maxFilesPerTrigger", mft)
+    src = convert_ts_cols(reader.parquet(d), conv).withWatermark("ts", "2 hours")
     deduped = src.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("cnt"))
     return run_to_memory_available_now(agg)
@@ -455,7 +490,8 @@ def stream_cdc_upsert(
 
     src_path = os.path.join(sf_dir, "events.parquet")
     d = _stage_symlink_dir(
-        "cdcdir", {f"events_{c}.parquet": src_path for c in ("a", "b")}
+        "cdcdir",
+        {**_expand_links("events_a", src_path), **_expand_links("events_b", src_path)},
     )
     if target_path is None:
         target_path = os.path.join(
@@ -751,7 +787,7 @@ def stream_countmin(
     from ..sources.readers import read_schema_for
 
     src_path = os.path.join(sf_dir, "events.parquet")
-    d = _stage_symlink_dir("cmsdir", {"events.parquet": src_path})
+    d = _stage_symlink_dir("cmsdir", _expand_links("events", src_path))
     if target_path is None:
         target_path = os.path.join(
             _scratch_dir(), f"rs_cms_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
@@ -961,7 +997,7 @@ def stream_binned_counts(
     from ..sources.readers import read_schema_for
 
     src_path = os.path.join(sf_dir, "events.parquet")
-    d = _stage_symlink_dir("psidir", {"events.parquet": src_path})
+    d = _stage_symlink_dir("psidir", _expand_links("events", src_path))
     if target_path is None:
         target_path = os.path.join(
             _scratch_dir(), f"rs_psi_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
@@ -1050,7 +1086,7 @@ def stream_bitmap_dau(
     from ..sources.readers import read_schema_for
 
     src_path = os.path.join(sf_dir, "events.parquet")
-    d = _stage_symlink_dir("daudir", {"events.parquet": src_path})
+    d = _stage_symlink_dir("daudir", _expand_links("events", src_path))
     if target_path is None:
         target_path = os.path.join(
             _scratch_dir(), f"rs_dau_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"

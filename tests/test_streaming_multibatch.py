@@ -1,0 +1,158 @@
+"""Multi-batch differential suite for EVERY file-fed streaming query.
+
+The r4 advice found a bug class the per-query tests could not see: a
+single availableNow drain commits the watermark only at batch END, so
+watermark-sizing and state-eviction mistakes (the sliding-WAU
+cover_day skew) are invisible unless the stream actually advances
+across micro-batch boundaries.  This suite closes the class for the
+WHOLE streaming inventory, not just the query that bit:
+
+- the events table is re-staged as FOUR time-ordered part files
+  (identical rows; ascending mtimes), other tables symlinked;
+- ``SPARK_GRAFT_STREAM_MAX_FILES=1`` forces every file-fed stream —
+  including the doubled-delivery and foreachBatch-sink paths — into
+  one-file-per-micro-batch mode, so each query runs a real 4-batch
+  (8 for doubled sources) sequence with the watermark advancing
+  between batches;
+- each query's stream-end answer is then held to the SAME DuckDB
+  oracle the single-batch correctness harness uses (batch twins for
+  the two rows-only queries).
+
+In-order slices keep all data inside the 2 h lateness policy, so
+stream end must STILL equal the batch answer; the deliberate
+out-of-order/late cases stay in tests/test_watermark_lateness.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stream_processing_engine_spark.queries import ORACLE, QUERIES
+from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+from .conftest import SF_SMOKE
+from .oracle import compare, duck_connection
+
+N_SLICES = 4
+
+# every streaming queries() entry with a SQL oracle
+ORACLE_BACKED = [
+    "q10_stream_running_count",
+    "q29_stream_tumbling",
+    "q30_stream_dedup",
+    "q31_stream_sessions",
+    "q37_stream_enrich",
+    "q42_stream_stream_join",
+    "q55_stream_hopping",
+    "q69_stream_cdc_upsert",
+    "q86_stream_leaderboard",
+    "q88_stream_funnel",
+    "q96_stream_outer_join",
+    "q136_stream_sliding_wau",
+    "q162_stream_psi_drift",
+    "q171_stream_bitmap_dau",
+]
+
+
+@pytest.fixture(scope="module")
+def multi_sf(spark, tmp_path_factory) -> str:
+    """sf0.001 with events split into N_SLICES time-ordered files."""
+    base = tmp_path_factory.mktemp("multisf")
+    for f in sorted(os.listdir(SF_SMOKE)):
+        if f != "events.parquet":
+            os.symlink(os.path.join(SF_SMOKE, f), str(base / f))
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).head()
+    bounds = [lo + (hi - lo) * i // N_SLICES for i in range(1, N_SLICES)]
+    edges = [None, *bounds, None]
+    ev_dir = base / "events.parquet"
+    ev_dir.mkdir()
+    # write slices with a self-describing unit (the session default is
+    # INT96, which the unit sniff rightly refuses)
+    prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    for i in range(N_SLICES):
+        s = ev
+        if edges[i] is not None:
+            s = s.filter(F.unix_timestamp("ts") >= edges[i])
+        if edges[i + 1] is not None:
+            s = s.filter(F.unix_timestamp("ts") < edges[i + 1])
+        scratch = base / f"slice{i}"
+        s.coalesce(1).write.parquet(str(scratch))
+        (part,) = glob.glob(str(scratch / "part-*.parquet"))
+        dst = ev_dir / f"part-{i:02d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+        shutil.rmtree(scratch)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+    # restaged rows must be EXACTLY the original rows
+    assert (
+        load_table(spark, str(base), "events").count() == ev.count()
+    ), "slice boundaries dropped rows"
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def one_file_per_batch():
+    os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
+    yield
+    del os.environ["SPARK_GRAFT_STREAM_MAX_FILES"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_SMOKE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_stream_multibatch_equals_oracle(name, spark, multi_sf, con, one_file_per_batch):
+    res = compare(QUERIES[name](spark, multi_sf), con, ORACLE[name])
+    assert res["ok"], (name, res)
+
+
+def test_q32_stateful_multibatch_equals_batch(spark, multi_sf, one_file_per_batch):
+    got = {
+        r.event_type: r.cnt
+        for r in QUERIES["q32_stream_stateful_count"](spark, multi_sf).collect()
+    }
+    want = {
+        r.event_type: r.cnt
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_q105_countmin_multibatch_equals_batch_sketch(spark, multi_sf, one_file_per_batch):
+    """The 4-batch merged sketch must yield the same top-10 heavy
+    hitters as a sketch built in ONE batch pass over the same rows
+    (merge associativity under real multi-batch sequencing)."""
+    from real_time_stream_processing_engine_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    streamed = QUERIES["q105_stream_countmin"](spark, multi_sf)
+    toks = load_table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").cast("string").alias("tok")
+    )
+    batch = (
+        countmin_estimate(countmin_build(toks), toks.distinct())
+        .orderBy(F.desc("est_count"), F.asc("tok"))
+        .limit(10)
+        .select(F.col("tok").alias("user_id"), "est_count")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
