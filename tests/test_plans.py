@@ -713,3 +713,44 @@ def test_sql_udf_rollup_inlines_to_codegen(spark, sf_dir):
     assert "Python" not in plan
     assert "BatchEval" not in plan
     assert _count(plan, "HashAggregate") >= 1
+
+
+def test_mann_whitney_carry_has_no_probe_join(spark, sf_dir):
+    """q315: the union-sort carry replaces the per-value probe join —
+    no SortMergeJoin anywhere; both group histograms partial-aggregate
+    (HashAggregate below and above their exchange); the only join is
+    the broadcast of the 1-row nb total."""
+    plan = _plan(spark, sf_dir, "q315_mann_whitney")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "HashAggregate") >= 4
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_ks_statistic_single_merged_histogram(spark, sf_dir):
+    """q316: one merged value histogram (union -> partial-aggregated
+    groupBy), no join at all — the sup runs in a window + final agg."""
+    plan = _plan(spark, sf_dir, "q316_ks_statistic")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "BroadcastHashJoin") == 0
+    assert _count(plan, "HashAggregate") >= 2
+    assert _count(plan, "Window") >= 1
+
+
+def test_lorenz_single_aggregate_then_window(spark, sf_dir):
+    """q324: per-customer sums partial-aggregate through ONE exchange;
+    the rank/cumsum window then sorts that bounded aggregate — the
+    fact table itself is never globally sorted."""
+    plan = _plan(spark, sf_dir, "q324_lorenz_curve")
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "HashAggregate") >= 2
+    assert _count(plan, "Window") >= 1
+
+
+def test_decile_ratio_broadcasts_dim_histogram_crossing(spark, sf_dir):
+    """q325: customer dim broadcasts (no fact shuffle for the join);
+    quantiles come from per-(segment, cents) histogram crossings —
+    partial-aggregated, no percentile ObjectHashAggregate buffer."""
+    plan = _plan(spark, sf_dir, "q325_decile_ratio")
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "ObjectHashAggregate" not in plan

@@ -59,10 +59,14 @@ ORACLE_BACKED = [
 ]
 
 
-@pytest.fixture(scope="module")
-def multi_sf(spark, tmp_path_factory) -> str:
-    """sf0.001 with events split into N_SLICES time-ordered files."""
-    base = tmp_path_factory.mktemp("multisf")
+def _stage_multi_sf(spark, base, overlap_sec: int) -> str:
+    """sf0.001 with events split into N_SLICES files delivered in
+    slice order.  ``overlap_sec > 0`` makes each slice reach BACK into
+    the previous slice's time range by that much (late rows at file
+    granularity) while keeping every row inside the 2 h lateness
+    policy: rows are assigned to slices by a deterministic hash within
+    the overlap band, so the union is still exactly the original rows.
+    """
     for f in sorted(os.listdir(SF_SMOKE)):
         if f != "events.parquet":
             os.symlink(os.path.join(SF_SMOKE, f), str(base / f))
@@ -71,7 +75,23 @@ def multi_sf(spark, tmp_path_factory) -> str:
         F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
     ).head()
     bounds = [lo + (hi - lo) * i // N_SLICES for i in range(1, N_SLICES)]
-    edges = [None, *bounds, None]
+    # each row's nominal slice; rows within overlap_sec BELOW a bound
+    # flip to the LATER slice when their hash says so (out-of-order
+    # arrival inside the watermark budget)
+    t = F.unix_timestamp("ts")
+    slice_no = F.lit(0)
+    for b in bounds:
+        slice_no = slice_no + (t >= b).cast("int")
+    if overlap_sec:
+        late = F.lit(0)
+        for b in bounds:
+            in_band = (t >= b - overlap_sec) & (t < b)
+            late = F.when(
+                in_band & (F.pmod(F.xxhash64("event_id"), F.lit(2)) == 0),
+                F.lit(1),
+            ).otherwise(late)
+        slice_no = slice_no + late
+    ev = ev.withColumn("_slice", slice_no)
     ev_dir = base / "events.parquet"
     ev_dir.mkdir()
     # write slices with a self-describing unit (the session default is
@@ -79,11 +99,7 @@ def multi_sf(spark, tmp_path_factory) -> str:
     prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     for i in range(N_SLICES):
-        s = ev
-        if edges[i] is not None:
-            s = s.filter(F.unix_timestamp("ts") >= edges[i])
-        if edges[i + 1] is not None:
-            s = s.filter(F.unix_timestamp("ts") < edges[i + 1])
+        s = ev.filter(F.col("_slice") == i).drop("_slice")
         scratch = base / f"slice{i}"
         s.coalesce(1).write.parquet(str(scratch))
         (part,) = glob.glob(str(scratch / "part-*.parquet"))
@@ -94,9 +110,24 @@ def multi_sf(spark, tmp_path_factory) -> str:
     spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
     # restaged rows must be EXACTLY the original rows
     assert (
-        load_table(spark, str(base), "events").count() == ev.count()
-    ), "slice boundaries dropped rows"
+        load_table(spark, str(base), "events").count()
+        == load_table(spark, SF_SMOKE, "events").count()
+    ), "slice assignment dropped rows"
     return str(base)
+
+
+@pytest.fixture(scope="module")
+def multi_sf(spark, tmp_path_factory) -> str:
+    """Strictly time-ordered slices."""
+    return _stage_multi_sf(spark, tmp_path_factory.mktemp("multisf"), 0)
+
+
+@pytest.fixture(scope="module")
+def multi_sf_ooo(spark, tmp_path_factory) -> str:
+    """Out-of-order at file granularity: each slice reaches 1 h back
+    into the previous one — inside the 2 h watermark budget, so
+    stream end must STILL equal the batch answer."""
+    return _stage_multi_sf(spark, tmp_path_factory.mktemp("multisf_ooo"), 3600)
 
 
 @pytest.fixture(scope="module")
@@ -116,6 +147,17 @@ def con():
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_stream_multibatch_equals_oracle(name, spark, multi_sf, con, one_file_per_batch):
     res = compare(QUERIES[name](spark, multi_sf), con, ORACLE[name])
+    assert res["ok"], (name, res)
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_stream_multibatch_out_of_order_within_watermark(
+    name, spark, multi_sf_ooo, con, one_file_per_batch
+):
+    """Late arrival at file granularity (1 h reach-back per slice,
+    inside the 2 h policy): the watermark's grace machinery must merge
+    the late rows, and stream end must still equal the batch oracle."""
+    res = compare(QUERIES[name](spark, multi_sf_ooo), con, ORACLE[name])
     assert res["ok"], (name, res)
 
 
