@@ -29,6 +29,7 @@ __all__ = [
     "ks_statistic",
     "lorenz_points",
     "grouped_quantile_crossings",
+    "distributed_cumsum",
 ]
 
 
@@ -178,6 +179,13 @@ def lorenz_points(keyed_sums: DataFrame, sum_col: str = "s",
     boundaries; the share is exact DECIMAL ppm.  Returns
     (decile, n_cum, cum, cum_share_ppm) for deciles 1..n_points
     (point n_points = 1e6 ppm by construction — the checksum).
+
+    SCALE LIMIT + SWAP: the global-order window runs its sort in one
+    task, fine to ~10⁷ entities; beyond that, build the same (rk, cum)
+    columns with :func:`distributed_cumsum` (range-partitioned
+    two-pass prefix sum, pinned equal at 2M rows in
+    tests/test_scale_smoke.py) and keep this function's tail
+    (decile bucketing over rk/cum) unchanged.
     """
     wr = Window.orderBy(sum_col, key_col)
     wall = Window.rowsBetween(
@@ -246,4 +254,87 @@ def grouped_quantile_crossings(df: DataFrame, group_col: str,
             " AS DECIMAL(38,0)) * 1000)"
             " DIV min(CASE WHEN 10 * cum >= n THEN v END) AS BIGINT)"
         ).alias("p90_p10_permille"),
+    )
+
+
+def distributed_cumsum(df: DataFrame, order_cols: list[str],
+                       value_col: str, num_partitions: int | None = None) -> DataFrame:
+    """Exact global running sum + rank WITHOUT a single-partition
+    window — the scale swap for every ``Window.orderBy(...)`` cumsum
+    in this module (Lorenz, Gini, decile boundaries), whose one-task
+    sort stops being acceptable somewhere around 10⁷-10⁸ rows.
+
+    Classic two-pass distributed prefix sum:
+
+    1. range-exchange on ``order_cols`` (``repartitionByRange`` —
+       partition p holds a contiguous key range below partition p+1)
+       and sort within each partition;
+    2. per-partition totals (count + sum) — a tiny aggregate of
+       |partitions| rows — cumulate DRIVER-SIDE into per-partition
+       offsets and broadcast-join them back;
+    3. within-partition running sum/rank (Window PARTITIONED by the
+       range-partition id — every partition's window runs in
+       parallel) plus the broadcast offsets.
+
+    Returns the input columns plus ``rk`` (1-based global rank in
+    ``order_cols`` order) and ``cum`` (inclusive running sum of
+    ``value_col``).  Ties order identically to
+    ``Window.orderBy(*order_cols)`` as long as ``order_cols`` is a
+    total order (pass a tie-break key, exactly as the window form
+    needs for determinism).  Driver traffic is |partitions| rows —
+    bounded by the cluster, not the data.
+    """
+    from pyspark.sql import Window
+
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = df.repartitionByRange(
+        int(n_parts), *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    # materialize ONCE: the offsets pass and the final pass must see
+    # the SAME partition assignment, and repartitionByRange's sampled
+    # bounds are not guaranteed identical across re-executions — an
+    # offset computed against one set of bounds applied to another
+    # silently corrupts every global rank.  (At cluster scale this is
+    # a persist to reliable storage; the sorted layout is the
+    # expensive artifact both passes want to reuse anyway.)
+    withpid = (
+        ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    )
+    # pass 1: bounded per-partition totals -> driver -> offsets
+    totals = (
+        withpid.groupBy("_pid")
+        .agg(F.count("*").alias("_n"), F.sum(value_col).alias("_s"))
+        .orderBy("_pid")
+        .collect()
+    )
+    from decimal import Decimal
+
+    off_rows, run_n, run_s = [], 0, 0
+    for r in totals:
+        off_rows.append((r._pid, run_n, Decimal(run_s)))
+        run_n += r._n
+        run_s += int(r._s) if r._s is not None else 0
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        off_rows, "_pid int, _off_n long, _off_s decimal(38,0)"
+    ) if off_rows else spark.createDataFrame(
+        [], "_pid int, _off_n long, _off_s decimal(38,0)"
+    )
+    # pass 2: parallel within-partition running sums + broadcast offsets
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        withpid.withColumn("_lrk", F.count("*").over(w))
+        .withColumn("_lcum", F.sum(value_col).over(w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("rk", (F.col("_off_n") + F.col("_lrk")).cast("long"))
+        .withColumn(
+            "cum", (F.col("_off_s") + F.col("_lcum")).cast("decimal(38,0)")
+        )
+        .drop("_pid", "_lrk", "_lcum", "_off_n", "_off_s")
     )

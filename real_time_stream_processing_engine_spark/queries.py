@@ -18749,3 +18749,50 @@ def q330_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("yield_permille"),
     )
+
+
+@register("q331_lorenz_scaled", None)
+def q331_lorenz_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q324's Lorenz curve at the 100 TB SHAPE: identical decile
+    table, but the global rank + running sum come from
+    :func:`operators.stats.distributed_cumsum` — the range-partitioned
+    two-pass prefix sum — instead of the single-task global-order
+    window.  The oracle is literally q324's (assigned below): the two
+    formulations must agree cell-for-cell, which makes this the
+    driver-checked witness that the documented scale swap is
+    drop-in-exact, not approximately equivalent.  Totals join back as
+    a broadcast 1-row aggregate; ppm stays in DECIMAL."""
+    from .operators.stats import distributed_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    sp = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("s")
+    )
+    r = distributed_cumsum(sp, ["s", "o_custkey"], "s")
+    tots = sp.agg(
+        F.count("*").alias("n"),
+        F.sum("s").cast("decimal(38,0)").alias("tot"),
+    )
+    return (
+        r.join(F.broadcast(tots))
+        .selectExpr(
+            "CAST((10 * rk) DIV n AS BIGINT) AS decile", "rk", "cum", "tot"
+        )
+        .filter(F.col("decile") >= 1)
+        .groupBy("decile")
+        .agg(
+            F.max("rk").cast("long").alias("n_customers_cum"),
+            F.max("cum").cast("long").alias("cum_cents"),
+            F.expr(
+                "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
+                " DIV max(tot) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+# q331 answers q324's exact contract through the scale-swap plan; the
+# shared oracle pins the two formulations to each other via DuckDB.
+ORACLE["q331_lorenz_scaled"] = ORACLE["q324_lorenz_curve"]

@@ -754,3 +754,15 @@ def test_decile_ratio_broadcasts_dim_histogram_crossing(spark, sf_dir):
     assert _count(plan, "BroadcastHashJoin") == 1
     assert _count(plan, "SortMergeJoin") == 0
     assert "ObjectHashAggregate" not in plan
+
+
+def test_lorenz_scaled_has_no_global_sort(spark, sf_dir):
+    """q331 (the Lorenz scale swap): every Sort in the plan is
+    per-partition (global flag false); the rank/cumsum window is
+    PARTITIONED by the range-partition id so it parallelizes, unlike
+    q324's single-task global-order window; offsets and totals arrive
+    as broadcasts, never a shuffle join."""
+    plan = _plan(spark, sf_dir, "q331_lorenz_scaled")
+    assert "], true, 0" not in plan          # no globally-sorted Sort
+    assert "windowspecdefinition(_pid" in plan
+    assert _count(plan, "SortMergeJoin") == 0

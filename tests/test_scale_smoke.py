@@ -242,3 +242,47 @@ def test_decile_ratio_closed_form_at_4m(spark):
         for g in range(5)
     }
     assert got == want
+
+
+def test_distributed_cumsum_matches_closed_form_at_2m(spark):
+    """The Lorenz scale swap: the range-partitioned two-pass prefix
+    sum must produce EXACTLY the global window's rank+cumsum — checked
+    at 2M entities against the same closed form as the window-based
+    Lorenz test, including the decile-10 ppm checksum.  No
+    single-partition global sort anywhere in the plan."""
+    from real_time_stream_processing_engine_spark.operators.stats import (
+        distributed_cumsum,
+    )
+
+    n, dv, per = 2_000_000, 1000, 2000
+    keyed = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % dv + 1).alias("s")
+    )
+    r = distributed_cumsum(keyed, ["s", "k"], "s", num_partitions=16)
+    got = {
+        row.decile: (row.n_cum, row.cum, row.ppm)
+        for row in (
+            r.selectExpr("CAST((10 * rk) DIV 2000000 AS BIGINT) AS decile",
+                         "rk", "cum")
+            .filter("decile >= 1")
+            .groupBy("decile")
+            .agg(
+                F.max("rk").cast("long").alias("n_cum"),
+                F.max("cum").cast("long").alias("cum"),
+                F.expr(
+                    "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
+                    " DIV 1001000000 AS BIGINT)"
+                ).alias("ppm"),
+            )
+            .collect()
+        )
+    }
+    tot = per * dv * (dv + 1) // 2
+    assert tot == 1_001_000_000
+    want = {}
+    for d in range(1, 11):
+        rk = min(n, ((d + 1) * n - 1) // 10)
+        vv = -(-rk // per)
+        cum = per * vv * (vv - 1) // 2 + (rk - per * (vv - 1)) * vv
+        want[d] = (rk, cum, cum * 1_000_000 // tot)
+    assert got == want
