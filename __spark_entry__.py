@@ -29,7 +29,7 @@ _RISK_ORDER = [
     # hash mismatch; q323's corrected Sat+Sun weekend), then q243+ —
     # the tail that driver rounds r1-r4 never reached (only the local
     # harness has verified them)
-    "q232", "q323", "q331",
+    "q232", "q323", "q331", "q332",
     "q243", "q244", "q245", "q246", "q247", "q248", "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257", "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265", "q266", "q267", "q268", "q269", "q270", "q271", "q272", "q273", "q274", "q275", "q276", "q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284", "q285", "q286", "q287", "q288", "q289", "q290",
     "q291", "q292", "q293", "q294", "q295", "q296", "q297", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q309", "q310", "q311", "q312", "q313", "q314", "q315", "q316", "q317", "q318", "q319", "q320", "q321", "q322", "q324", "q325", "q326", "q327", "q328", "q329", "q330",
     # round-4 wave (driver-verified in r4)

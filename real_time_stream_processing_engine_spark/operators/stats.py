@@ -258,7 +258,8 @@ def grouped_quantile_crossings(df: DataFrame, group_col: str,
 
 
 def distributed_cumsum(df: DataFrame, order_cols: list[str],
-                       value_col: str, num_partitions: int | None = None) -> DataFrame:
+                       value_col: str, num_partitions: int | None = None,
+                       group_cols: list[str] | None = None) -> DataFrame:
     """Exact global running sum + rank WITHOUT a single-partition
     window — the scale swap for every ``Window.orderBy(...)`` cumsum
     in this module (Lorenz, Gini, decile boundaries), whose one-task
@@ -283,15 +284,25 @@ def distributed_cumsum(df: DataFrame, order_cols: list[str],
     total order (pass a tie-break key, exactly as the window form
     needs for determinism).  Driver traffic is |partitions| rows —
     bounded by the cluster, not the data.
+
+    ``group_cols`` generalizes the swap to GROUPED cumulative sums
+    (``Window.partitionBy(g).orderBy(...)``) whose skew problem is one
+    giant group in one window task (q198's per-nation rank: 25 tasks
+    each carrying 1/25 of all orders).  Groups range-partition
+    CONTIGUOUSLY ahead of the order keys — a huge group spans several
+    partitions, each handled in parallel — and rk/cum restart per
+    group via per-(partition, group) offsets (≤ |partitions| +
+    |groups spanning a boundary| rows of driver traffic).
     """
     from pyspark.sql import Window
 
+    gcols = list(group_cols or [])
     n_parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
     ranged = df.repartitionByRange(
-        int(n_parts), *[F.col(c) for c in order_cols]
-    ).sortWithinPartitions(*order_cols)
+        int(n_parts), *[F.col(c) for c in (*gcols, *order_cols)]
+    ).sortWithinPartitions(*gcols, *order_cols)
     # materialize ONCE: the offsets pass and the final pass must see
     # the SAME partition assignment, and repartitionByRange's sampled
     # bounds are not guaranteed identical across re-executions — an
@@ -302,36 +313,40 @@ def distributed_cumsum(df: DataFrame, order_cols: list[str],
     withpid = (
         ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     )
-    # pass 1: bounded per-partition totals -> driver -> offsets
+    # pass 1: bounded per-(partition[, group]) totals -> driver -> offsets
     totals = (
-        withpid.groupBy("_pid")
+        withpid.groupBy("_pid", *gcols)
         .agg(F.count("*").alias("_n"), F.sum(value_col).alias("_s"))
         .orderBy("_pid")
         .collect()
     )
     from decimal import Decimal
 
-    off_rows, run_n, run_s = [], 0, 0
+    off_rows, runs = [], {}
     for r in totals:
-        off_rows.append((r._pid, run_n, Decimal(run_s)))
-        run_n += r._n
-        run_s += int(r._s) if r._s is not None else 0
+        gkey = tuple(r[c] for c in gcols)
+        run_n, run_s = runs.get(gkey, (0, 0))
+        off_rows.append((r._pid, *gkey, run_n, Decimal(run_s)))
+        runs[gkey] = (
+            run_n + r._n,
+            run_s + (int(r._s) if r._s is not None else 0),
+        )
     spark = df.sparkSession
-    offsets = spark.createDataFrame(
-        off_rows, "_pid int, _off_n long, _off_s decimal(38,0)"
-    ) if off_rows else spark.createDataFrame(
-        [], "_pid int, _off_n long, _off_s decimal(38,0)"
+    gschema = "".join(
+        f"{c} {dict(df.dtypes)[c]}, " for c in gcols
     )
+    off_schema = f"_pid int, {gschema}_off_n long, _off_s decimal(38,0)"
+    offsets = spark.createDataFrame(off_rows, off_schema)
     # pass 2: parallel within-partition running sums + broadcast offsets
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *gcols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         withpid.withColumn("_lrk", F.count("*").over(w))
         .withColumn("_lcum", F.sum(value_col).over(w))
-        .join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(offsets), ["_pid", *gcols])
         .withColumn("rk", (F.col("_off_n") + F.col("_lrk")).cast("long"))
         .withColumn(
             "cum", (F.col("_off_s") + F.col("_lcum")).cast("decimal(38,0)")

@@ -18796,3 +18796,54 @@ def q331_lorenz_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q331 answers q324's exact contract through the scale-swap plan; the
 # shared oracle pins the two formulations to each other via DuckDB.
 ORACLE["q331_lorenz_scaled"] = ORACLE["q324_lorenz_curve"]
+
+
+@register("q332_gini_scaled", None)
+def q332_gini_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q198's per-nation Gini at the 100 TB SHAPE: the rank i inside
+    each nation comes from :func:`operators.stats.distributed_cumsum`
+    with ``group_cols`` — groups range-partition contiguously and a
+    big nation SPANS partitions (parallel windows + per-(partition,
+    nation) offsets) instead of landing its entire order history in
+    one window task (q198's 25-task ceiling).  Oracle is q198's
+    verbatim (assigned below): the grouped swap must be drop-in-exact.
+    Same DECIMAL(38,0) ppm arithmetic — Σ(i·x) crosses int64 at
+    one-tenth TPC-H already."""
+    from .operators.stats import distributed_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    r = distributed_cumsum(
+        o, ["cents", "o_orderkey"], "cents", group_cols=["nk"]
+    )
+    a = r.groupBy("nk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("si"),
+    )
+    return a.select(
+        F.col("nk").alias("nationkey"),
+        "n",
+        F.col("s").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(((2 * CAST(si AS DECIMAL(38,0))"
+            " - (n + 1) * CAST(s AS DECIMAL(38,0))) * 1000000)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# q332 answers q198's exact contract through the grouped scale-swap
+# plan; the shared oracle pins the two formulations to each other.
+ORACLE["q332_gini_scaled"] = ORACLE["q198_gini_order_values"]

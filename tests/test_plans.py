@@ -766,3 +766,15 @@ def test_lorenz_scaled_has_no_global_sort(spark, sf_dir):
     assert "], true, 0" not in plan          # no globally-sorted Sort
     assert "windowspecdefinition(_pid" in plan
     assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_gini_scaled_grouped_windows_stay_partitioned(spark, sf_dir):
+    """q332 (grouped Gini swap): windows partition by (range-partition
+    id, nation) — never by nation alone, which would put a nation's
+    whole order history in one task; no global sorts; customer dim
+    broadcast."""
+    plan = _plan(spark, sf_dir, "q332_gini_scaled")
+    assert "], true, 0" not in plan
+    assert "windowspecdefinition(_pid" in plan
+    assert _count(plan, "SortMergeJoin") == 0
+    assert _count(plan, "BroadcastHashJoin") >= 1

@@ -286,3 +286,58 @@ def test_distributed_cumsum_matches_closed_form_at_2m(spark):
         cum = per * vv * (vv - 1) // 2 + (rk - per * (vv - 1)) * vv
         want[d] = (rk, cum, cum * 1_000_000 // tot)
     assert got == want
+
+
+def test_grouped_distributed_cumsum_skewed_at_4m(spark):
+    """Grouped swap under deliberate skew: 4M rows where one group
+    holds 80% (it must SPAN range partitions), checked against the
+    per-group global-window formulation via the rank-order-sensitive
+    aggregates Σ(rk·v), Σcum, max(cum) per group — any rank corruption
+    breaks Σ(rk·v) under the (v, k) total order."""
+    from pyspark.sql import Window
+
+    from real_time_stream_processing_engine_spark.operators.stats import (
+        distributed_cumsum,
+    )
+
+    rows = spark.range(4_000_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 < 4, 0)
+        .otherwise((F.col("id") % 5).cast("int"))
+        .alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000))).alias("v"),
+    )
+    r = distributed_cumsum(rows, ["v", "k"], "v", num_partitions=16,
+                           group_cols=["g"])
+    got = {
+        row.g: (row.n, row.srv, row.scum, row.mx)
+        for row in r.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("rk").cast("decimal(38,0)") * F.col("v")).alias("srv"),
+            F.sum("cum").alias("scum"),
+            F.max("cum").alias("mx"),
+        )
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = rows.select(
+        "g",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.sum("v").over(wc).cast("decimal(38,0)").alias("cum"),
+    )
+    want = {
+        row.g: (row.n, row.srv, row.scum, row.mx)
+        for row in naive.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("rk").cast("decimal(38,0)") * F.col("v")).alias("srv"),
+            F.sum("cum").alias("scum"),
+            F.max("cum").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert want[0][0] == 3_200_000  # the hot group really is 80%
