@@ -805,14 +805,18 @@ def stream_countmin(
         s = batch.sparkSession
         items = batch.select(F.col(item_col).cast("string").alias("tok"))
         delta = countmin_build(items)
-        try:
+        # Only the first-batch missing-target case may seed from the
+        # delta (same contract as stream_binned_counts): any other
+        # read failure propagates so the checkpoint retries instead of
+        # silently resetting the sketch to one batch's counts.
+        if not os.path.exists(target_path):
+            merged = delta
+        else:
             prev = s.read.parquet(target_path)
             applied = prev.agg(F.max("last_batch")).head()[0]
             if applied is not None and batch_id <= applied:
                 return  # replayed batch: the ledger makes it a no-op
             merged = countmin_merge(prev.drop("last_batch"), delta)
-        except Exception:
-            merged = delta
         replace_contents(
             merged.withColumn("last_batch", F.lit(batch_id)), target_path
         )

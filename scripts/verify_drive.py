@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULTS = ["q01_filter_contains", "q13_cosine_topk", "q23_tumbling_window"]
+DEFAULTS = ["q01_filter_contains", "q13_knn_cosine", "q23_tumbling_window"]
 
 
 def main() -> int:
