@@ -251,3 +251,75 @@ def test_weighted_sample_edges_and_monotonicity(spark, rates):
         ).collect()
     }
     assert kept <= all_kept
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=200
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_floor_cents_recovers_exact_integer_cents(cents):
+    """The r5 round->floor sweep's safety claim, as a property: for ANY
+    2-decimal money value x = d/100 representable the way parquet/
+    DuckDB/Spark all store it (binary64), floor(x*100 + 0.5) == d —
+    i.e. the single-IEEE-op integerization is EXACT for the entire
+    money domain (±1e7 dollars), not just the fixture's values.  Both
+    engines evaluate this identical op sequence on identical doubles,
+    so cross-engine equality follows from this single-engine exactness
+    (numpy float64 IS binary64, same semantics as the JVM and DuckDB).
+    """
+    import math
+
+    for d in cents:
+        x = d / 100.0  # the binary64 the engines hold
+        assert math.floor(x * 100.0 + 0.5) == d
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=-50, max_value=50),  # value (ties likely)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    grouped=st.booleans(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distributed_cumsum_equals_window_rowwise(spark, rows, grouped):
+    """distributed_cumsum must equal the global/grouped window form
+    ROW FOR ROW on arbitrary small data (heavy ties, arbitrary group
+    skew, n_partitions > n_rows edge included)."""
+    from pyspark.sql import Window
+
+    from real_time_stream_processing_engine_spark.operators.stats import (
+        distributed_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "k long, g int, v long",
+    )
+    gcols = ["g"] if grouped else None
+    got = {
+        r.k: (r.rk, int(r.cum))
+        for r in distributed_cumsum(
+            df, ["v", "k"], "v", num_partitions=5, group_cols=gcols
+        ).collect()
+    }
+    w = (Window.partitionBy("g") if grouped else Window.partitionBy()).orderBy(
+        "v", "k"
+    )
+    want = {
+        r.k: (r.rk, int(r.cum))
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rk"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+        ).collect()
+    }
+    assert got == want
