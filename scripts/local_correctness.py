@@ -85,6 +85,13 @@ def main() -> int:
         json.dump({"_meta": meta, **out}, f, indent=2)
     print(json.dumps(meta))
     spark.stop()
+    # keep the generated claims table in lockstep with this artifact
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "gen_registry.py")],
+        check=False,
+    )
     return 1 if n_bad else 0
 
 
