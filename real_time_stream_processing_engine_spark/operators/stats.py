@@ -28,6 +28,7 @@ __all__ = [
     "mann_whitney_u",
     "ks_statistic",
     "lorenz_points",
+    "decile_table",
     "grouped_quantile_crossings",
     "distributed_cumsum",
 ]
@@ -177,15 +178,17 @@ def lorenz_points(keyed_sums: DataFrame, sum_col: str = "s",
     quantile of entities ranked ascending.  One ascending rank window
     over the per-entity aggregate; crossing values read at bucket
     boundaries; the share is exact DECIMAL ppm.  Returns
-    (decile, n_cum, cum, cum_share_ppm) for deciles 1..n_points
-    (point n_points = 1e6 ppm by construction — the checksum).
+    (decile, n_cum, cum, cum_share_ppm) for deciles 1..n_points:
+    point d reads at rank floor(d·n/n_points) — EXACTLY the d/n_points
+    population boundary (ceil bucketing; point n_points = 1e6 ppm by
+    construction, the checksum).
 
     SCALE LIMIT + SWAP: the global-order window runs its sort in one
     task, fine to ~10⁷ entities; beyond that, build the same (rk, cum)
     columns with :func:`distributed_cumsum` (range-partitioned
     two-pass prefix sum, pinned equal at 2M rows in
-    tests/test_scale_smoke.py) and keep this function's tail
-    (decile bucketing over rk/cum) unchanged.
+    tests/test_scale_smoke.py) and reuse :func:`decile_table` —
+    exactly what q331 does.
     """
     wr = Window.orderBy(sum_col, key_col)
     wall = Window.rowsBetween(
@@ -200,12 +203,26 @@ def lorenz_points(keyed_sums: DataFrame, sum_col: str = "s",
         .alias("cum"),
         F.sum(sum_col).over(wall).alias("tot"),
     )
+    return decile_table(r, n_points)
+
+
+def decile_table(r: DataFrame, n_points: int = 10) -> DataFrame:
+    """THE decile-bucketing tail shared by :func:`lorenz_points` and
+    the q331 distributed-cumsum path — one audited copy, so a bucketing
+    or ppm change cannot silently diverge between the two formulations
+    the shared oracle pins together.
+
+    Input: rows with (rk, cum, n, tot).  Bucketing is CEIL
+    (``(n_points·rk + n - 1) DIV n``): bucket d's max rank is
+    floor(d·n/n_points), so each emitted point is the cumulative share
+    at exactly the d/n_points population boundary — a floor bucketing
+    would shift every point one bucket late and emit no d=1 boundary
+    at all."""
     return (
         r.selectExpr(
-            f"CAST(({n_points} * rk) DIV n AS BIGINT) AS decile",
+            f"CAST(({n_points} * rk + n - 1) DIV n AS BIGINT) AS decile",
             "rk", "cum", "tot",
         )
-        .filter(F.col("decile") >= 1)
         .groupBy("decile")
         .agg(
             F.max("rk").cast("long").alias("n_cum"),

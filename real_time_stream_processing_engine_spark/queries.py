@@ -18258,19 +18258,23 @@ def q323_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS cum,
                  sum(s) OVER () AS tot
           FROM sp)
-    SELECT CAST((10 * rk) // n AS BIGINT) AS decile,
+    SELECT CAST((10 * rk + n - 1) // n AS BIGINT) AS decile,
            CAST(max(rk) AS BIGINT) AS n_customers_cum,
            CAST(max(cum) AS BIGINT) AS cum_cents,
            CAST((CAST(max(cum) AS HUGEINT) * 1000000) // max(tot)
                 AS BIGINT) AS cum_share_ppm
-    FROM r WHERE (10 * rk) // n >= 1 GROUP BY 1
+    FROM r GROUP BY 1
     """,
 )
 def q324_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LORENZ CURVE points: cumulative revenue share at each customer
     decile (poorest first) — the curve whose area q198's Gini
-    integrates, emitted as the 10-point table an equity chart plots
-    (decile 10 = 1e6 ppm by construction, the built-in checksum).
+    integrates, emitted as the 10-point table an equity chart plots.
+    CEIL bucketing puts point d at rank floor(d·n/10), i.e. EXACTLY
+    the d/10 population boundary (decile 10 = 1e6 ppm by
+    construction, the built-in checksum; a floor bucketing would
+    shift every point a decile late and emit no 10% point at all —
+    the r5 review catch).
     One ascending rank window over the per-customer aggregate,
     crossing values read at decile boundaries; exact DECIMAL ppm.
     Core factored to :func:`operators.stats.lorenz_points` (shared
@@ -18762,7 +18766,7 @@ def q331_lorenz_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checked witness that the documented scale swap is
     drop-in-exact, not approximately equivalent.  Totals join back as
     a broadcast 1-row aggregate; ppm stays in DECIMAL."""
-    from .operators.stats import distributed_cumsum
+    from .operators.stats import decile_table, distributed_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
     sp = orders.groupBy("o_custkey").agg(
@@ -18775,21 +18779,14 @@ def q331_lorenz_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("s").cast("decimal(38,0)").alias("tot"),
     )
-    return (
-        r.join(F.broadcast(tots))
-        .selectExpr(
-            "CAST((10 * rk) DIV n AS BIGINT) AS decile", "rk", "cum", "tot"
-        )
-        .filter(F.col("decile") >= 1)
-        .groupBy("decile")
-        .agg(
-            F.max("rk").cast("long").alias("n_customers_cum"),
-            F.max("cum").cast("long").alias("cum_cents"),
-            F.expr(
-                "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
-                " DIV max(tot) AS BIGINT)"
-            ).alias("cum_share_ppm"),
-        )
+    # ONE shared bucketing tail with lorenz_points (operators.stats.
+    # decile_table) — a bucketing or ppm change cannot diverge between
+    # the window and distributed formulations the oracle pins together
+    return decile_table(r.join(F.broadcast(tots))).selectExpr(
+        "decile",
+        "n_cum AS n_customers_cum",
+        "cum AS cum_cents",
+        "cum_share_ppm",
     )
 
 

@@ -22,15 +22,15 @@ import os
 from pyspark.sql import SparkSession
 
 
-def first_part_file(path: str) -> str:
-    """Deterministic representative part file of a parquet dataset.
-
-    A file path returns itself; a directory returns its first
-    data part (sorted, skipping ``_``/``.`` sidecars like _SUCCESS
-    and _manifest).  LOCAL-FS ONLY (os.listdir) — on HDFS/S3 go
-    through :func:`hadoop_tree_stats` instead."""
+def list_part_files(path: str) -> list[str]:
+    """Sorted data part files of a parquet dataset directory
+    (skipping ``_``/``.`` sidecars like _SUCCESS and _manifest); a
+    plain file path returns itself as the single part.  THE one
+    part-filter — stream staging (`streaming.runner._expand_links`)
+    and the ts-unit sniff both go through here.  LOCAL-FS ONLY
+    (os.listdir) — on HDFS/S3 go through :func:`hadoop_tree_stats`."""
     if not os.path.isdir(path):
-        return path
+        return [path]
     parts = sorted(
         p
         for p in os.listdir(path)
@@ -38,7 +38,25 @@ def first_part_file(path: str) -> str:
     )
     if not parts:
         raise FileNotFoundError(f"no parquet part files under {path}")
-    return os.path.join(path, parts[0])
+    return [os.path.join(path, p) for p in parts]
+
+
+def first_part_file(path: str) -> str:
+    """Deterministic representative part file of a parquet dataset."""
+    return list_part_files(path)[0]
+
+
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FS API — correct for EVERY
+    scheme Spark itself can read (hdfs://, s3a://, file:, bare local
+    paths).  The maintained-table streaming sinks use this to decide
+    first-batch seeding: a driver-local ``os.path.exists`` there would
+    be always-False for remote URIs and silently reset accumulated
+    state to one batch's worth every batch."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def local_mtime(path: str) -> float:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import convert_ts_cols, read_schema_for
+from ..sources.fsmeta import hadoop_path_exists
 
 
 def _scratch_dir() -> str:
@@ -80,17 +81,14 @@ def _expand_links(prefix: str, src_path: str) -> dict[str, str]:
     The file stream source lists a directory NON-recursively, so a
     multi-file table (directory of part files — the multi-batch test
     layout, and any real ingest drop zone) must be staged as one link
-    per part, not one link to the directory."""
-    if os.path.isdir(src_path):
-        parts = sorted(
-            p
-            for p in os.listdir(src_path)
-            if p.endswith(".parquet") and not p.startswith(("_", "."))
-        )
-        if not parts:
-            raise FileNotFoundError(f"no parquet part files under {src_path}")
-        return {f"{prefix}_{p}": os.path.join(src_path, p) for p in parts}
-    return {f"{prefix}.parquet": src_path}
+    per part, not one link to the directory.  Part discovery goes
+    through the shared filter in :mod:`sources.fsmeta`."""
+    from ..sources.fsmeta import list_part_files
+
+    parts = list_part_files(src_path)
+    if parts == [src_path]:
+        return {f"{prefix}.parquet": src_path}
+    return {f"{prefix}_{os.path.basename(p)}": p for p in parts}
 
 
 def _env_max_files_per_trigger() -> int | None:
@@ -99,9 +97,14 @@ def _env_max_files_per_trigger() -> int | None:
     differential suite (tests/test_streaming_multibatch.py) can drive
     the SHIPPED query functions through real micro-batch sequences
     (watermark advances BETWEEN batches) instead of the one-shot
-    availableNow drain that hid the sliding-WAU watermark bug."""
+    availableNow drain that hid the sliding-WAU watermark bug.
+    Non-positive values mean "unset" (maxFilesPerTrigger must be
+    positive or Spark rejects the stream at start)."""
     v = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
-    return int(v) if v else None
+    if not v:
+        return None
+    n = int(v)
+    return n if n > 0 else None
 
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -809,7 +812,7 @@ def stream_countmin(
         # delta (same contract as stream_binned_counts): any other
         # read failure propagates so the checkpoint retries instead of
         # silently resetting the sketch to one batch's counts.
-        if not os.path.exists(target_path):
+        if not hadoop_path_exists(s, target_path):
             merged = delta
         else:
             prev = s.read.parquet(target_path)
@@ -1032,7 +1035,7 @@ def stream_binned_counts(
         # checkpoint retries the batch instead of silently discarding
         # all accumulated state (a transient FS error would otherwise
         # reset the counts to one batch's worth).
-        if not os.path.exists(target_path):
+        if not hadoop_path_exists(s, target_path):
             merged = delta
         else:
             prev = s.read.parquet(target_path)
@@ -1116,7 +1119,7 @@ def stream_bitmap_dau(
         # (see stream_binned_counts) — a swallowed transient failure
         # here would OR one batch's bits over an empty table and lose
         # every previously-set bit.
-        if not os.path.exists(target_path):
+        if not hadoop_path_exists(s, target_path):
             merged = delta
         else:
             prev = s.read.parquet(target_path)

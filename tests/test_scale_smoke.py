@@ -200,8 +200,9 @@ def test_ks_exact_at_4m_x_4m(spark):
 def test_lorenz_closed_form_at_2m_entities(spark):
     """2M entities with value (id % 1000)+1 (each value exactly 2000
     times): every decile boundary rank, cumulative sum, and ppm share
-    has a closed form — the rank window + crossing read must hit all
-    ten exactly, and decile 10 must be 1e6 ppm (the checksum)."""
+    has a closed form — point d must read at rank d·n/10 EXACTLY (the
+    d/10 population boundary; ceil bucketing), and decile 10 must be
+    1e6 ppm (the checksum)."""
     n, dv, per = 2_000_000, 1000, 2000
     keyed = spark.range(n).select(
         F.col("id").alias("k"), (F.col("id") % dv + 1).alias("s")
@@ -213,12 +214,13 @@ def test_lorenz_closed_form_at_2m_entities(spark):
     tot = per * dv * (dv + 1) // 2
     want = {}
     for d in range(1, 11):
-        rk = min(n, ((d + 1) * n - 1) // 10)
+        rk = d * n // 10  # max rank in ceil-bucket d == the d/10 boundary
         vv = -(-rk // per)  # ceil: value at rank rk
         cum = per * vv * (vv - 1) // 2 + (rk - per * (vv - 1)) * vv
         want[d] = (rk, cum, cum * 1_000_000 // tot)
     assert got == want
     assert got[10][2] == 1_000_000
+    assert got[1][0] == n // 10  # the 10% point exists (the review catch)
 
 
 def test_decile_ratio_closed_form_at_4m(spark):
@@ -258,30 +260,23 @@ def test_distributed_cumsum_matches_closed_form_at_2m(spark):
     keyed = spark.range(n).select(
         F.col("id").alias("k"), (F.col("id") % dv + 1).alias("s")
     )
+    from real_time_stream_processing_engine_spark.operators.stats import (
+        decile_table,
+    )
+
+    tot = per * dv * (dv + 1) // 2
     r = distributed_cumsum(keyed, ["s", "k"], "s", num_partitions=16)
     got = {
-        row.decile: (row.n_cum, row.cum, row.ppm)
-        for row in (
-            r.selectExpr("CAST((10 * rk) DIV 2000000 AS BIGINT) AS decile",
-                         "rk", "cum")
-            .filter("decile >= 1")
-            .groupBy("decile")
-            .agg(
-                F.max("rk").cast("long").alias("n_cum"),
-                F.max("cum").cast("long").alias("cum"),
-                F.expr(
-                    "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
-                    " DIV 1001000000 AS BIGINT)"
-                ).alias("ppm"),
-            )
-            .collect()
-        )
+        row.decile: (row.n_cum, row.cum, row.cum_share_ppm)
+        for row in decile_table(
+            r.selectExpr("rk", "cum", f"CAST({n} AS BIGINT) AS n",
+                         f"CAST({tot} AS DECIMAL(38,0)) AS tot")
+        ).collect()
     }
-    tot = per * dv * (dv + 1) // 2
     assert tot == 1_001_000_000
     want = {}
     for d in range(1, 11):
-        rk = min(n, ((d + 1) * n - 1) // 10)
+        rk = d * n // 10
         vv = -(-rk // per)
         cum = per * vv * (vv - 1) // 2 + (rk - per * (vv - 1)) * vv
         want[d] = (rk, cum, cum * 1_000_000 // tot)
