@@ -188,10 +188,9 @@ def recover_swap(spark: SparkSession, path: str) -> bool:
 
 
 def exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(p))
+    from .fsmeta import hadoop_path_exists
+
+    return hadoop_path_exists(spark, path)
 
 
 def build_time_partitioned(

@@ -60,7 +60,14 @@ def _stage_symlink_dir(tag: str, links: dict[str, str]) -> str:
             raise RuntimeError(f"stale staging link {link} -> {os.readlink(link)}, expected {target}")
         if os.path.exists(link):
             raise RuntimeError(f"foreign non-symlink entry in staging dir: {link}")
-        os.symlink(target, link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            # lost a race with a concurrent stager of the SAME layout
+            # (the dir is deliberately shared per-uid + content key) —
+            # fine iff the winner created exactly the expected link
+            if not (os.path.islink(link) and os.readlink(link) == target):
+                raise
     extra = set(os.listdir(d)) - set(links)
     if extra:
         raise RuntimeError(f"unexpected entries in staging dir {d}: {sorted(extra)}")
@@ -105,6 +112,25 @@ def _env_max_files_per_trigger() -> int | None:
         return None
     n = int(v)
     return n if n > 0 else None
+
+
+def _staged_events_stream(spark: SparkSession, d: str, src_path: str,
+                          default_max_files: int | None = 1) -> DataFrame:
+    """Shared reader setup for every staged-events file stream (the
+    dedup/CDC/count-min/binned/bitmap paths): unit-sniffed schema + ts
+    conversion (never diverging from batch reads) and
+    maxFilesPerTrigger — the SPARK_GRAFT_STREAM_MAX_FILES harness
+    override first, the caller's default otherwise.  Factored so a
+    reader-setup change cannot silently reach only some of the five
+    call sites (reviewed r5)."""
+    schema, conv = read_schema_for("events", src_path)
+    mft = _env_max_files_per_trigger()
+    if mft is None:
+        mft = default_max_files
+    reader = spark.readStream.schema(schema)
+    if mft is not None:
+        reader = reader.option("maxFilesPerTrigger", mft)
+    return convert_ts_cols(reader.parquet(d), conv)
 
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -172,8 +198,11 @@ def stream_kafka(
     returned stream carries the standard key/value/topic/partition/
     offset/timestamp columns."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        # probe through Spark's context-or-Spark classloader (a jar
+        # added via ADD JAR / spark.jars is visible there but NOT to
+        # the raw system-classloader Class.forName)
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider", False, False
         )
     except Exception as e:
         raise RuntimeError(
@@ -242,7 +271,16 @@ def run_to_memory_available_now(
     {metric: total}}``) — the engine-side account of tuples processed,
     the role of the reference leader's per-task tuple log
     (``Node.java:1162-1187``), but computed IN the dataflow instead of
-    by a log-scraping leader."""
+    by a log-scraping leader.
+
+    CONTRACT: drains are single-threaded per session — the metric side
+    channels (function attributes) and the conf set/restore around the
+    drain are not safe against two concurrent drains on one
+    SparkSession.  The result is MATERIALIZED before return so the
+    drain's memory-sink view and checkpoint can be dropped (a long
+    bench loop would otherwise accumulate both)."""
+    import shutil
+
     spark = agg.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_scratch_dir(), f"rs_ckpt_{qname}")
@@ -264,8 +302,15 @@ def run_to_memory_available_now(
         "spark.sql.streaming.stateStore.providerClass", None
     )
     want_rocks = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb"
+    # recentProgress is a RING BUFFER (default 100 entries); a drain
+    # with more micro-batches than that would silently undercount the
+    # summed observe/state metrics below — size it for the drain
+    prev_progress = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", None
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
         if want_rocks:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass",
@@ -306,8 +351,16 @@ def run_to_memory_available_now(
                     if isinstance(v, (int, float)):
                         state_metrics[k] = state_metrics.get(k, 0) + v
         run_to_memory_available_now.last_state_metrics = state_metrics
+        result = spark.table(qname)
+        out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_progress:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", prev_progress
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
         if want_rocks:
             if prev_store:
                 spark.conf.set(
@@ -315,7 +368,9 @@ def run_to_memory_available_now(
                 )
             else:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    return spark.table(qname)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def stream_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,12 +444,8 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dupdir",
         {**_expand_links("events_a", src_path), **_expand_links("events_b", src_path)},
     )
-    schema, conv = read_schema_for("events", src_path)
-    reader = spark.readStream.schema(schema)
-    mft = _env_max_files_per_trigger()
-    if mft is not None:
-        reader = reader.option("maxFilesPerTrigger", mft)
-    src = convert_ts_cols(reader.parquet(d), conv).withWatermark("ts", "2 hours")
+    src = _staged_events_stream(spark, d, src_path, default_max_files=None
+                                ).withWatermark("ts", "2 hours")
     deduped = src.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("cnt"))
     return run_to_memory_available_now(agg)
@@ -505,13 +556,20 @@ def stream_cdc_upsert(
     # swap siblings — reseeding in that state would silently drop every
     # batch the checkpoint already marked committed.
     if not recover_swap(spark, target_path):  # truly fresh: seed the dim
-        load_table(spark, sf_dir, "customer").select(
-            "c_custkey",
-            "c_name",
-            "c_acctbal",
-            F.lit(None).cast("timestamp").alias("ver_ts"),
-            F.lit(None).cast("long").alias("ver_event_id"),
-        ).write.parquet(target_path)
+        # seed through the SAME atomic swap as every batch write — a
+        # plain write.parquet could crash mid-commit and leave a
+        # partial dir that recover_swap's existence check would then
+        # treat as a complete table on restart (reviewed r5)
+        replace_contents(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey",
+                "c_name",
+                "c_acctbal",
+                F.lit(None).cast("timestamp").alias("ver_ts"),
+                F.lit(None).cast("long").alias("ver_event_id"),
+            ),
+            target_path,
+        )
 
     from pyspark.sql import Window
 
@@ -551,11 +609,7 @@ def stream_cdc_upsert(
         replace_contents(merged, target_path)
         n_applied["n"] += 1
 
-    schema, conv = read_schema_for("events", src_path)
-    src = convert_ts_cols(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d),
-        conv,
-    )
+    src = _staged_events_stream(spark, d, src_path)
     ckpt = checkpoint or os.path.join(
         _scratch_dir(), f"rs_ckpt_rs_cdc_{uuid.uuid4().hex[:8]}"
     )
@@ -567,11 +621,12 @@ def stream_cdc_upsert(
     )
     try:
         q.awaitTermination()
-    except Exception:
-        if fail_after_batches is None:
+    except Exception as e:
+        # suppress ONLY the injected crash (the caller restarts from
+        # the same checkpoint + target to prove recovery); a genuine
+        # failure in the merge path must not masquerade as one
+        if fail_after_batches is None or "injected sink crash" not in str(e):
             raise
-        # injected crash: the caller restarts from the same
-        # checkpoint + target to prove recovery
     final = spark.read.parquet(target_path)
     return final.select(
         "c_custkey",
@@ -787,7 +842,6 @@ def stream_countmin(
     equality (pinned in ``tests/test_streaming_live.py``)."""
     from ..operators.sketches import countmin_build, countmin_merge
     from ..sources.catalog import recover_swap, replace_contents
-    from ..sources.readers import read_schema_for
 
     src_path = os.path.join(sf_dir, "events.parquet")
     d = _stage_symlink_dir("cmsdir", _expand_links("events", src_path))
@@ -825,13 +879,7 @@ def stream_countmin(
         )
         n_applied["n"] += 1
 
-    schema, conv = read_schema_for("events", src_path)
-    src = convert_ts_cols(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d),
-        conv,
-    )
+    src = _staged_events_stream(spark, d, src_path)
     ckpt = checkpoint or os.path.join(
         _scratch_dir(), f"rs_ckpt_rs_cms_{uuid.uuid4().hex[:8]}"
     )
@@ -1001,7 +1049,6 @@ def stream_binned_counts(
     distribution monitor (PSI drift, q162) reads for free at any
     moment — the monitoring loop never rescans history."""
     from ..sources.catalog import recover_swap, replace_contents
-    from ..sources.readers import read_schema_for
 
     src_path = os.path.join(sf_dir, "events.parquet")
     d = _stage_symlink_dir("psidir", _expand_links("events", src_path))
@@ -1053,13 +1100,7 @@ def stream_binned_counts(
         )
         n_applied["n"] += 1
 
-    schema, conv = read_schema_for("events", src_path)
-    src = convert_ts_cols(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d),
-        conv,
-    )
+    src = _staged_events_stream(spark, d, src_path)
     ckpt = checkpoint or os.path.join(
         _scratch_dir(), f"rs_ckpt_rs_psi_{uuid.uuid4().hex[:8]}"
     )
@@ -1090,7 +1131,6 @@ def stream_bitmap_dau(
     days x |id-space|/64 words regardless of event volume, and the
     DAU readout is a popcount sum off the maintained table."""
     from ..sources.catalog import recover_swap, replace_contents
-    from ..sources.readers import read_schema_for
 
     src_path = os.path.join(sf_dir, "events.parquet")
     d = _stage_symlink_dir("daudir", _expand_links("events", src_path))
@@ -1130,13 +1170,7 @@ def stream_bitmap_dau(
             )
         replace_contents(merged, target_path)
 
-    schema, conv = read_schema_for("events", src_path)
-    src = convert_ts_cols(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d),
-        conv,
-    )
+    src = _staged_events_stream(spark, d, src_path)
     ckpt = checkpoint or os.path.join(
         _scratch_dir(), f"rs_ckpt_rs_dau_{uuid.uuid4().hex[:8]}"
     )
