@@ -117,9 +117,17 @@ def dedup_against(
     the join payload is hashes, not documents.  Catalyst broadcasts
     `seen` while it fits and degrades to a shuffled anti join on the
     hash beyond that; storing `seen` bucketed by fingerprint
-    (catalog.create_bucketed) removes even that exchange."""
-    return fingerprint(new_docs, text_col, out=fp_col).join(
-        seen.select(fp_col).distinct(), fp_col, "left_anti"
+    (catalog.create_bucketed) removes even that exchange.
+
+    The join is NULL-SAFE: fingerprint(NULL text) is NULL, and a plain
+    anti-join never matches NULL keys, so NULL-text rows would pass as
+    'new' in every batch forever — inconsistent with
+    :func:`exact_dedup_clusters`, which groups them as one cluster
+    (r5 review catch)."""
+    fps = fingerprint(new_docs, text_col, out=fp_col)
+    seen_fp = seen.select(F.col(fp_col).alias("_seen_fp")).distinct()
+    return fps.join(
+        seen_fp, fps[fp_col].eqNullSafe(F.col("_seen_fp")), "left_anti"
     )
 
 
@@ -384,6 +392,8 @@ def ngram_jaccard_pairs_prefix(
     block_col: str | None = "lang",
     k: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = MAX_BUCKET,
+    on_overflow: str = "drop",
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard join (AllPairs/PPJoin-style) — the
     scale path for LARGE-VOCAB corpora where no blocking key bounds pair
@@ -394,9 +404,18 @@ def ngram_jaccard_pairs_prefix(
     ``n - ceil(t*n) + 1`` grams of each doc, so candidates are generated
     only from those rare-gram prefixes and verified exactly with
     ``array_intersect``.  Join buckets are bounded by rare-gram
-    frequency; hot grams never form buckets.  (On tiny-vocab corpora
-    every doc shares its prefix with most others and this degrades to
-    all-pairs plus overhead — use the blocked form there.)"""
+    frequency for LONG docs — but short docs' prefixes cover their whole
+    gram set, hot boilerplate grams included, so the candidate join is
+    NOT self-bounding (a 10⁶-doc boilerplate bigram in 3-token docs is a
+    ~10¹¹-row join).  ``max_bucket`` therefore caps prefix-gram
+    frequency exactly like the LSH mega-bucket guard: oversized grams
+    drop with accounting on the returned frame's ``bucket_overflow``
+    attribute (dropped hot-prefix grams CAN lose qualifying pairs — the
+    same documented degrade-don't-die contract as every sibling), or
+    fail loudly with ``on_overflow='error'`` (the exact-oracle mode).
+    (On tiny-vocab corpora every doc shares its prefix with most others
+    and this degrades to all-pairs plus overhead — use the blocked form
+    there.)"""
     cols = [id_col] + ([block_col] if block_col else [])
     g = shingles(df.select(*cols, text_col), text_col, k=k, out="gram")
 
@@ -411,15 +430,60 @@ def ngram_jaccard_pairs_prefix(
             ).alias("grams")
         )
         .withColumn("n_grams", F.size("grams"))
+        # prefix length n - ceil(t*n) + 1.  The epsilon guards binary-
+        # double slop in t*n (0.07*100 evaluates to 7.000000000000001;
+        # a bare ceil gives 8 and shortens the prefix by one).  This
+        # n-ceil(t*n)+1 form is already LOOSER than the tight Jaccard
+        # bound n-ceil(t/(1+t)*(na+nb))+1, so the one-gram loss is
+        # normally absorbed by that slack — the epsilon removes the
+        # dependence on it entirely, and can only err toward a LONGER
+        # prefix (extra candidates, still exact after verification).
         .withColumn(
             "_plen",
-            F.col("n_grams") - F.ceil(F.lit(float(threshold)) * F.col("n_grams")) + 1,
+            F.col("n_grams")
+            - F.ceil(
+                F.lit(float(threshold)) * F.col("n_grams") - F.lit(1e-9)
+            )
+            + 1,
         )
     )
 
     pref = docs.select(
         *cols, F.explode(F.slice("grams", 1, F.col("_plen").cast("int"))).alias("gram")
     )
+    overflow_stats = None
+    if max_bucket is not None:
+        if on_overflow not in ("drop", "error"):
+            raise ValueError(
+                f"on_overflow must be 'drop' or 'error', got {on_overflow!r}"
+            )
+        pf = pref.groupBy("gram").agg(F.count("*").alias("_pf"))
+        if on_overflow == "error":
+            chk = F.when(
+                F.col("_pf") > max_bucket,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"prefix gram exceeds max_bucket={max_bucket}: size="
+                        ),
+                        F.col("_pf").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+            keep = pf.filter(chk).select("gram")
+        else:
+            overflow_stats = pf.agg(
+                F.count(F.when(F.col("_pf") > max_bucket, 1)).alias(
+                    "overflow_buckets"
+                ),
+                F.coalesce(
+                    F.sum(F.when(F.col("_pf") > max_bucket, F.col("_pf"))),
+                    F.lit(0),
+                ).alias("overflow_members"),
+                F.coalesce(F.max("_pf"), F.lit(0)).alias("max_bucket_size"),
+            )
+            keep = pf.filter(F.col("_pf") <= max_bucket).select("gram")
+        pref = pref.join(keep, "gram", "left_semi")
     a, b = pref.alias("a"), pref.alias("b")
     cond = (F.col("a.gram") == F.col("b.gram")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -445,7 +509,7 @@ def ngram_jaccard_pairs_prefix(
         F.col("n_grams").alias("_nb"),
     )
     inter = F.size(F.array_intersect("_ga", "_gb"))
-    return (
+    out = (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
         .select(
@@ -455,6 +519,8 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out.bucket_overflow = overflow_stats
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -521,8 +587,20 @@ def simhash_neardup_pairs(
     degenerate-bucket (boilerplate band) guard before the expansion,
     with overflow accounting on the returned DataFrame's
     ``bucket_overflow`` stats frame (see :func:`_cap_buckets`)."""
-    sig = simhash_signatures(df, id_col, text_col)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    if max_hamming > n_bands - 1:
+        # pigeonhole only guarantees a shared exact band for Hamming
+        # <= bands-1; a larger radius would SILENTLY miss qualifying
+        # pairs (one flipped bit per band -> no co-bucket).  Refuse
+        # rather than under-deliver on the "pairs within max_hamming"
+        # contract (r5 review catch).
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding guarantee "
+            f"({n_bands} x {SIMHASH_BAND_BITS}-bit bands cover Hamming "
+            f"<= {n_bands - 1}); re-band with more/narrower bands for a "
+            "larger radius"
+        )
+    sig = simhash_signatures(df, id_col, text_col)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     stack_args = ", ".join(
         f"{j}, shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {mask}"
@@ -608,9 +686,13 @@ def basket_similarity(
     )
     sa = sz.select(F.col("e").alias("a"), F.col("n").alias("na"))
     sb = sz.select(F.col("e").alias("b"), F.col("n").alias("nb"))
+    # NO broadcast hint: sz is |entities| rows — unbounded at scale; a
+    # forced broadcast would bypass autoBroadcastJoinThreshold and OOM
+    # the driver on a 100M-entity corpus.  Catalyst broadcasts while it
+    # fits and degrades to a shuffled join beyond that (r5 review catch).
     out = (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        inter.join(sa, "a")
+        .join(sb, "b")
         .select(
             "a",
             "b",

@@ -28,24 +28,11 @@ def brute_force_topk(
     rounded to 6dp before ordering so the result set is deterministic
     under floating-point reassociation.  The query norm is a driver-side
     constant (HOFs over literal arrays are not constant-folded, so
-    leaving it symbolic would re-reduce 64 literals per row)."""
-    import math
-
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    df = emb
-    if exclude_id is not None:
-        df = df.filter(F.col(id_col) != exclude_id)
-    return (
-        df.select(
-            id_col,
-            F.round(
-                dot(F.col(vec_col), qlit) / (l2_norm(F.col(vec_col)) * F.lit(qnorm)), 6
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    leaving it symbolic would re-reduce 64 literals per row).
+    Delegates to :func:`_exact_rank` — the IVF probe paths rank through
+    the SAME code, which is what makes their exact-baseline comparison
+    (q111 recall@10) a statement about pruning, not scoring."""
+    return _exact_rank(emb, query_vec, k, id_col, vec_col, exclude_id)
 
 
 def blocked_neardup_pairs(
@@ -133,7 +120,7 @@ def _rp_bucket_expr(hyperplanes: list[tuple[int, list[float]]], vec_col: str):
             CASE WHEN aggregate(zip_with({vec_col}, s.h,
                                  (x, y) -> CAST(x AS DOUBLE) * y),
                                 0D, (a, x) -> a + x) > 0D
-                 THEN CAST(shiftleft(1, s.j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                 THEN shiftleft(CAST(1 AS BIGINT), s.j) ELSE CAST(0 AS BIGINT) END),
           CAST(0 AS BIGINT), (acc, x) -> acc + x)
         """
     )
@@ -216,7 +203,16 @@ def _cell_assignment_expr(centroids: list[tuple[int, list[float]]], vec_col: str
     a map-only pass (no join, no shuffle).  The row vector's own norm is
     constant across centroids, so ranking by dot/|c| equals full cosine.
     Codebook sorted by cid + explicit lower-cid tie-break: ties assign
-    deterministically (the oracle's cid-ASC policy)."""
+    deterministically (the oracle's cid-ASC policy).
+
+    A NULL similarity (zero-norm centroid from an empty k-means cell —
+    ``try_divide`` maps the division by zero to NULL under ANSI and
+    non-ANSI alike — or a null/ragged embedding) coalesces to
+    -Infinity: without that, the argmax fold would adopt the first
+    struct and FREEZE (every later NULL comparison keeps acc),
+    silently assigning the lowest cid (r5 review catch).  All-NULL
+    rows thus assign the lowest cid deterministically instead of
+    poisoning the fold or failing the job."""
     import math
 
     def vec_sql(v: list[float]) -> str:
@@ -231,8 +227,12 @@ def _cell_assignment_expr(centroids: list[tuple[int, list[float]]], vec_col: str
         f"""
         aggregate(
           transform({cb_sql}, s -> struct(
-            aggregate(zip_with({vec_col}, s.c, (x, y) -> CAST(x AS DOUBLE) * y),
-                      0D, (a, x) -> a + x) / s.nrm AS sim,
+            coalesce(
+              try_divide(
+                aggregate(zip_with({vec_col}, s.c, (x, y) -> CAST(x AS DOUBLE) * y),
+                          0D, (a, x) -> a + x),
+                s.nrm),
+              CAST('-Infinity' AS DOUBLE)) AS sim,
             s.cid AS cid)),
           CAST(NULL AS STRUCT<sim: DOUBLE, cid: INT>),
           (acc, x) -> CASE WHEN acc IS NULL OR x.sim > acc.sim

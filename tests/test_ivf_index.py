@@ -191,3 +191,60 @@ def test_source_rewrite_invalidates_manifest(spark, tmp_path):
     build_ivf_index(spark.read.parquet(src), cents, idx, source_path=src)
     assert _mtimes(idx) != before
     assert spark.read.parquet(idx).count() == 33
+
+
+def test_cell_assignment_survives_zero_norm_centroid_and_null_vec(spark):
+    """r5 review: a zero-norm centroid (empty k-means cell) makes its
+    sim NULL (double div-by-zero), and a NULL sim used to FREEZE the
+    argmax fold on the first struct — assigning every vector to the
+    lowest cid.  With the -Infinity coalesce, normal vectors assign to
+    their true nearest centroid and a null-embedding row degrades to
+    the lowest cid deterministically."""
+    from real_time_stream_processing_engine_spark.operators.similarity import (
+        _cell_assignment_expr,
+    )
+
+    centroids = [
+        (0, [0.0, 0.0]),   # degenerate: zero norm -> NULL sim
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", _cell_assignment_expr(centroids, "embedding").alias("cell")
+        ).collect()
+    }
+    assert got[1] == 1 and got[2] == 2  # NOT poisoned to cell 0
+    assert got[3] == 0  # all-NULL sims: deterministic lowest cid
+
+
+def test_rp_bucket_bits_beyond_31_do_not_alias(spark):
+    """r5 review: shiftleft on an INT literal wraps at bit 31 (j=32
+    aliased bit 0).  With the BIGINT shift, hyperplane indices above 31
+    contribute distinct bucket bits."""
+    from real_time_stream_processing_engine_spark.operators.similarity import (
+        _rp_bucket_expr,
+    )
+
+    # v1 fires only hyperplane j=32; v2 fires only j=0 — before the
+    # fix both produced bucket id 1 (and j=31 went negative)
+    hps = [(0, [1.0, 0.0]), (31, [0.0, 1.0]), (32, [-1.0, 1.0])]
+    df = spark.createDataFrame(
+        [(1, [-1.0, 0.5]), (2, [1.0, -1.0]), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.bkt
+        for r in df.select(
+            "vec_id", _rp_bucket_expr(hps, "embedding").alias("bkt")
+        ).collect()
+    }
+    assert got[1] == (1 << 31) + (1 << 32)  # j=31 positive, j=32 distinct
+    assert got[2] == 1
+    assert got[3] == 1 + (1 << 31) + (1 << 32)
+    assert len(set(got.values())) == 3
