@@ -49,6 +49,8 @@ def _round_persist(
     """Lineage cut for one fixpoint round: lazy (the convergence count
     materializes it, keeping one job per round) — reliable every K
     rounds when a checkpoint_dir is set, executor-local otherwise."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     if checkpoint_dir is not None and it % checkpoint_every == 0:
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
@@ -106,6 +108,8 @@ def connected_components(
     any round: labels only move down toward the component minimum).
     ``_fail_after_saves`` is the crash-injection hook for the recovery
     test, mirroring ``stream_cdc_upsert(fail_after_batches=)``."""
+    if save_every < 1:
+        raise ValueError(f"save_every must be >= 1, got {save_every}")
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -231,10 +235,23 @@ def connected_components_star(
     set every ``save_every`` rounds and RESUMES from it on restart
     (valid at any round: star rounds preserve the graph's connected
     components, so the saved edge set has the same fixpoint)."""
+    if save_every < 1:
+        raise ValueError(f"save_every must be >= 1, got {save_every}")
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
     load, save, clear = _state_io(spark, state_dir, "edges")
+    # the FULL node universe, before the self-loop filter: a node whose
+    # only edges are self-loops must still emit (node, node), exactly
+    # as the min-label variant does — the star rounds operate on proper
+    # edges only, so such nodes re-enter as singletons at the fixpoint
+    # (r5 review catch: the two CC variants disagreed on (5,5) input)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     saved = load()
     resumed = saved is not None
     if resumed:
@@ -268,7 +285,11 @@ def connected_components_star(
             # label themselves
             leaves = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
             centers = e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id"))
-            return leaves.unionByName(centers).distinct()
+            assigned = leaves.unionByName(centers).distinct()
+            singletons = nodes.join(
+                assigned.select("node"), "node", "left_anti"
+            ).select("node", F.col("node").alias("cluster_id"))
+            return assigned.unionByName(singletons)
         prev_fp = fp
         if state_dir is not None and it % save_every == 0:
             save(e.select("u", "v"))
@@ -364,6 +385,10 @@ def kcore(
     joins — linear in |E|, no global structure — and takes a lineage
     cut via the shared ``_round_persist`` levers (reliable
     ``checkpoint_dir`` every K rounds for deep peels at scale)."""
+    if checkpoint_dir is not None:
+        # siblings set this too; without it df.checkpoint() raises
+        # "Checkpoint directory has not been set" (r5 review catch)
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
     for it in range(rounds):
         keep = (

@@ -67,8 +67,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
     punct_ratio = n_punct / F.greatest(F.length(text_col), F.lit(1))
-    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS])))
-    # array_intersect dedups; count hits with filter instead for an
+    # NOT array_intersect (it dedups): count hits with filter for an
     # honest ratio over token occurrences
     stop_hits = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
@@ -123,7 +122,14 @@ def winnowing_fingerprints(
     over the sorted distinct minima — a stable content signature whose
     equality means fingerprint-set equality).  md5 stands in for the
     production rolling hash so the oracle reproduces it; a Rabin
-    polynomial drops in without changing any plan shape."""
+    polynomial drops in without changing any plan shape.
+
+    DOCS SHORTER THAN k+w-1 CHARS (after whitespace normalization) are
+    DROPPED from the output, not given an empty fingerprint set — they
+    have no full window, so no winnowing guarantee exists for them.
+    Callers joining on fp_digest must route short docs through exact
+    dedup (q11's fingerprint) instead of assuming every doc has a
+    row here."""
     t = normalize_ws(text_col)
     grams = f"transform(sequence(1, length(_t) - {k - 1}), i -> md5(substr(_t, i, {k})))"
     mins = (
@@ -226,8 +232,12 @@ def bm25_topk(
     per posting; the final top-k is a TakeOrdered, never a global sort.
     With a pre-built inverted index (term-bucketed postings table) the
     scan itself prunes to the query terms; this form is the index-free
-    baseline.  Scores round to 6dp; ties break by ascending id."""
-    terms = [t.lower() for t in query_terms]
+    baseline.  Scores round to 6dp; ties break by ascending id.
+    Duplicate (and case-duplicate) query terms are DEDUPED — a term
+    contributes once, identically in the indexed path (repeated keys
+    would otherwise crash the literal df map under Spark's
+    duplicate-map-key policy; r5 review catch)."""
+    terms = sorted({t.lower() for t in query_terms})
     toks = docs.select(id_col, tokenize(text_col).alias("_toks"))
     dl = toks.select(id_col, F.size("_toks").alias("dl"), F.col("_toks"))
     # ONE corpus stats pass (no explode): N, avgdl, and every query
@@ -286,7 +296,12 @@ def chunk_tokens(
     windows: chunk ``i`` covers tokens ``[i*stride, i*stride+chunk)``
     (1 <= stride <= chunk; chunk - stride tokens of overlap so no
     boundary context is lost) — the standard corpus->training-window
-    prep stage.  Zero-token docs emit no chunks.
+    prep stage.  Zero-token docs emit no chunks.  Every emitted chunk
+    contributes at least one NEW token: a final window that would be a
+    strict subset of the previous one is not produced (the old
+    floor((n-1)/stride)+1 count emitted e.g. [48,64) after [0,64) at
+    n=64 — duplicated suffix tokens feeding the q61 packer; r5 review
+    catch).
 
     Scale shape: tokenize + a ``transform(sequence(...))`` explode in
     ONE scan-side projection — no shuffle, no UDF; chunking 100 TB is
@@ -297,7 +312,10 @@ def chunk_tokens(
         raise ValueError(f"need 1 <= stride <= chunk, got {stride=} {chunk=}")
     toks = tokenize(text_col)
     n = F.size(toks)
-    n_chunks = (F.floor((n - 1) / stride) + 1).cast("int")
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(chunk)).cast("double") / stride) + 1).cast("int"),
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
@@ -390,6 +408,11 @@ def build_bm25_index(
     spark.createDataFrame(
         [(n_docs, sum_dl / n_docs if n_docs else 0.0)], "n_docs: bigint, avgdl: double"
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    # self-describing sharding: the probe reads (n_shards, seed) from
+    # here instead of trusting its caller to repeat the build's values
+    spark.createDataFrame(
+        [(n_shards, seed)], "n_shards: int, seed: string"
+    ).write.mode("overwrite").parquet(f"{path}/probe_params")
     # commit marker LAST: a crash above leaves no manifest -> full rebuild
     write_manifest(spark, path, fp)
 
@@ -412,8 +435,24 @@ def bm25_topk_indexed(
     the source listing), then row-filters to the exact terms; stats
     and dfreq broadcast onto the postings and the top-k is a
     TakeOrdered.  Cost is O(postings of the query's terms), not
-    O(corpus)."""
-    terms = [t.lower() for t in query_terms]
+    O(corpus).  Duplicate query terms dedup exactly as in
+    :func:`bm25_topk`.
+
+    The index is SELF-DESCRIBING: the build writes its (n_shards,
+    seed) beside the postings and the probe reads them from there — a
+    probe computing shard ids under a different modulus than the build
+    would prune the partitions that actually hold the query terms and
+    return silently wrong top-k (r5 review catch).  The ``n_shards``/
+    ``seed`` arguments are only the fallback for legacy indexes
+    without the sidecar."""
+    from pyspark.errors import AnalysisException
+
+    terms = sorted({t.lower() for t in query_terms})
+    try:
+        pp = spark.read.parquet(f"{path}/probe_params").head()
+        n_shards, seed = int(pp.n_shards), str(pp.seed)
+    except AnalysisException:  # legacy index without the sidecar
+        pass
     shards = sorted({_term_shard_py(t, n_shards, seed) for t in terms})
     post = (
         spark.read.parquet(f"{path}/postings")
@@ -458,9 +497,22 @@ def unigram_logprob(
     freq_table: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    oov_ctf: float | None = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the cheap perplexity
     proxy for corpus quality filtering (q68).  Zero-token docs drop.
+
+    OOV POLICY: with a frozen external ``freq_table``, tokens absent
+    from it are — by default — DROPPED by the inner probe join, which
+    INFLATES a garbage doc's score (90% invented tokens -> scored on
+    the clean 10%) and makes ``n_tokens`` the matched count, not the
+    doc's (a 100%-OOV doc vanishes).  That default matches the SQL
+    oracles and is harmless in the self-derived case (every token is
+    in its own corpus table, OOV cannot occur), but a quality-filter
+    deployment scoring NEW batches should set ``oov_ctf`` (e.g. 0.5, a
+    sub-singleton pseudo-count): unknown tokens then score
+    log(oov_ctf/N) — heavily penalized instead of ignored — and
+    ``n_tokens`` counts every token (r5 review catch).
 
     ``freq_table`` — a prebuilt (term, ctf) corpus distribution, e.g.
     :func:`term_frequencies_from_postings` — is the DEFAULT POSTURE AT
@@ -476,9 +528,14 @@ def unigram_logprob(
     if freq_table is None:
         freq_table = toks.groupBy("term").agg(F.count("*").alias("ctf"))
     tot = freq_table.agg(F.sum("ctf").alias("n"))
+    if oov_ctf is None:
+        probed = toks.join(freq_table, "term")
+    else:
+        probed = toks.join(freq_table, "term", "left").withColumn(
+            "ctf", F.coalesce(F.col("ctf").cast("double"), F.lit(float(oov_ctf)))
+        )
     return (
-        toks.join(freq_table, "term")
-        .crossJoin(F.broadcast(tot))
+        probed.crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),

@@ -2081,7 +2081,8 @@ def q70_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
     c AS (SELECT doc_id, toks,
-                 unnest(range(0, CAST(floor((n - 1) / 48) AS BIGINT) + 1)) AS chunk_id
+                 unnest(range(0, greatest(1, CAST(ceil((n - 64) * 1.0 / 48)
+                                               AS BIGINT) + 1))) AS chunk_id
           FROM n)
     SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
            CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)

@@ -238,3 +238,38 @@ def test_pagerank_conserves_mass_on_closed_graph(spark, sf_dir):
     e = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     total = pagerank(e, iters=2).agg(F.sum("pr")).head()[0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_cc_variants_agree_on_self_loops_and_kcore_checkpoints(spark, tmp_path):
+    """r5 review: (a) a node whose only edge is a self-loop must emit
+    (node, node) from BOTH CC variants (the star form dropped it);
+    (b) kcore(checkpoint_dir=...) must actually set the checkpoint dir
+    (it crashed in a fresh session)."""
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        kcore,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    plain = {
+        (r.node, r.cluster_id) for r in connected_components(edges).collect()
+    }
+    star = {
+        (r.node, r.cluster_id)
+        for r in connected_components_star(edges).collect()
+    }
+    assert plain == star == {(5, 5), (1, 1), (2, 1), (3, 1)}
+    # kcore with a reliable checkpoint dir in this session
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r.v
+        for r in kcore(
+            e2, k=2, rounds=3, checkpoint_dir=str(tmp_path / "kc"), checkpoint_every=1
+        ).collect()
+    }
+    assert got == {1, 2, 3}  # the triangle survives, the pendant drops

@@ -158,8 +158,11 @@ def test_chunking_covers_all_tokens_with_overlap(spark):
     assert 3 not in by_doc  # zero-token doc emits nothing
     assert [c for c, _ in by_doc[2]] == [0] and by_doc[2][0][1] == ["only", "two"]
     chunks1 = by_doc[1]
-    assert [c for c, _ in chunks1] == [0, 1, 2]
-    assert [len(t) for _, t in chunks1] == [64, 52, 4]  # last chunks truncate
+    # 100 tokens, chunk 64, stride 48: [0,64) + [48,100) cover fully;
+    # a third window [96,100) would be a strict subset of chunk 1 and
+    # must NOT be emitted (the r5 duplicate-suffix fix)
+    assert [c for c, _ in chunks1] == [0, 1]
+    assert [len(t) for _, t in chunks1] == [64, 52]  # last chunk truncates
     # stride placement: chunk i starts at token i*48
     for i, toks in chunks1:
         assert toks[0] == f"w{i * 48}"

@@ -69,3 +69,89 @@ def test_q74_and_q68_share_scores(spark, sf_dir):
     a = _scores(QUERIES["q68_unigram_logprob"](spark, sf_dir))
     b = _scores(QUERIES["q74_unigram_logprob_indexed"](spark, sf_dir))
     assert a == b and len(a) > 0
+
+
+def test_bm25_duplicate_query_terms_dedup_in_both_paths(spark, tmp_path):
+    """r5 review: repeated/case-duplicate query terms crashed the
+    index-free path (duplicate literal map keys) — both paths now
+    dedupe and must agree."""
+    from real_time_stream_processing_engine_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark streams data fast"), (2, "data data everywhere"),
+         (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    dup_q = ["Data", "data", "SPARK"]
+    plain = [(r.doc_id, r.bm25) for r in bm25_topk(docs, dup_q, k=3).collect()]
+    clean = [(r.doc_id, r.bm25) for r in bm25_topk(docs, ["data", "spark"], k=3).collect()]
+    assert plain == clean and plain
+    path = str(tmp_path / "bm25i")
+    build_bm25_index(docs, path, n_shards=8)
+    indexed = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, path, dup_q, k=3).collect()
+    ]
+    assert indexed == plain
+
+
+def test_bm25_probe_self_describes_sharding(spark, tmp_path):
+    """r5 review: a probe whose n_shards/seed args mismatch the build
+    used to prune the WRONG partitions and return silently bad top-k;
+    the index now carries its own params and the probe reads them."""
+    from real_time_stream_processing_engine_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 5} shared filler w{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25p")
+    build_bm25_index(docs, path, n_shards=32, seed="other-seed")
+    want = [(r.doc_id, r.bm25) for r in bm25_topk(docs, ["term3", "shared"], k=5).collect()]
+    # probe with DIFFERENT (default) args: must still be right
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, path, ["term3", "shared"], k=5).collect()
+    ]
+    assert got == want and want
+
+
+def test_unigram_oov_penalizes_instead_of_dropping(spark):
+    """r5 review: scoring a new batch against a frozen LM used to DROP
+    unknown tokens (garbage scored as clean).  With oov_ctf they score
+    log(oov/N) and n_tokens counts every token."""
+    import math
+
+    from real_time_stream_processing_engine_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    corpus_freq = spark.createDataFrame(
+        [("known", 90), ("words", 10)], "term string, ctf long"
+    )
+    batch = spark.createDataFrame(
+        [(1, "known words"), (2, "known zzqx vvgr wwpp")],
+        "doc_id long, text string",
+    )
+    # default (oracle-parity): OOV drops — doc 2 scores on 1 token
+    legacy = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(batch, corpus_freq).collect()
+    }
+    assert legacy[2][0] == 1
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(batch, corpus_freq, oov_ctf=0.5).collect()
+    }
+    assert got[1][0] == 2 and got[2][0] == 4
+    want2 = (math.log(90 / 100) + 3 * math.log(0.5 / 100)) / 4
+    assert abs(got[2][1] - want2) < 1e-5
+    assert got[2][1] < legacy[2][1]  # garbage now scores WORSE, not better
