@@ -169,6 +169,14 @@ def blocklist_pattern(terms: list[str]) -> str:
 
     if not terms:
         raise ValueError("blocklist needs at least one term")
+    empties = [t for t in terms if not t.strip()]
+    if empties:
+        # an empty term compiles to an alternation branch matching at
+        # EVERY position — regex_redact would then insert the label
+        # between every character of every document
+        raise ValueError(
+            f"blocklist terms must be non-empty/non-whitespace; got {empties!r}"
+        )
 
     def bound(t: str) -> str:
         pre = r"\b" if _re.match(r"\w", t) else ""

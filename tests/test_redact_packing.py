@@ -183,3 +183,18 @@ def test_chunking_rejects_bad_stride(spark):
         chunk_tokens(docs, chunk=8, stride=9)
     with _pytest.raises(ValueError):
         chunk_tokens(docs, chunk=8, stride=0)
+
+
+def test_blocklist_rejects_empty_terms(spark):
+    """r5 review: an empty term compiles to an every-position match
+    that would label-inject between every character."""
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.text import (
+        blocklist_pattern,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        blocklist_pattern(["secret", ""])
+    with _pytest.raises(ValueError, match="non-empty"):
+        blocklist_pattern(["  "])
