@@ -22,6 +22,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _validate_merge_spec(
+    target: DataFrame,
+    key_cols: list[str],
+    set_cols: dict[str, str],
+    insert_only_cols: dict[str, str],
+    op_col: str | None,
+) -> None:
+    """Reject the merge-spec shapes that would otherwise surface as
+    AMBIGUOUS_REFERENCE mid-join or as silently-shadowed semantics
+    (r5 review catch):
+
+    - a key column is immutable: naming it as a set/insert target
+      would build two ``_u_<key>`` columns;
+    - one target column in BOTH set_cols and insert_only_cols would
+      let the dict merge silently drop the UPDATE mapping;
+    - the ``_t_present``/``_u_*`` scratch names and ``op_col`` must
+      not collide with real target columns."""
+    overlap = set(key_cols) & (set(set_cols) | set(insert_only_cols))
+    if overlap:
+        raise ValueError(
+            f"key columns are immutable; remove {sorted(overlap)} from "
+            "set_cols/insert_only_cols"
+        )
+    both = set(set_cols) & set(insert_only_cols)
+    if both:
+        raise ValueError(
+            f"{sorted(both)} appear in BOTH set_cols and insert_only_cols "
+            "— pick one semantics per target column"
+        )
+    reserved = [
+        c
+        for c in target.columns
+        if c == "_t_present" or c.startswith("_u_")
+    ]
+    if reserved:
+        raise ValueError(
+            f"target columns {reserved} collide with the merge's scratch "
+            "names (_t_present / _u_*) — rename them first"
+        )
+    if op_col is not None and op_col in target.columns:
+        raise ValueError(
+            f"op_col {op_col!r} already exists on the target — pass a "
+            "different audit-column name or op_col=None"
+        )
+
+
 def apply_upsert(
     target: DataFrame,
     updates: DataFrame,
@@ -48,6 +94,7 @@ def apply_upsert(
     None to drop it.
     """
     insert_only_cols = insert_only_cols or {}
+    _validate_merge_spec(target, key_cols, set_cols, insert_only_cols, op_col)
     u = updates.select(
         *[F.col(k).alias(f"_u_{k}") for k in key_cols],
         *[
@@ -108,6 +155,9 @@ def apply_upsert_versioned(
     durable analogue of the reference's unused in-memory
     ``processedIds`` set (``Node.java:117``)."""
     insert_only_cols = insert_only_cols or {}
+    _validate_merge_spec(
+        target, key_cols, {**set_cols, **version_cols}, insert_only_cols, None
+    )
     missing = [c for c in version_cols if c not in target.columns]
     if missing:
         raise ValueError(f"target lacks version columns {missing}")

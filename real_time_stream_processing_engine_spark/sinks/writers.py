@@ -55,8 +55,18 @@ def write_results_with_provenance(
     ``read_text_lines`` guarantees (``uid`` = md5 of src_file:line_id,
     never ``uuid()``).  Pinned by
     ``tests/test_sinks_catalog.py::test_provenance_uids_match_results``."""
-    write_results(df, results_path, fmt)
     prov_cols = [c for c in ("uid", "src_file", "line_id") if c in df.columns]
+    if fmt == "text" and prov_cols:
+        # validate BEFORE any write: the provenance frame is multi-
+        # column and the text source single-column, so the second write
+        # would crash AFTER the results committed — exactly the
+        # unpaired partial state this function promises cannot happen
+        # (r5 review catch)
+        raise ValueError(
+            "fmt='text' cannot carry the multi-column provenance log; "
+            "use parquet/csv/json for paired results+provenance writes"
+        )
+    write_results(df, results_path, fmt)
     if prov_cols:
         prov = df.select(*prov_cols).withColumn(
             "_processed_at", F.current_timestamp()
@@ -75,13 +85,20 @@ def stream_to_files(
 
     Batch ids recorded in the checkpoint make replays idempotent — the
     strictly-stronger replacement for the reference's append-on-retry
-    results path.  Returns the started StreamingQuery."""
+    results path.  Returns the started StreamingQuery.  Validates fmt
+    and applies the csv header exactly like the batch path — the same
+    logical sink must not produce schema-incompatible output depending
+    on which entry point ran (r5 review catch)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {fmt!r}")
     writer = (
         df.writeStream.format(fmt)
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+    if fmt == "csv":
+        writer = writer.option("header", "true")
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

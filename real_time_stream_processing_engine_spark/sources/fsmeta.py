@@ -23,22 +23,30 @@ from pyspark.sql import SparkSession
 
 
 def list_part_files(path: str) -> list[str]:
-    """Sorted data part files of a parquet dataset directory
-    (skipping ``_``/``.`` sidecars like _SUCCESS and _manifest); a
-    plain file path returns itself as the single part.  THE one
-    part-filter — stream staging (`streaming.runner._expand_links`)
+    """Sorted data part files of a parquet dataset, RECURSIVE: a
+    hive-partitioned layout (key=value subdirectories) is a perfectly
+    readable dataset whose top level holds only directories — a
+    flat listdir would wrongly report "no part files" (r5 review
+    catch).  Skips ``_``/``.`` sidecars (_SUCCESS, _manifest) at every
+    level; a plain file path returns itself as the single part.  THE
+    one part-filter — stream staging (`streaming.runner._expand_links`)
     and the ts-unit sniff both go through here.  LOCAL-FS ONLY
-    (os.listdir) — on HDFS/S3 go through :func:`hadoop_tree_stats`."""
+    (os.walk) — on HDFS/S3 go through :func:`hadoop_tree_stats`."""
     if not os.path.isdir(path):
         return [path]
-    parts = sorted(
-        p
-        for p in os.listdir(path)
-        if p.endswith(".parquet") and not p.startswith(("_", "."))
-    )
+    parts: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = sorted(
+            d for d in dirnames if not d.startswith(("_", "."))
+        )
+        parts.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
     if not parts:
         raise FileNotFoundError(f"no parquet part files under {path}")
-    return [os.path.join(path, p) for p in parts]
+    return sorted(parts)
 
 
 def first_part_file(path: str) -> str:

@@ -138,8 +138,17 @@ TRAFFIC_SIGNS_SCHEMA = _s(
 
 
 #: event-time columns whose parquet physical type must be sniffed from
-#: the footer before reading (see read_schema_for / convert_ts_cols)
-EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: the footer before reading (see read_schema_for / convert_ts_cols).
+#: EVERY TimestampType column in SCHEMAS belongs here — the round-2
+#: ns-drift hit events.ts, but orders/lineitem carry the same
+#: TIMESTAMP physical type and a regenerated fixture could drift them
+#: identically (r5 review: the guard used to protect one of the three
+#: timestamp-bearing tables).
+EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def parquet_ts_unit(path: str, col: str) -> str:
@@ -161,10 +170,22 @@ def parquet_ts_unit(path: str, col: str) -> str:
     selection and mtime keying live in :mod:`sources.fsmeta` (shared
     with the index-manifest staleness check).
     """
-    from .fsmeta import first_part_file, local_mtime
+    from .fsmeta import list_part_files, local_mtime
 
-    f = first_part_file(path)
-    return _parquet_ts_unit_cached(f, local_mtime(f), col)
+    units = {
+        _parquet_ts_unit_cached(f, local_mtime(f), col)
+        for f in list_part_files(path)
+    }
+    if len(units) > 1:
+        # one read schema applies to EVERY part; mixed physical units
+        # (an incremental rewrite drifting NANOS<->MICROS mid-dataset)
+        # would fail mid-job after a first-part-only sniff "verified"
+        # the unit — refuse up front instead (r5 review catch)
+        raise ValueError(
+            f"{path}:{col} has MIXED timestamp units across part files "
+            f"({sorted(units)}); rewrite the dataset with one unit"
+        )
+    return units.pop()
 
 
 @lru_cache(maxsize=256)
@@ -230,17 +251,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-testdata table with its explicit schema.
 
     Event-time columns get their physical unit sniffed from the parquet
-    footer (never assumed) — see :func:`read_schema_for`.
-    """
+    footer (never assumed) — see :func:`read_schema_for`.  A name
+    outside :data:`SCHEMAS` is an ERROR, not a silent inference
+    fallback — inference is the extra footer-merge scan this module
+    exists to prevent, and it would skip the ts-unit correction
+    (a nanos column surfaces as a raw long, silently 1000x-shifted
+    when consumers cast it; r5 review catch)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = SCHEMAS.get(name)
+    if schema is None:
+        raise KeyError(
+            f"no explicit schema for table {name!r} — add it to "
+            "sources.readers.SCHEMAS (and EVENT_TIME_COLS if it carries "
+            "timestamps); this engine never schema-infers a scan"
+        )
     conv: dict[str, str] = {}
-    if schema is not None and name in EVENT_TIME_COLS:
+    if name in EVENT_TIME_COLS:
         schema, conv = read_schema_for(name, path)
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.parquet(path)
+    df = spark.read.schema(schema).parquet(path)
     return convert_ts_cols(df, conv)
 
 
@@ -326,8 +354,13 @@ def read_jsonl(
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """JSON-lines egress (one object per line, partition-parallel)."""
-    df.write.mode(mode).json(path)
+    """JSON-lines egress (one object per line, partition-parallel).
+    Delegates to :func:`sinks.writers.write_results` — one audited
+    egress path per format (r5 review catch: this was a drift-prone
+    duplicate of the json branch there)."""
+    from ..sinks.writers import write_results
+
+    write_results(df, path, fmt="json", mode=mode)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -358,8 +391,14 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            "Avro needs the spark-avro package on the classpath "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-            f"underlying error: {e}"
-        ) from e
+        # translate ONLY the missing-connector case; a wrong path or a
+        # corrupt file must surface as itself, not as a deploy-the-jar
+        # instruction when the jar is already present (r5 review catch)
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg or "ClassNotFound" in msg:
+            raise RuntimeError(
+                "Avro needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                f"underlying error: {e}"
+            ) from e
+        raise

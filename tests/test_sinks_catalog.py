@@ -195,3 +195,84 @@ def test_training_shards_bound_file_geometry(spark, sf_dir, tmp_path):
     first = pq.read_table(os.path.join(out, sorted(files)[0])).to_pydict()
     pairs = list(zip(first["user_id"], first["event_id"]))
     assert pairs == sorted(pairs)
+
+
+# ---------------------------------------------------------------------------
+# r5 review batch: merge-spec validation, paired-sink validation, reader
+# strictness, mixed-unit and partitioned-layout part discovery.
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_rejects_degenerate_merge_specs(spark):
+    from real_time_stream_processing_engine_spark.operators.cdc import apply_upsert
+
+    t = spark.createDataFrame([(1, "a", 0)], "k long, v string, op long")
+    u = spark.createDataFrame([(1, "b")], "k long, nv string")
+    with pytest.raises(ValueError, match="immutable"):
+        apply_upsert(t.drop("op"), u, ["k"], {"k": "nv"})
+    with pytest.raises(ValueError, match="BOTH"):
+        apply_upsert(
+            t.drop("op"), u, ["k"], {"v": "nv"}, insert_only_cols={"v": "nv"}
+        )
+    with pytest.raises(ValueError, match="op_col"):
+        apply_upsert(t, u, ["k"], {"v": "nv"})  # target already has 'op'
+    t2 = spark.createDataFrame([(1, "a", 1)], "k long, v string, _u_x long")
+    with pytest.raises(ValueError, match="scratch"):
+        apply_upsert(t2, u, ["k"], {"v": "nv"})
+
+
+def test_provenance_pair_rejects_text_before_writing(spark, tmp_path):
+    from real_time_stream_processing_engine_spark.sinks.writers import (
+        write_results_with_provenance,
+    )
+
+    df = spark.createDataFrame([("x", "f", 1)], "uid string, src_file string, line_id long")
+    res = str(tmp_path / "res")
+    with pytest.raises(ValueError, match="text"):
+        write_results_with_provenance(df.select("uid"), res, str(tmp_path / "prov"), fmt="text")
+    import os as _os
+
+    assert not _os.path.exists(res)  # nothing committed before the check
+
+
+def test_stream_to_files_validates_format(spark, tmp_path):
+    from real_time_stream_processing_engine_spark.sinks.writers import stream_to_files
+
+    src = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="format"):
+        stream_to_files(src, str(tmp_path / "o"), str(tmp_path / "c"), fmt="xml")
+
+
+def test_load_table_refuses_unknown_names(spark, sf_dir):
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    with pytest.raises(KeyError, match="explicit schema"):
+        load_table(spark, sf_dir, "sessions")
+
+
+def test_ts_unit_sniff_rejects_mixed_units_and_walks_partitions(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_stream_processing_engine_spark.sources.fsmeta import (
+        list_part_files,
+    )
+    from real_time_stream_processing_engine_spark.sources.readers import (
+        parquet_ts_unit,
+    )
+
+    # mixed units across parts -> loud refusal
+    mixed = tmp_path / "mixed.parquet"
+    mixed.mkdir()
+    t_us = pa.table({"ts": pa.array([1_000_000], pa.timestamp("us"))})
+    t_ns = pa.table({"ts": pa.array([1_000_000_000], pa.timestamp("ns"))})
+    pq.write_table(t_us, str(mixed / "part-00.parquet"))
+    pq.write_table(t_ns, str(mixed / "part-01.parquet"))
+    with pytest.raises(ValueError, match="MIXED"):
+        parquet_ts_unit(str(mixed), "ts")
+    # hive-partitioned layout: parts live one level down
+    part = tmp_path / "part.parquet"
+    (part / "k=a").mkdir(parents=True)
+    pq.write_table(t_us, str(part / "k=a" / "part-00.parquet"))
+    assert len(list_part_files(str(part))) == 1
+    assert parquet_ts_unit(str(part), "ts") == "us"
