@@ -29,6 +29,7 @@ def pack_sequences(
     order_col: str,
     group_cols: list[str],
     out: str = "pack_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Greedy contiguous packing: within each ``group_cols`` partition,
     walk documents in ``order_col`` order and start a new pack each
@@ -42,7 +43,15 @@ def pack_sequences(
     deterministic under retries and repartitioning, reproducible by
     any engine with a windowed sum.  Oversized single documents get a
     pack of their own (they cross several boundaries at once) rather
-    than erroring — the downstream chunker's problem, by design."""
+    than erroring — the downstream chunker's problem, by design.
+
+    DETERMINISM PRECONDITION: ``order_col`` must be unique within each
+    group (the callers use doc_id).  With duplicate order values the
+    running sum's intra-tie order would be partition-arbitrary — the
+    exact retry nondeterminism this module exists to prevent — so pass
+    ``tiebreak_col`` (any unique column) when order_col alone can tie
+    (r5 review catch; siblings sessionize/stratified_fixed_k carry
+    explicit tiebreaks for the same reason)."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     if not group_cols:
@@ -50,9 +59,10 @@ def pack_sequences(
             "group_cols must be non-empty (include a shard column: an "
             "unpartitioned window is a single-task global sort at scale)"
         )
+    order = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pre_cum = F.sum(token_col).over(w) - F.col(token_col)

@@ -21,11 +21,36 @@ from pyspark.sql import functions as F
 _HEX_DIGITS = 28  # md5 prefix compared; 16^28 granularity is ample
 
 
+def _draw_key(seed: str, id_col: str):
+    """``seed|id`` as the deterministic draw key.  A NULL id is REFUSED
+    per-row: ``concat_ws`` would silently SKIP it, handing every
+    null-id row the identical ``md5(seed)`` draw — a correlated
+    all-in/all-out block instead of a sample, one shard for all of
+    them, one split for all of them (r5 review catch).  Deterministic
+    sampling requires a real row identity; reject loudly at the first
+    null instead."""
+    id_s = F.col(id_col).cast("string")
+    return F.concat_ws(
+        "|",
+        F.lit(seed),
+        F.when(
+            id_s.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"null {id_col}: deterministic sampling/sharding needs "
+                    "a non-null row id"
+                )
+            ).cast("string"),
+        ).otherwise(id_s),
+    )
+
+
+
 def _hash_hex(seed: str, id_col: str):
     """Uniform hex draw in [0, 16^28) as a STRING — membership tests are
     lexicographic hex-string compares, identical in any engine with md5
     (no hex->int parsing, which SQL dialects disagree on)."""
-    return F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, _HEX_DIGITS)
+    return F.substring(F.md5(_draw_key(seed, id_col)), 1, _HEX_DIGITS)
 
 
 def fraction_threshold_hex(fraction: float) -> str:
@@ -48,7 +73,7 @@ def shard_col(id_col: str, n_shards: int, seed: str = "shard1"):
     in any engine (``('0x' || substr(md5(..),1,7))::BIGINT`` in DuckDB)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h = F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 7)
+    h = F.substring(F.md5(_draw_key(seed, id_col)), 1, 7)
     return (F.conv(h, 16, 10).cast("long") % n_shards).alias("shard")
 
 
@@ -84,6 +109,12 @@ def split_assign(
     scan-side projection, no shuffle.  Weights must sum to 1 (to 1e-9).
     Split names are compared in insertion order; the last split takes
     the remainder of the hash space so rounding never drops rows."""
+    bad = {k: v for k, v in splits.items() if v <= 0}
+    if bad:
+        # negative weights pass the sum check but make the cumulative
+        # thresholds non-monotonic -> a silently empty split and
+        # inflated neighbors (r5 review catch)
+        raise ValueError(f"split weights must be positive, got {bad}")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
@@ -243,9 +274,14 @@ def weighted_sample(
     computes the identical fraction and the identical keep set.  Same
     determinism contract as every other sampler here:
     retry/repartition/growth-stable, zero exchanges."""
+    if not 1 <= digits <= 15:
+        # 16 hex digits can exceed LONG max; conv's decimal string then
+        # casts to NULL and the filter silently drops ~half of all rows
+        # (r5 review catch).  15 digits = 60 bits, always in range.
+        raise ValueError(f"digits must be in [1, 15], got {digits}")
     draw = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            F.md5(_draw_key(seed, id_col)),
             1,
             digits,
         ),

@@ -31,12 +31,12 @@ def _bucket(col: Column, row: int, width: int) -> Column:
     return F.pmod(F.xxhash64(col, F.lit(row)), F.lit(width))
 
 
-def countmin_build(
-    items: DataFrame, col: str = "tok", depth: int = DEPTH, width: int = WIDTH
-) -> DataFrame:
-    """(row, bucket, c): one scan, one partial-aggregated exchange of
-    at most depth x width combined partials — the sketch table."""
-    hashes = F.explode(
+def _hash_structs(col: str, depth: int, width: int):
+    """The depth-row (row, bucket) expansion — ONE definition shared by
+    build and estimate: if these ever diverged (a seed-scheme change
+    applied to one side only), every estimate would silently probe the
+    wrong buckets (r5 review catch)."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -47,8 +47,26 @@ def countmin_build(
             ]
         )
     )
+
+
+
+def _check_num_bits(num_bits: int) -> None:
+    """The bitmap is a list of 64-bit words; a num_bits that is not a
+    multiple of 64 leaves bit positions past the last full word ->
+    IndexError on the driver at build, or a wrong probe (r5 review
+    catch)."""
+    if num_bits < 64 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+
+
+
+def countmin_build(
+    items: DataFrame, col: str = "tok", depth: int = DEPTH, width: int = WIDTH
+) -> DataFrame:
+    """(row, bucket, c): one scan, one partial-aggregated exchange of
+    at most depth x width combined partials — the sketch table."""
     return (
-        items.select(hashes.alias("h"))
+        items.select(_hash_structs(col, depth, width).alias("h"))
         .groupBy("h.row", "h.bucket")
         .agg(F.count("*").alias("c"))
     )
@@ -65,18 +83,7 @@ def countmin_estimate(
     joins the (tiny, broadcast) sketch, and takes the row-minimum.
     Buckets never touched by any item read as 0."""
     hashed = probes.select(
-        col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("row"),
-                        _bucket(F.col(col), r, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("h"),
+        col, _hash_structs(col, depth, width).alias("h")
     ).select(col, "h.row", "h.bucket")
     joined = hashed.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return joined.groupBy(col).agg(
@@ -115,6 +122,7 @@ def bloom_build(
     only (never false negatives), so an exact join downstream keeps
     results exact — the filter is pure bandwidth savings, which is how
     Spark's own ``spark.sql.optimizer.runtime.bloomFilter`` applies it."""
+    _check_num_bits(num_bits)
     pos = F.explode(
         F.array(
             *[
@@ -133,7 +141,7 @@ def bloom_build(
         .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
-    arr = [0] * (num_bits // 64)
+    arr = [0] * (num_bits // 64)  # _check_num_bits guarantees alignment
     for r in words:
         arr[int(r["w"])] = int(r["bits"])
     return arr
@@ -150,15 +158,24 @@ def bloom_prefilter(
     (all ``num_hashes`` bits set).  Pure codegen — the bitmap rides as
     an array literal in the plan and each probe is element_at + AND,
     no Python, no join, no shuffle; apply BEFORE the exact join."""
+    _check_num_bits(num_bits)
     arr = F.lit(bitmap)
+    # each hash computed ONCE into a scratch column and reused for the
+    # word index and the bit; the key reference stays in the column API
+    # (an interpolated raw key name would break on columns needing
+    # backticks) — only the scratch name, which we control, appears in
+    # the shift expr (F.shiftleft takes a literal count) (r5 review)
+    out = df
     cond = None
+    scratch = []
     for i in range(num_hashes):
-        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
-        w = (p / 64).cast("int")
-        bit = F.expr(
-            f"shiftleft(1L, cast(pmod(xxhash64({key_col}, {i}), {num_bits})"
-            " % 64 AS INT))"
+        c = f"_bp_p{i}"
+        scratch.append(c)
+        out = out.withColumn(
+            c, F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
         )
+        w = (F.col(c) / 64).cast("int")
+        bit = F.expr(f"shiftleft(1L, cast({c} % 64 AS INT))")
         check = F.element_at(arr, w + 1).bitwiseAND(bit) != 0
         cond = check if cond is None else cond & check
-    return df.filter(cond)
+    return out.filter(cond).drop(*scratch)

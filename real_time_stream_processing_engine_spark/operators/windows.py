@@ -143,6 +143,13 @@ def asof_join(
     )
     carried = u.withColumn("_aj_match", F.last("_aj_m", ignorenulls=True).over(w))
     out = carried.filter(F.col("_aj_is_r") == 0)
+    # a NULL left timestamp has no as-of position: mask any carried
+    # match (forward's desc() sorts nulls LAST, where the carry would
+    # otherwise hand them the minimum-ts right row; backward's asc()
+    # is already null-first/none-carried) (r5 review catch)
+    out = out.withColumn(
+        "_aj_match", F.when(F.col("_aj_t").isNotNull(), F.col("_aj_match"))
+    )
     if tolerance_s is not None:
         delta = (
             F.col("_aj_t") - F.col("_aj_match._mts")
@@ -159,16 +166,13 @@ def asof_join(
     )
 
 
-def asof_join_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
-    """As-of join: for each event, the most recent order (by orderdate)
-    of customer ``user_id + 1`` at-or-before the event timestamp.
 
-    Implemented as the scalable union-sort-carry pattern: tag both
-    sides, union, one shuffle on the join key, per-key sort by time,
-    then ``last(..., ignorenulls)`` carries the latest order value onto
-    each event row.  Cost is a single exchange of |events|+|orders| —
-    no range join, no per-event probe, no correlated subquery.  This is
-    the 100 TB shape; a broadcast variant applies when one side is tiny."""
+def _tag_orders_events_union(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Tag-and-union for the orders/events as-of family — the key
+    shift (o_custkey-1 = user_id), epoch derivation, and side tags in
+    ONE place shared by the backward and nearest variants (r5 review:
+    a fix to the shift applied to one copy would silently skip the
+    other)."""
     o = orders.select(
         (F.col("o_custkey") - 1).alias("user_id"),
         F.col("o_orderdate").alias("_t"),
@@ -183,7 +187,20 @@ def asof_join_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
         F.lit(0).alias("_is_order"),
         "event_id",
     )
-    u = o.unionByName(e)
+    return o.unionByName(e)
+
+
+def asof_join_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the most recent order (by orderdate)
+    of customer ``user_id + 1`` at-or-before the event timestamp.
+
+    Implemented as the scalable union-sort-carry pattern: tag both
+    sides, union, one shuffle on the join key, per-key sort by time,
+    then ``last(..., ignorenulls)`` carries the latest order value onto
+    each event row.  Cost is a single exchange of |events|+|orders| —
+    no range join, no per-event probe, no correlated subquery.  This is
+    the 100 TB shape; a broadcast variant applies when one side is tiny."""
+    u = _tag_orders_events_union(events, orders)
     # at equal timestamps the order row sorts first => "at-or-before"
     w = (
         Window.partitionBy("user_id")
@@ -214,10 +231,20 @@ def skyline_2d(
     the surviving sliver's distinct value pairs (ascending sort +
     running max over strictly-preceding rows) and joins survivors back
     by pair.  The quadratic NOT-EXISTS definition is the oracle
-    contract; this is its linear-ish distributed evaluation."""
+    contract; this is its linear-ish distributed evaluation.
+
+    Rows with a NULL coordinate are EXCLUDED up front: a null can
+    neither dominate nor be dominated under the NOT-EXISTS contract,
+    and letting one through used to both bin it into the top cell
+    (F.least skips nulls) and seed phase 2's running max, deleting
+    genuine frontier rows (r5 review catch).  An empty (or all-null)
+    input returns an empty frame instead of a driver TypeError."""
     from pyspark.sql import Window
 
+    df = df.filter(F.col(minimize).isNotNull() & F.col(maximize).isNotNull())
     lo, hi = df.agg(F.min(minimize), F.max(minimize)).head()
+    if lo is None:
+        return df  # no rows survive the null filter: empty, same schema
     width = (float(hi) - float(lo)) / n_bins or 1.0
     binned = df.withColumn(
         "_sk_bin",
@@ -348,21 +375,7 @@ def asof_join_nearest(events: DataFrame, orders: DataFrame) -> DataFrame:
     with gap zero), and a pure CASE picks the closer side.  Same
     cost envelope as the one-direction form: |events|+|orders|
     through a single partition-sort."""
-    o = orders.select(
-        (F.col("o_custkey") - 1).alias("user_id"),
-        F.col("o_orderdate").alias("_t"),
-        F.unix_timestamp("o_orderdate").alias("_order_epoch"),
-        F.lit(1).alias("_is_order"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    e = events.select(
-        "user_id",
-        F.col("ts").alias("_t"),
-        F.lit(None).cast("long").alias("_order_epoch"),
-        F.lit(0).alias("_is_order"),
-        "event_id",
-    )
-    u = o.unionByName(e)
+    u = _tag_orders_events_union(events, orders)
     wb = (
         Window.partitionBy("user_id")
         .orderBy(F.col("_t").asc(), F.col("_is_order").desc())

@@ -112,3 +112,24 @@ def test_null_right_timestamps_never_match(spark):
     )
     got = _rows(asof_join(left, right, "user_id", "ts", "rts", ["price"]))
     assert got[1] == (None, None)
+
+
+def test_asof_forward_null_left_ts_stays_unmatched(spark):
+    """r5 review: forward direction sorted NULL left timestamps last,
+    handing them the minimum-ts right row; they must keep nulls."""
+    from real_time_stream_processing_engine_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, None)], "k long, lt string"
+    ).select("k", F.col("lt").cast("timestamp").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00", 7.0)], "k long, rt string, v double"
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "v")
+    rows = {
+        (r.k, r.lt is not None): (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, "k", "lt", "rt", ["v"], direction="forward"
+        ).collect()
+    }
+    assert rows[(1, True)][1] == 7.0       # real row matches forward
+    assert rows[(1, False)] == (None, None)  # null-ts row stays unmatched

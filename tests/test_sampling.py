@@ -163,3 +163,42 @@ def test_repeat_rows_rejects_negative_factor(spark):
     df = spark.range(1).select(F.col("id"), F.lit("a").alias("grp"))
     with pytest.raises(ValueError):
         repeat_rows(df, {"a": -1.0}, group_col="grp", id_col="id")
+
+
+def test_samplers_refuse_null_ids(spark):
+    """r5 review: concat_ws silently skipped a NULL id, giving every
+    null-id row the identical draw (an all-in/all-out correlated block,
+    one shard, one split).  The draw key now raises on the first null."""
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        bernoulli_sample,
+        shard_col,
+        split_assign,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception, match="non-null row id"):
+        bernoulli_sample(df, 0.5, "doc_id").collect()
+    with pytest.raises(Exception, match="non-null row id"):
+        df.select(shard_col("doc_id", 8)).collect()
+    with pytest.raises(Exception, match="non-null row id"):
+        split_assign(df, {"a": 0.5, "b": 0.5}, "doc_id").collect()
+
+
+def test_split_assign_rejects_negative_weights(spark):
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="positive"):
+        split_assign(df, {"a": 0.5, "b": -0.2, "c": 0.7}, "doc_id")
+
+
+def test_weighted_sample_rejects_overflowing_digits(spark):
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, rate double")
+    with pytest.raises(ValueError, match="digits"):
+        weighted_sample(df, "rate", "doc_id", digits=16)

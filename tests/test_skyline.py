@@ -63,3 +63,19 @@ def test_skyline_degenerate_single_value(spark):
     pts = [(5, 1), (5, 3), (5, 3), (5, 2)]
     got = _run(spark, pts, bins=4)
     assert got == [(5.0, 3.0), (5.0, 3.0)]
+
+
+def test_skyline_ignores_null_coordinates_and_empty_input(spark):
+    """r5 review: a NULL minimize value binned into the top cell and
+    seeded the running max, deleting genuine frontier rows; empty
+    input crashed on the driver."""
+    from real_time_stream_processing_engine_spark.operators.windows import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, 2.0, 10.0), (3, None, 100.0), (4, 3.0, None)],
+        "id long, cost double, score double",
+    )
+    got = {r.id for r in skyline_2d(df, "cost", "score").collect()}
+    assert got == {1, 2}  # null rows neither dominate nor appear
+    empty = df.filter("id < 0")
+    assert skyline_2d(empty, "cost", "score").count() == 0
