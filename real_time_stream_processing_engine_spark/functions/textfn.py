@@ -22,3 +22,18 @@ def normalize_ws(text: Column | str) -> Column:
     """Whitespace-normalized lowercase text (dedup fingerprint input)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def gram_array(toks: "Column", k: int):
+    """Word k-gram array over an (already tokenized) array column —
+    THE one gram constructor: dedup.shingles (distinct variant) and
+    contamination.repetition_ratio (multiplicity variant) both build
+    from this, so the tokenize/sequence/slice/concat_ws contract can
+    never silently diverge between them (r5 review catch).  Caller
+    guards ``size(toks) >= k`` (sequence would run backwards)."""
+    from pyspark.sql import functions as F
+
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )

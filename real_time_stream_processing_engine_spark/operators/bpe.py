@@ -121,9 +121,15 @@ def bpe_encode_words(
     All merges apply as chained codegen folds over the symbol array —
     no Python, no shuffle; run this on the DISTINCT-WORD table (vocab,
     ~1e6 rows at any corpus size) and broadcast-join the per-word token
-    counts back onto the corpus, never fold per occurrence."""
+    counts back onto the corpus, never fold per occurrence.
+
+    ``merges`` accepts (left, right) pairs OR :func:`bpe_learn`'s
+    (left, right, count) triples directly — the documented
+    train-then-apply composition used to crash unpacking the count
+    (r5 review catch)."""
     syms = char_symbols(F.col(word_col))
-    for a, b in merges:
+    for m in merges:
+        a, b = m[0], m[1]
         syms = apply_merge(syms, a, b)
     return words.withColumn("syms", syms).withColumn(
         "n_tokens", F.size("syms").cast("long")

@@ -94,6 +94,12 @@ def kmeans_lloyd(
         emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
     centroids = [[float(x) for x in r[1]] for r in seed_rows]
+    if not centroids:
+        raise ValueError(
+            "kmeans_lloyd: input frame has no rows to seed centroids from"
+        )
+    # fewer rows than k seeds fewer clusters — labels stay 0..n_seeds-1
+    # (documented degrade; an empty frame is the only hard error)
     dims = len(centroids[0])
     assigned = assign_clusters(emb, centroids, vec_col)
     for _ in range(iters - 1):

@@ -42,26 +42,35 @@ def contamination_overlap(
     join; the only exchange is the per-doc overlap aggregate, which
     carries one counter per contaminated doc.  Gram hashing (xxhash64)
     keeps the probe key 8 bytes."""
+    # shingles is ALREADY distinct per doc — the old collect_set round
+    # trip shuffled every document's full gram set (and buffered a
+    # multi-GB doc's set in one aggregation buffer) only to explode it
+    # straight back (r5 review catch).  Instead: broadcast LEFT join
+    # marks each gram hit-or-not at the scan, then ONE counter-only
+    # aggregate computes total and overlap together — one corpus scan,
+    # one exchange carrying two counters per doc.
     c = shingles(corpus.select(id_col, text_col), text_col, k=k).select(
         id_col, F.xxhash64("shingle").alias("gram")
-    )
-    per_doc = c.groupBy(id_col).agg(F.collect_set("gram").alias("_gs"))
-    long = per_doc.select(
-        id_col, F.size("_gs").alias("n_grams"), F.explode("_gs").alias("gram")
     )
     bench = (
         shingles(benchmark.select(text_col), text_col, k=k)
         .select(F.xxhash64("shingle").alias("gram"))
         .distinct()
-    )
-    hits = long.join(F.broadcast(bench), "gram").groupBy(id_col, "n_grams").agg(
-        F.count("*").alias("n_overlap")
+        .withColumn("_hit", F.lit(1))
     )
     return (
-        hits.select(
+        c.join(F.broadcast(bench), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n_grams"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .select(
             id_col,
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_ratio"),
+            F.round(F.col("n_overlap") / F.col("_n_grams"), 6).alias(
+                "overlap_ratio"
+            ),
         )
         .filter(F.col("overlap_ratio") >= min_ratio)
     )
@@ -81,19 +90,13 @@ def repetition_ratio(
     max/sum aggregate — two exchanges, payload one counter per distinct
     gram then one row per doc.  Docs shorter than k tokens are skipped
     (no grams, ratio undefined)."""
+    from ..functions.textfn import gram_array
+
     toks = df.select(id_col, F.col(text_col))
     g = (
         toks.withColumn("_toks", tokenize(text_col))
         .filter(F.size("_toks") >= k)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
-                )
-            ).alias("gram"),
-        )
+        .select(id_col, F.explode(gram_array(F.col("_toks"), k)).alias("gram"))
     )
     per_gram = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
     return per_gram.groupBy(id_col).agg(

@@ -135,12 +135,11 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE, out: str =
     """Word k-shingles (distinct per doc).  Docs with fewer than k
     tokens produce no shingles (guarded: Spark's ``sequence`` would
     otherwise run backwards)."""
+    from ..functions.textfn import gram_array
+
     toks = tokenize(text_col)
     df = df.withColumn("_toks", toks).filter(F.size("_toks") >= k)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
-    )
+    sh = gram_array(F.col("_toks"), k)
     return df.withColumn(out, F.explode(F.array_distinct(sh))).drop("_toks")
 
 

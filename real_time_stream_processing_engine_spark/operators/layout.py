@@ -115,6 +115,14 @@ def build_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).head()
+    if lo_a is None or lo_b is None:
+        # empty input or an all-NULL cluster column: float(None) would
+        # TypeError after the manifest check but before any write, and
+        # every retry re-crashes (r5 review catch) — name the problem
+        raise ValueError(
+            f"cannot z-order {path}: no non-null values in "
+            f"({col_a!r}, {col_b!r}) — empty input or all-NULL column"
+        )
     z = df.withColumn(
         ZCOL,
         zvalue(

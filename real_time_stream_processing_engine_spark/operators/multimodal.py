@@ -397,6 +397,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a cut-off object-store read still has valid headers; it
+            # must NOT silently decode as a shorter clip (the image
+            # codecs already raise on truncation — same posture here;
+            # r5 review catch)
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declared {size} bytes, "
+                f"got {len(body)}"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -518,6 +527,9 @@ def real_audio_frames(frame_size: int):
     squared samples, channel-summed) and RMS.  sumsq is EXACT integer
     arithmetic and rms = sqrt(sumsq/n) is one IEEE op on it, so the
     frames hash-match any engine recomputing the same samples."""
+    if frame_size < 1:
+        # fail once at the driver, not as per-row quarantine garbage
+        raise ValueError(f"frame_size must be >= 1, got {frame_size}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -623,6 +635,11 @@ def sample_video_frames(video: DataFrame, stride: int = 2,
     mapInPandas plumbing and quarantine-not-fail error posture.
     Compressed codecs (H.264 etc.) stay behind the env-gated
     PIL/ffmpeg boundary like JPEG/PNG."""
+    if stride < 1:
+        # a caller bug must fail ONCE at the driver; inside the decode
+        # loop it would quarantine EVERY row as ZeroDivisionError and
+        # the job would "succeed" with 100% garbage (r5 review catch)
+        raise ValueError(f"stride must be >= 1, got {stride}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

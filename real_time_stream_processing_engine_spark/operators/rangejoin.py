@@ -54,6 +54,17 @@ def binned_range_join(
     span = int(upper_s) - int(lower_s)
     if span <= 0:
         raise ValueError("upper_s must be greater than lower_s")
+    for df_, c in ((left, left_ts), (right, right_ts)):
+        t = df_.schema[c].dataType.typeName()
+        if t not in ("timestamp", "timestamp_ntz", "date"):
+            # unix_timestamp would cast a numeric epoch to STRING and
+            # parse it as a date — an opaque mid-join ANSI error (or
+            # all-NULL bins off ANSI).  Name the real problem instead
+            # (r5 review catch).
+            raise ValueError(
+                f"{c!r} must be a timestamp/date column, got {t}; for "
+                "epoch numbers convert first (F.timestamp_seconds)"
+            )
 
     def _epoch(df: DataFrame, c: str) -> Column:
         return F.unix_timestamp(df[c]).cast("long")

@@ -19,10 +19,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread_salt(n_salt: int):
+    """Salt in [0, n_salt) from the physical row position — spreads
+    byte-identical duplicate rows, which a content hash cannot: a hot
+    key made of identical rows would hash to ONE salt value and
+    re-concentrate in a single task, silently defeating the mitigation
+    (r5 review catch).  Aggregation and the salted join are both
+    correct under ANY salt assignment, so retry/repartition
+    nondeterminism of the salt is harmless."""
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salt),
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, str],
+    aggs: dict[str, str | list[str]],
     n_salt: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group-by keys.
@@ -34,18 +48,24 @@ def salted_agg(
     decompose into sum+count).  ``count`` follows SQL ``count(col)``
     semantics — nulls in the named column are excluded, exactly like
     ``groupBy().agg(F.count(col))`` — so the salted result is a drop-in
-    replacement for the unsalted aggregate.
+    replacement for the unsalted aggregate.  A column may map to a
+    LIST of functions (``{"v": ["sum", "count"]}``) — how an avg
+    decomposes; a plain dict cannot name the same column twice
+    (r5 review catch).
 
-    The salt is deterministic (hash of the whole row via xxhash64 over
-    all columns) so re-runs are stable.
+    The salt spreads by physical row position (:func:`_spread_salt`),
+    not by content hash.
     """
     supported = {"sum", "count", "min", "max"}
-    bad = {fn for fn in aggs.values() if fn not in supported}
-    if bad:
-        raise ValueError(f"non-reaggregable functions: {bad}")
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salt))
+    norm: list[tuple[str, str]] = []
+    for c, fns in aggs.items():
+        for fn in [fns] if isinstance(fns, str) else list(fns):
+            if fn not in supported:
+                raise ValueError(f"non-reaggregable function: {fn!r}")
+            norm.append((c, fn))
+    salt = _spread_salt(n_salt)
     partial_exprs, final_exprs = [], []
-    for c, fn in aggs.items():
+    for c, fn in norm:
         p = f"_p_{c}_{fn}"
         partial_exprs.append(getattr(F, fn)(c).alias(p))
         refn = "sum" if fn in ("sum", "count") else fn  # partials re-combine
@@ -75,8 +95,10 @@ def salted_join(
     """
     if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
-    salt_b = F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)).cast("int")
-    b = big.withColumn("_salt", salt_b)
+    # position-derived salt: join correctness never depends on WHICH
+    # salt a big-side row takes (the small side is replicated for every
+    # value), so spreading is the only requirement
+    b = big.withColumn("_salt", _spread_salt(n_salt).cast("int"))
     s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     joined = b.join(s, [on, "_salt"], how)
     return joined.drop("_salt")

@@ -87,3 +87,37 @@ def test_video_frame_sampler_stride(spark):
     assert sorted(rows) == [0, 2, 4]
     assert rows[2].sum_px == 80 and rows[2].min_px == 20
     assert rows[0].decode_error is None
+
+
+def test_truncated_wav_is_quarantined_not_shortened(spark):
+    """r5 review: a cut-off WAV still has valid headers; it must land
+    in quarantine (decode_error), never decode as a shorter clip."""
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    import numpy as np
+
+    full = encode_wav(np.array([100, -100, 200, -200] * 100), rate=16000)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(full[: len(full) // 2])
+
+
+def test_frame_samplers_validate_parameters(spark):
+    """r5 review: stride=0 / frame_size=0 used to quarantine EVERY row
+    as ZeroDivisionError; they must fail once at the driver."""
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        real_audio_frames,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with _pytest.raises(ValueError, match="stride"):
+        sample_video_frames(df, stride=0)
+    with _pytest.raises(ValueError, match="frame_size"):
+        real_audio_frames(0)

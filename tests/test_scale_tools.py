@@ -151,3 +151,67 @@ def test_salted_join_rejects_outer_joins(spark, sf_dir):
     with pytest.raises(ValueError):
         salted_join(ev, dim, "k", how="right")
     assert salted_join(ev, dim, "k", how="left_outer").count() == 10
+
+
+def test_salt_spreads_byte_identical_duplicate_rows(spark):
+    """r5 review: a content-hash salt concentrated a hot key made of
+    identical rows into ONE salt bucket, silently defeating the
+    mitigation.  The positional salt must spread them."""
+    from real_time_stream_processing_engine_spark.operators.skew import (
+        _spread_salt,
+        salted_agg,
+    )
+
+    dup = spark.createDataFrame([("hot", 1.0)] * 2000, "k string, v double").repartition(8)
+    n_buckets = dup.select(_spread_salt(16).alias("s")).distinct().count()
+    assert n_buckets > 4  # identical rows land in many salt buckets
+    # and the multi-fn aggs spell an avg decomposition in one call
+    got = salted_agg(dup, ["k"], {"v": ["sum", "count"]}).collect()[0]
+    assert (got.sum_v, got.count_v) == (2000.0, 2000)
+
+
+def test_zorder_and_kmeans_reject_empty_input(spark, tmp_path):
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+    from real_time_stream_processing_engine_spark.operators.layout import (
+        build_zordered,
+    )
+
+    empty = spark.createDataFrame([], "id long, a double, b double")
+    with _pytest.raises(ValueError, match="z-order"):
+        build_zordered(empty, str(tmp_path / "z"), "a", "b")
+    eempty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="no rows"):
+        kmeans_lloyd(eempty, k=4)
+
+
+def test_range_join_rejects_numeric_epoch_columns(spark):
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    l = spark.createDataFrame([(1, 1000)], "id long, ts long")
+    r = spark.createDataFrame([(2, 2000)], "id long, ts long")
+    with _pytest.raises(ValueError, match="timestamp"):
+        binned_range_join(l, r, "ts", "ts", lower_s=0, upper_s=3600)
+
+
+def test_bpe_encode_accepts_learned_triples(spark):
+    """r5 review: bpe_learn returns (l, r, count) triples; the encoder
+    must consume them directly."""
+    from real_time_stream_processing_engine_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_learn,
+    )
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6)], "word string, w long"
+    )
+    merges, _ = bpe_learn(words, n_merges=3)
+    out = bpe_encode_words(words, merges)
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
