@@ -166,7 +166,10 @@ def test_temperature_rates_invariants(counts, alpha, budget):
             st.characters(blacklist_categories=("Cs", "Cc", "Zl", "Zp")),
             min_size=1,
             max_size=10,
-        ),
+        # whitespace-only terms are now REJECTED inputs (r5: an empty
+        # alternation branch matches at every position) — see
+        # test_blocklist_rejects_empty_terms for that contract
+        ).filter(lambda t: t.strip()),
         min_size=1,
         max_size=6,
     )
