@@ -42,6 +42,16 @@ Commands:
 MAX_PRINT_ROWS = 20
 
 
+def _arg(line: str, usage: str) -> str:
+    """The command's argument, or a USAGE error instead of the baffling
+    'error: list index out of range' a bare `ls`/`merge`/`sql`/`use`
+    used to print (r5 review catch)."""
+    parts = line.split(None, 1)
+    if len(parts) < 2 or not parts[1].strip():
+        raise ValueError(f"usage: {usage}")
+    return parts[1]
+
+
 def _print_df(df, out) -> None:
     rows = df.limit(MAX_PRINT_ROWS + 1).collect()
     cols = df.columns
@@ -84,12 +94,12 @@ def _dispatch(spark, line: str, out=sys.stdout) -> bool:
         return True
     try:
         if word == "ls":
-            for e in catalog.ls(spark, line.split(None, 1)[1]):
+            for e in catalog.ls(spark, _arg(line, "ls <path>")):
                 kind = "dir " if e["is_dir"] else "file"
                 print(f"{kind} {e['bytes']:>12} {e['path']}", file=out)
             return True
         if word == "merge":
-            catalog.merge(spark, line.split(None, 1)[1])
+            catalog.merge(spark, _arg(line, "merge <path>"))
             print("merged", file=out)
             return True
         if word == "rainstorm":
@@ -97,12 +107,12 @@ def _dispatch(spark, line: str, out=sys.stdout) -> bool:
             return True
         if word == "sql":
             _ensure_tables(spark, out)
-            _print_df(spark.sql(line.split(None, 1)[1]), out)
+            _print_df(spark.sql(_arg(line, "sql <query>")), out)
             return True
         if word == "use":
             from .sources.readers import register_tables
 
-            names = register_tables(spark, line.split(None, 1)[1])
+            names = register_tables(spark, _arg(line, "use <sf_dir>"))
             _ensure_tables.done = True
             print(f"registered {len(names)} tables", file=out)
             return True

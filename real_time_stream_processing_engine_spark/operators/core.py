@@ -158,7 +158,17 @@ def aggregate(
     checkpointed state — the exactly-once version of the reference's
     running count.
     """
+    if function.lower() not in _AGG_FNS:
+        raise ValueError(
+            f"unknown aggregate {function!r}; supported: "
+            f"{sorted(_AGG_FNS)}"
+        )
     fn = _AGG_FNS[function.lower()]
+    if field is None and function.lower() != "count":
+        # only count('*') is meaningful without a field; sum('*') would
+        # otherwise surface as an opaque Spark analysis error far from
+        # the user's typo (r5 review catch)
+        raise ValueError(f"AGGREGATE:{function} requires a field")
     target = field if field is not None else "*"
     name = alias or (function.lower() if field is None else f"{function.lower()}_{field}")
 

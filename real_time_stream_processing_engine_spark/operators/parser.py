@@ -101,7 +101,18 @@ def create_operator(spec: str, line_col: str = core.LINE_COL) -> Transform:
         fn = parts[1].lower()
         field = parts[2] if len(parts) > 2 and parts[2] else None
         keys: tuple[str, ...] = ()
-        if len(parts) > 3 and parts[3].startswith("by="):
+        if len(parts) > 3:
+            # a malformed grouping segment must ERROR, not silently
+            # fall back to a global aggregate (r5 review catch:
+            # `AGGREGATE:sum:price:key=region` returned one global sum)
+            if not parts[3].startswith("by="):
+                raise ValueError(
+                    f"AGGREGATE grouping must be 'by=<cols>', got {parts[3]!r}"
+                )
+            if len(parts) > 4:
+                raise ValueError(
+                    f"AGGREGATE takes at most 4 segments, got {len(parts)}"
+                )
             keys = tuple(k.strip() for k in parts[3][3:].split(",") if k.strip())
         return core.aggregate(fn, field, keys)
 
@@ -124,11 +135,16 @@ def parse_command(command: str, line_col: str = core.LINE_COL) -> RainstormComma
         raise ValueError("command must start with RAINSTORM")
     if len(tokens) < 4:
         raise ValueError("RAINSTORM <op1> [... opN] <file> <numTasks>")
+    # len(tokens) >= 4 guarantees ops is non-empty after unpacking
     *ops, input_file, num_tasks = tokens[1:]
-    if not ops:
-        raise ValueError("at least one operator required")
     transforms = tuple(create_operator(o, line_col=line_col) for o in ops)
-    return RainstormCommand(transforms, input_file.strip('"'), int(num_tasks))
+    # the tokenizer is quote-tolerant for every token: strip quotes from
+    # numTasks too, not only the filename (r5 review catch)
+    try:
+        n_tasks = int(num_tasks.strip('"'))
+    except ValueError:
+        raise ValueError(f"numTasks must be an integer, got {num_tasks!r}") from None
+    return RainstormCommand(transforms, input_file.strip('"'), n_tasks)
 
 
 def run_command(spark, command: str):

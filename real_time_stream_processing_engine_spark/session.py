@@ -54,14 +54,21 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else ``*``)
-    so the same entry points serve tests, bench, and a real cluster
-    (where ``master`` is supplied by spark-submit and this arg is None).
+    Master resolution: the explicit ``master`` arg, else
+    ``$SPARK_MASTER_URL`` (passed THROUGH to the builder — Spark core
+    never reads that env var itself, so checking-without-passing left
+    the master unset entirely; r5 review catch), else spark-submit's
+    pre-set ``spark.master`` conf, else ``local[$SPARK_GRAFT_CPUS]``.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and not os.environ.get("SPARK_MASTER_URL"):
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+    if master is None:
+        master = os.environ.get("SPARK_MASTER_URL")
+    if master is None:
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):  # not spark-submit
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)

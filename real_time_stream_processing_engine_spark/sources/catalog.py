@@ -53,11 +53,9 @@ def ls(spark: SparkSession, path: str) -> list[dict]:
     that is the FS's concern, and plans should never depend on them."""
     # Hadoop FS API via the JVM gateway so the listing matches exactly
     # what Spark's scans will see (globbing, hidden-file rules aside).
-    jvm = spark._jvm
-    jsc = spark._jsc
-    conf = jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
+    from .fsmeta import fs_and_path
+
+    fs, p = fs_and_path(spark, path)
     if not fs.exists(p):
         return []
     out = []
@@ -79,14 +77,32 @@ def merge(spark: SparkSession, path: str, fmt: str = "parquet", target_files: in
     With durability delegated there is nothing to converge; the useful
     surviving semantic is COMPACTION — many small append files rewritten
     to few large ones (the small-files problem is the 100 TB analogue of
-    replica sprawl).  Rewrites via a temp dir + atomic rename."""
+    replica sprawl).  Rewrites via a temp dir + atomic rename.
+
+    FLAT LAYOUTS ONLY: a hive-partitioned table (key=value subdirs)
+    would silently coalesce to ONE unpartitioned file, destroying the
+    layout partition pruning depends on — refused up front; compact
+    partitioned tables per-partition instead (r5 review catch).
+    EXCLUSIVE WRITER during the merge: an append racing the rewrite
+    window lands its files in the directory the swap renames aside
+    and deletes — same single-compactor discipline every file-based
+    table format requires (a lakehouse format's optimistic commit
+    protocol is the upgrade path)."""
+    entries = ls(spark, path)
+    if any(
+        e["is_dir"] and "=" in os.path.basename(e["path"]) for e in entries
+    ):
+        raise ValueError(
+            f"merge({path}): hive-partitioned layout — compacting would "
+            "flatten it; rewrite per-partition instead"
+        )
     df = get(spark, path, fmt)
     # target size from the FILE listing (cheap metadata), not
     # df.rdd.getNumPartitions() — that forces an RDD conversion + plan
     # analysis just to count inputs the FS already knows
     n_files = sum(
         1
-        for e in ls(spark, path)
+        for e in entries
         if not e["is_dir"]
         and not os.path.basename(e["path"]).startswith(("_", "."))
     )
@@ -126,15 +142,17 @@ def replace_contents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     base = path.rstrip("/")
     tmp = f"{base}{_SWAP_TMP}{token}"
     getattr(df.write.mode("overwrite"), fmt)(tmp)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(base)
-    oldp = jvm.org.apache.hadoop.fs.Path(f"{base}{_SWAP_OLD}{token}")
-    fs = src.getFileSystem(conf)
+    from .fsmeta import fs_and_path, rename_or_raise
+
+    fs, src = fs_and_path(spark, tmp)
+    _, dst = fs_and_path(spark, base)
+    _, oldp = fs_and_path(spark, f"{base}{_SWAP_OLD}{token}")
+    # every rename CHECKED: Hadoop rename reports failure by returning
+    # false, and an unchecked step-2 failure would nest the tmp dir
+    # INSIDE the live table at step 3 (r5 review catch)
     if fs.exists(dst):
-        fs.rename(dst, oldp)
-    fs.rename(src, dst)
+        rename_or_raise(fs, dst, oldp)
+    rename_or_raise(fs, src, dst)
     fs.delete(oldp, True)
 
 
@@ -154,11 +172,10 @@ def recover_swap(spark: SparkSession, path: str) -> bool:
       them.
 
     Idempotent and safe to call before every read-or-seed decision."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
+    from .fsmeta import fs_and_path, rename_or_raise
+
     base = path.rstrip("/")
-    dst = jvm.org.apache.hadoop.fs.Path(base)
-    fs = dst.getFileSystem(conf)
+    fs, dst = fs_and_path(spark, base)
     parent, name = dst.getParent(), dst.getName()
     olds: dict[str, object] = {}
     tmps: dict[str, object] = {}
@@ -174,10 +191,13 @@ def recover_swap(spark: SparkSession, path: str) -> bool:
         for token, oldp in sorted(olds.items()):
             tmpp = tmps.pop(token, None)
             if tmpp is not None:
-                fs.rename(tmpp, dst)
+                # the delete of old runs ONLY after the forward rename
+                # SUCCEEDED — an unchecked false return here would
+                # destroy the only surviving copy (r5 review catch)
+                rename_or_raise(fs, tmpp, dst)
                 fs.delete(oldp, True)
             else:  # pragma: no cover - unreachable under the protocol
-                fs.rename(oldp, dst)
+                rename_or_raise(fs, oldp, dst)
             olds.pop(token)
             break
     if not fs.exists(dst):

@@ -92,3 +92,21 @@ def hadoop_tree_stats(spark: SparkSession, path: str) -> dict[str, int]:
         total_bytes += st.getLen()
         max_mtime = max(max_mtime, st.getModificationTime())
     return {"n_files": n_files, "bytes": total_bytes, "max_mtime_ms": max_mtime}
+
+
+def fs_and_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) through the Hadoop API — the one place the
+    jvm-gateway boilerplate lives (catalog's ls/swap/recover all
+    hand-rolled it; r5 review catch)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure by returning FALSE,
+    not by throwing — an unchecked rename inside the swap protocol let
+    a failed step fall through to deleting the only surviving copy of
+    a table (r5 review catch).  Every swap step goes through here."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")

@@ -88,3 +88,34 @@ def test_cli_sql_front_door(tmp_path):
     lines = [l for l in out.stdout.splitlines() if l and not l.startswith("registered")]
     assert lines[0] == "event_type\tn"
     assert len(lines) == 6  # 5 event types + header
+
+
+def test_repl_commands_give_usage_not_index_error(spark):
+    """r5 review: bare `ls`/`merge`/`sql`/`use` printed 'error: list
+    index out of range'; they must print a usage hint."""
+    import io
+
+    from real_time_stream_processing_engine_spark.__main__ import _dispatch
+
+    for cmd in ("ls", "merge", "sql", "use"):
+        buf = io.StringIO()
+        assert _dispatch(spark, cmd, out=buf) is True
+        assert "usage:" in buf.getvalue()
+        assert "index out of range" not in buf.getvalue()
+
+
+def test_parser_rejects_malformed_aggregate_grouping(spark):
+    """r5 review: `AGGREGATE:sum:price:key=region` silently returned a
+    GLOBAL sum; malformed grouping must error."""
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.parser import (
+        create_operator,
+    )
+
+    with _pytest.raises(ValueError, match="by="):
+        create_operator("AGGREGATE:sum:price:key=region")
+    with _pytest.raises(ValueError, match="requires a field"):
+        create_operator("AGGREGATE:sum")
+    with _pytest.raises(ValueError, match="unknown aggregate"):
+        create_operator("AGGREGATE:median:price")
