@@ -12102,10 +12102,10 @@ def q231_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM lineitem GROUP BY 1),
     j AS (SELECT o.o_orderkey,
                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
-                 COALESCE(ls.line_cents, 0) AS line_cents
+                 CAST(COALESCE(ls.line_cents, 0) AS BIGINT) AS line_cents
           FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
     SELECT o_orderkey, header_cents, line_cents,
-           abs(header_cents - line_cents) AS gap_cents
+           CAST(abs(header_cents - line_cents) AS BIGINT) AS gap_cents
     FROM j
     ORDER BY abs(header_cents - line_cents) DESC, o_orderkey
     LIMIT 10
@@ -12900,7 +12900,7 @@ def q243_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY bucket),
     t AS (SELECT sum(n) AS total FROM h)
     SELECT bucket,
-           CAST(2 AS BIGINT) ** bucket AS lo_cents,
+           CAST(2 ** bucket AS BIGINT) AS lo_cents,
            n,
            CAST((n * 1000000) // total AS BIGINT) AS share_ppm
     FROM h, t

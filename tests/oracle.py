@@ -5,6 +5,18 @@ tables, then compares row count, column-name set, and an
 order-insensitive value hash (columns sorted by name, floats rounded to
 6 decimals, rows sorted canonically) — the same contract
 CORRECTNESS_r{N}.json is built from.
+
+Round-6 hardening (VERDICT r5 "What's wrong" §3): the r1-r5 harness was
+NOT predictive for output-type divergence — it fetched the oracle via
+``fetchall()`` (DuckDB HUGEINT → exact Python int) and compared with
+Python ``==`` (``65536.0 == 65536`` is True), so q232 (HUGEINT from
+``sum(BIGINT)``) and q244 (DOUBLE from ``**``) were local-green but
+driver-red for two rounds.  The driver's fetch path is arrow-shaped
+(HUGEINT renders as float64, BIGINT-with-NULLs stays int64), so this
+mirror now (a) fetches the oracle relation through ``rel.arrow()`` and
+(b) tags every canonical value with its int/float/other class, making
+``65536.0`` != ``65536``.  ``tests/test_oracle_dtype_parity.py`` closes
+the class wholesale with a schema-level scan.
 """
 
 from __future__ import annotations
@@ -39,17 +51,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v: Any) -> Any:
+    """Type-tagged canonical form: ints and floats never compare equal
+    across the class boundary (the driver's hasher distinguishes them,
+    so the local mirror must too — VERDICT r5)."""
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+            return ("f", "NaN")
+        return ("f", round(v, 6))
     if isinstance(v, int):
-        return v
+        return ("i", v)
     if v is None:
         return None
-    return str(v)
+    return ("s", str(v))
 
 
 def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -63,7 +78,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
-    d_rows = rel.fetchall()
+    # Fetch through arrow, mirroring the driver: DuckDB's arrow export
+    # renders HUGEINT as float64 (arrow has no int128) while BIGINT
+    # columns (NULLs included) stay int64 — exactly the type surface
+    # the driver hashes.  fetchall() would hide HUGEINT leaks by
+    # converting them to exact Python ints.
+    tbl = rel.arrow()
+    d_rows = [
+        tuple(row[c] for c in d_cols)
+        for row in tbl.to_pylist()
+    ]
     result = {
         "rows_spark": len(s_rows),
         "rows_oracle": len(d_rows),
