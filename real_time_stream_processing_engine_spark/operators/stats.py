@@ -266,10 +266,15 @@ def grouped_quantile_crossings(df: DataFrame, group_col: str,
         F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("v")))
         .cast("long")
         .alias("p90"),
+        # NULLIF guards the p10 divisor: the operator is generic over
+        # value domains that may include 0 (r5 advice), and an explicit
+        # NULL-on-zero holds under BOTH default and ANSI modes instead
+        # of silently depending on non-ANSI DIV semantics.
         F.expr(
             "CAST((CAST(min(CASE WHEN 10 * cum >= 9 * n THEN v END)"
             " AS DECIMAL(38,0)) * 1000)"
-            " DIV min(CASE WHEN 10 * cum >= n THEN v END) AS BIGINT)"
+            " DIV NULLIF(min(CASE WHEN 10 * cum >= n THEN v END), 0)"
+            " AS BIGINT)"
         ).alias("p90_p10_permille"),
     )
 

@@ -458,7 +458,11 @@ def bm25_topk_indexed(
     terms = sorted({t.lower() for t in query_terms})
     try:
         pp = spark.read.parquet(f"{path}/probe_params").head()
-        n_shards, seed = int(pp.n_shards), str(pp.seed)
+        # head() is None when the sidecar directory exists but holds no
+        # rows (e.g. an interrupted write) — fall back to the legacy
+        # arguments exactly as for a missing sidecar (r5 advice).
+        if pp is not None:
+            n_shards, seed = int(pp.n_shards), str(pp.seed)
     except AnalysisException:  # legacy index without the sidecar
         pass
     shards = sorted({_term_shard_py(t, n_shards, seed) for t in terms})

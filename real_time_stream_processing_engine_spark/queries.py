@@ -18314,7 +18314,8 @@ def q324_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS p90_cents,
            CAST((CAST(min(CASE WHEN 10 * cum >= 9 * n THEN cents END)
                       AS HUGEINT) * 1000)
-                // min(CASE WHEN 10 * cum >= n THEN cents END) AS BIGINT)
+                // NULLIF(min(CASE WHEN 10 * cum >= n THEN cents END), 0)
+                AS BIGINT)
              AS p90_p10_permille
     FROM cum GROUP BY seg
     """,

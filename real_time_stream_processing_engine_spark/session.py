@@ -46,6 +46,28 @@ _DEFAULTS = {
 }
 
 
+def resolve_master(master: str | None, env=None) -> str | None:
+    """Pure master-resolution policy (unit-testable without a JVM).
+
+    Explicit arg > ``$SPARK_MASTER_URL`` > spark-submit's own
+    ``--master`` (signalled by ``PYSPARK_GATEWAY_PORT``, which
+    PythonRunner sets in the launched driver's environment — returning
+    None leaves the builder master-less so the gateway's conf wins) >
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    if env is None:
+        env = os.environ
+    if master is not None:
+        return master
+    master = env.get("SPARK_MASTER_URL")
+    if master is not None:
+        return master
+    if "PYSPARK_GATEWAY_PORT" in env:  # spark-submit: defer to gateway
+        return None
+    cpus = env.get("SPARK_GRAFT_CPUS", "*")
+    return f"local[{cpus}]"
+
+
 def get_spark(
     app_name: str = "real_time_stream_processing_engine_spark",
     master: str | None = None,
@@ -59,16 +81,18 @@ def get_spark(
     never reads that env var itself, so checking-without-passing left
     the master unset entirely; r5 review catch), else spark-submit's
     pre-set ``spark.master`` conf, else ``local[$SPARK_GRAFT_CPUS]``.
+
+    spark-submit detection (r5 advice): probing ``SparkConf()`` before
+    the JVM gateway exists always returns False (``SparkContext._jvm``
+    is None at first call), so the old conf probe unconditionally forced
+    local mode, clobbering ``--master``.  PythonRunner launches the
+    python driver with ``PYSPARK_GATEWAY_PORT`` in its environment —
+    that env var is the reliable pre-JVM signal that a gateway (and its
+    ``spark.master``) already exists, so we only default to local when
+    it is absent.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None:
-        master = os.environ.get("SPARK_MASTER_URL")
-    if master is None:
-        from pyspark import SparkConf
-
-        if not SparkConf().contains("spark.master"):  # not spark-submit
-            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-            master = f"local[{cpus}]"
+    master = resolve_master(master)
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)

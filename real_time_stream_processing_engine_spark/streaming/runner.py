@@ -95,7 +95,22 @@ def _expand_links(prefix: str, src_path: str) -> dict[str, str]:
     parts = list_part_files(src_path)
     if parts == [src_path]:
         return {f"{prefix}.parquet": src_path}
-    return {f"{prefix}_{os.path.basename(p)}": p for p in parts}
+    # Key links by the path RELATIVE to src_path with separators
+    # flattened, not by basename: part discovery is recursive, and a
+    # hive-partitioned layout repeats the same part filename
+    # (part-00000-<uuid>.c000.parquet) in every key=value subdirectory —
+    # basename keys would silently collapse those to one link (r5
+    # advice: silent data loss).
+    links: dict[str, str] = {}
+    for p in parts:
+        rel = os.path.relpath(p, src_path) if p != src_path else os.path.basename(p)
+        name = f"{prefix}_{rel.replace(os.sep, '__')}"
+        if name in links:
+            raise RuntimeError(
+                f"duplicate staged link name {name!r} for {links[name]} and {p}"
+            )
+        links[name] = p
+    return links
 
 
 def _env_max_files_per_trigger() -> int | None:
