@@ -96,14 +96,30 @@ def _expand_links(prefix: str, src_path: str) -> dict[str, str]:
     if parts == [src_path]:
         return {f"{prefix}.parquet": src_path}
     # Key links by the path RELATIVE to src_path with separators
-    # flattened, not by basename: part discovery is recursive, and a
-    # hive-partitioned layout repeats the same part filename
-    # (part-00000-<uuid>.c000.parquet) in every key=value subdirectory —
-    # basename keys would silently collapse those to one link (r5
-    # advice: silent data loss).
+    # flattened, not by basename: part discovery is recursive, and
+    # nested drop-zone layouts (batch1/part-00000, batch2/part-00000)
+    # repeat part filenames across subdirectories — basename keys
+    # silently collapsed those to one link (r5 advice: silent data
+    # loss).  HIVE-partitioned layouts are refused outright: their
+    # key=value directory names carry column VALUES that a flattened
+    # symlink dir cannot represent (Spark parses partition values from
+    # directory names only), so staging one would stream rows missing
+    # the partition columns the batch reader resolves — the same
+    # refuse-dont-flatten contract as catalog.merge_table (r6 review
+    # catch).
     links: dict[str, str] = {}
     for p in parts:
         rel = os.path.relpath(p, src_path) if p != src_path else os.path.basename(p)
+        comps = rel.split(os.sep)[:-1]
+        hive = [c for c in comps if "=" in c]
+        if hive:
+            raise RuntimeError(
+                f"refusing to stage hive-partitioned layout {src_path!r} as a "
+                f"flat stream dir: directory component(s) {hive} carry "
+                "partition-column values that symlink flattening would drop "
+                "(rows would stream without those columns). Point the stream "
+                "at a flat copy, or read the directory directly."
+            )
         name = f"{prefix}_{rel.replace(os.sep, '__')}"
         if name in links:
             raise RuntimeError(

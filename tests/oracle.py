@@ -78,16 +78,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
     d_cols = list(rel.columns)
-    # Fetch through arrow, mirroring the driver: DuckDB's arrow export
-    # renders HUGEINT as float64 (arrow has no int128) while BIGINT
-    # columns (NULLs included) stay int64 — exactly the type surface
-    # the driver hashes.  fetchall() would hide HUGEINT leaks by
-    # converting them to exact Python ints.
+    # Fetch through arrow: a leaked HUGEINT exports as decimal128(38,0)
+    # (this duckdb; pandas .df() would render float64) — under the
+    # tagged _canon either rendering can never compare equal to a Spark
+    # bigint, while fetchall() converts HUGEINT to an exact Python int
+    # and would hide the leak entirely.  BIGINT columns (NULLs
+    # included) stay int64.  Extraction is POSITIONAL (per-column
+    # to_pylist, zipped) — to_pylist() row dicts would silently
+    # collapse duplicate output column names (r6 review catch).
     tbl = rel.arrow()
-    d_rows = [
-        tuple(row[c] for c in d_cols)
-        for row in tbl.to_pylist()
-    ]
+    d_rows = list(zip(*(tbl.column(i).to_pylist() for i in range(tbl.num_columns)))) if tbl.num_columns else []
     result = {
         "rows_spark": len(s_rows),
         "rows_oracle": len(d_rows),

@@ -34,28 +34,47 @@ def test_resolve_master_policy():
     assert resolve_master(None, env={"SPARK_GRAFT_CPUS": "8"}) == "local[8]"
 
 
-def test_expand_links_hive_partitioned_no_collision(tmp_path):
+def test_expand_links_nested_dirs_no_collision(tmp_path):
     """ADVICE r5 (streaming/runner.py): basename-keyed links silently
-    dropped all-but-one part when a hive layout repeats the same part
-    filename in every key=value subdirectory."""
+    dropped all-but-one part when nested subdirectories repeat the
+    same part filename (the drop-zone layout)."""
     from real_time_stream_processing_engine_spark.streaming.runner import (
         _expand_links,
     )
 
-    root = tmp_path / "hive"
-    for k in ("d=1", "d=2", "d=3"):
+    root = tmp_path / "drops"
+    for k in ("batch1", "batch2", "batch3"):
         (root / k).mkdir(parents=True)
-        # identical basename in every partition directory — the real
-        # layout a single job's INSERT produces
+        # identical basename in every subdirectory — the real layout
+        # repeated single-job INSERTs produce
         (root / k / "part-00000-abc.c000.parquet").write_bytes(b"x")
     links = _expand_links("events", str(root))
     assert len(links) == 3, links
     assert sorted(links.values()) == sorted(
         str(root / k / "part-00000-abc.c000.parquet")
-        for k in ("d=1", "d=2", "d=3")
+        for k in ("batch1", "batch2", "batch3")
     )
     # link names stay filesystem-safe (no separators) and unique
     assert all(os.sep not in name for name in links)
+
+
+def test_expand_links_refuses_hive_layout(tmp_path):
+    """r6 review catch: a flattened symlink dir cannot represent
+    key=value directory names, so staging a hive layout would stream
+    rows WITHOUT the partition columns the batch reader resolves —
+    refuse loudly instead (same contract as catalog.merge_table)."""
+    import pytest
+
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        _expand_links,
+    )
+
+    root = tmp_path / "hive"
+    for k in ("city=NY", "city=SF"):
+        (root / k).mkdir(parents=True)
+        (root / k / "part-00000-abc.c000.parquet").write_bytes(b"x")
+    with pytest.raises(RuntimeError, match="hive-partitioned"):
+        _expand_links("events", str(root))
 
 
 def test_expand_links_flat_dir_unchanged(tmp_path):
@@ -104,6 +123,22 @@ def test_bm25_indexed_empty_sidecar_falls_back_to_args(spark, tmp_path):
         ).collect()
     ]
     assert got == want and want
+
+
+def test_oracle_compare_positional_on_duplicate_columns(spark, tmp_path):
+    """r6 review catch: arrow to_pylist() row-dicts collapse duplicate
+    output column names; the harness must extract positionally so a
+    duplicate-named oracle projection still compares value-for-value."""
+    import duckdb
+
+    from .oracle import compare
+
+    con = duckdb.connect()
+    ok = compare(spark.sql("SELECT 1 AS a, 2 AS a"), con, "SELECT 1 AS a, 2 AS a")
+    assert ok["ok"], ok
+    bad = compare(spark.sql("SELECT 1 AS a, 2 AS a"), con, "SELECT 1 AS a, 1 AS a")
+    assert not bad["ok"], bad
+    con.close()
 
 
 def test_cc_star_single_upstream_pass(spark):
