@@ -703,3 +703,184 @@ def basket_similarity(
     )
     out.popularity_overflow = stats
     return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    bucket_width: int = 16,
+    prefix_len: int = 120,
+    max_dist: int = 12,
+) -> DataFrame:
+    """Edit-distance near-dup pairs, length-bucket blocked — the
+    typo/OCR-noise dedup family (token-set operators above are blind to
+    character-level noise; Levenshtein is its exact measure).
+
+    All-pairs Levenshtein is |corpus|² x O(prefix²) — never viable.
+    Two filters bound it, both EXACT for the declared predicate
+    ``dist(prefix) <= max_dist``:
+
+    - length blocking: edit distance >= |len(a) - len(b)|, so partner
+      lengths live within ``max_dist``.  Docs hash-join on
+      (``block_col``, length-bucket) with each doc probing its own and
+      the next bucket (``bucket_width > max_dist`` makes bucket skew
+      >= 2 imply length gap > max_dist); a pair straddling buckets
+      matches once, in the higher bucket — dedup by construction, no
+      distinct.  The residual in-bucket |len diff| <= max_dist check
+      runs before any Levenshtein.
+    - prefix truncation: the measured string is the first
+      ``prefix_len`` chars of the whitespace-normalized text, making
+      per-pair cost O(prefix_len²) flat, independent of document size
+      (declared semantics, same posture as the q43 winnowing window).
+
+    Work is Σ|bucket|x|adjacent| — bucket population is bounded by the
+    length histogram slice, the usual mega-bucket story (hot buckets
+    spread across tasks because the JOIN is a hash join on the bucket
+    key, never a collect_list).  Levenshtein itself runs JVM-side
+    (``F.levenshtein``), inside whole-stage codegen."""
+    if bucket_width <= max_dist:
+        raise ValueError(
+            f"bucket_width ({bucket_width}) must exceed max_dist "
+            f"({max_dist}): adjacent-bucket probing is only exact when "
+            "a >=2-bucket skew implies a length gap beyond max_dist"
+        )
+    nw = normalize_ws(text_col)
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            F.substring(nw, 1, prefix_len).alias("_pfx"),
+            F.length(nw).alias("_len"),
+        )
+        .withColumn("_bkt", F.floor(F.col("_len") / bucket_width))
+    )
+    # each doc probes bucket b and b+1; a pair is counted at the
+    # HIGHER of the two docs' buckets, exactly once
+    probe = base.select(
+        "*", F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_pb")
+    )
+    # Round-robin rebalance of the PROBE side: pair expansion makes
+    # downstream work ∝ Σ|block|², not input bytes, so scan-derived
+    # partitioning under-splits it badly (a single-file corpus slice
+    # reads as ONE task and serializes every Levenshtein onto one
+    # core — measured 65 s -> 3 s at sf0.1).  Round-robin, not
+    # hash-by-block: with the other side hash-distributed by Catalyst
+    # (broadcast while it fits), any probe row can meet its block
+    # anywhere, and a hot (lang, bucket) block spreads over ALL tasks
+    # instead of hashing onto one.  Explicit N so AQE cannot coalesce
+    # the tiny-bytes exchange back into the single task it exists to
+    # break up.
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    a, b = probe.repartition(n_tasks).alias("a"), probe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._pb") == F.col("b._pb"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(F.col("a._pb") == F.greatest(F.col("a._bkt"), F.col("b._bkt")))
+        .filter(
+            F.abs(F.col("a._len") - F.col("b._len")) <= max_dist
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.levenshtein(F.col("a._pfx"), F.col("b._pfx"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int = 16,
+    min_cont_ppm: int = 800_000,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs — the SUBSET detector.
+    Jaccard (q17/q141) misses a short doc embedded verbatim in a long
+    one (|A∩B|/|A∪B| is small when |B| >> |A|); containment
+    C(A,B) = |A∩B| / |A| is the standard fix (Broder's resemblance
+    vs containment distinction).
+
+    Shingle space is CHARACTER k-grams of the whitespace-normalized
+    text (character level so word-boundary edits don't zero the
+    overlap), distinct per doc.  The declared measure is containment
+    over DISCRIMINATIVE shingles only — those appearing in at most
+    ``max_df`` docs; boilerplate k-grams carry no identity signal, and
+    dropping them from numerator AND denominator is what bounds the
+    inverted-index join at Σ df² <= |shingles| x max_df instead of a
+    hot-shingle blowup (the df filter plays the mega-bucket-cap role,
+    but as part of the semantics, so an exact SQL oracle models it).
+
+    Output: (doc_a, doc_b, n_common, cont_a_ppm, cont_b_ppm) for pairs
+    where either direction's containment >= ``min_cont_ppm``, integer
+    ppm throughout (floor division — deterministic at any parallelism)."""
+    nw = normalize_ws(text_col)
+    # rebalance BEFORE the shingle explode: downstream volume is
+    # |docs| x |doc chars|, not input bytes, so a compact scan
+    # partitioning serializes the explode (and every re-computation of
+    # this unpersisted subtree) onto a handful of cores — same
+    # pair-expansion partitioning rule as edit_distance_pairs
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), nw.alias("_nw"))
+        .filter(F.length("_nw") >= k)
+        .repartition(n_tasks)
+        .select(
+            "_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(_nw) - {k - 1}), "
+                        f"i -> substring(_nw, i, {k}))"
+                    )
+                )
+            ).alias("_sh"),
+        )
+    )
+    kept = sh.join(
+        sh.groupBy("_sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("_sh"),
+        "_sh",
+        "left_semi",
+    )
+    nk = kept.groupBy("_id").agg(F.count("*").alias("_nk"))
+    a = kept.select(F.col("_sh"), F.col("_id").alias("_ia"))
+    b = kept.select(F.col("_sh"), F.col("_id").alias("_ib"))
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count("*").alias("n_common"))
+    )
+    # per-doc kept-shingle counts: |docs| rows — Catalyst broadcasts
+    # while small, shuffles beyond (same no-hint posture as
+    # basket_similarity, r5 review catch)
+    na = nk.select(F.col("_id").alias("_ia"), F.col("_nk").alias("_na"))
+    nb = nk.select(F.col("_id").alias("_ib"), F.col("_nk").alias("_nb"))
+    return (
+        inter.join(na, "_ia")
+        .join(nb, "_ib")
+        .select(
+            F.col("_ia").alias("doc_a"),
+            F.col("_ib").alias("doc_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("(n_common * 1000000) div _na").cast("long").alias("cont_a_ppm"),
+            F.expr("(n_common * 1000000) div _nb").cast("long").alias("cont_b_ppm"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_ppm"), F.col("cont_b_ppm")) >= min_cont_ppm
+        )
+    )

@@ -429,3 +429,171 @@ def kcore(
         .groupBy("v")
         .agg(F.count("*").cast("long").alias("core_degree"))
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Global triangle census over an undirected edge list — one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, clustering_ppm)``.
+    Triangle density is the standard community-structure probe run on
+    co-occurrence graphs after :func:`kcore` peeling.
+
+    The naive wedge join costs Σ deg² — a single celebrity node makes
+    that quadratic.  This is the DEGREE-ORDERED orientation (Chiba–
+    Nishizeki / the MapReduce form in Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer"): orient every edge
+    from the (degree, id)-smaller endpoint to the larger, so every
+    out-degree is bounded by ~sqrt(2|E|) regardless of skew, and count
+    each triangle exactly once at its smallest vertex by joining
+    out-wedges against oriented edges.  Work is Σ outdeg² <= |E|^1.5 —
+    the 100 TB-safe bound — in three hash joins + one partial-agg
+    count, no collect_list buckets anywhere.
+
+    All outputs are exact integers (``clustering_ppm`` =
+    3x10⁶·triangles / wedges, floor division; NULL when wedge-free),
+    so the count is invariant to partitioning and a SQL oracle can
+    replay it with the simpler id-ordered triple join — orientation
+    changes the join bound, never the count.
+
+    The canonical edge set feeds FIVE consumers (degrees, orientation,
+    both wedge legs, the closing probe); without a lineage cut each
+    one replays the caller's whole edge pipeline — the exact repeated-
+    upstream-pass regression r6 fixed in the star CC.  Both ``e`` and
+    ``o`` take the shared lazy cut (``_round_persist``): executor-
+    local by default, reliable when ``checkpoint_dir`` is set (the
+    long-job posture at real scale)."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    e = _round_persist(e, 0, checkpoint_dir, 1)
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionByName(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient x->y when (d_x, x) < (d_y, y); carry the endpoint's
+    # (degree, id) key so wedge endpoints compare without a re-join
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ed = e.join(dx, "x").join(dy, "y")
+    fwd = F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y"))
+    o = ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("b"),
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("db"),
+    )
+    o = _round_persist(o, 0, checkpoint_dir, 1)
+    w1 = o.select(F.col("a"), F.col("b").alias("p"), F.col("db").alias("dp"))
+    w2 = o.select(F.col("a"), F.col("b").alias("q"), F.col("db").alias("dq"))
+    wedges = w1.join(w2, "a").filter(
+        F.struct(F.col("dp"), F.col("p")) < F.struct(F.col("dq"), F.col("q"))
+    )
+    closing = o.select(F.col("a").alias("p"), F.col("b").alias("q"))
+    tri = wedges.join(closing, ["p", "q"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr("(3000000 * n_triangles) div nullif(n_wedges, 0)")
+        .cast("long")
+        .alias("clustering_ppm"),
+    )
+
+
+def adamic_adar_links(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    deg_cap: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list:
+    score every NON-edge pair (u, w) that shares >= 1 neighbor by
+    Σ_v 1/ln(deg(v)) over the common neighbors v — the classic
+    "who should be connected next" ranking (Adamic & Adar 2003;
+    the standard baseline in Liben-Nowell & Kleinberg's link-
+    prediction survey), here run on co-occurrence graphs after the
+    census probes (:func:`triangle_stats`).
+
+    Candidate pairs come from WEDGES (two edges sharing a center), so
+    the cost driver is Σ deg(center)² — a celebrity center is
+    quadratic.  The declared measure therefore restricts wedge
+    CENTERS to degree <= ``deg_cap``: a hub that half the graph
+    touches carries no pair-specific signal anyway (its 1/ln(deg)
+    weight asymptotes to the same constant for millions of pairs),
+    and the cap bounds the self-join at Σ min(deg, ∞)·[deg <= cap]²
+    <= |V|·cap² — the mega-bucket-cap role, part of the semantics so
+    an exact SQL oracle models it (same posture as the df <= max_df
+    cuts in the text family).  Endpoint degrees are NOT capped.
+
+    Existing edges are removed with a null-safe LEFT ANTI join on the
+    canonical (min, max) pair.  The adjacency set feeds degrees, both
+    wedge legs, and the anti-join probe — one shared lazy lineage cut
+    (:func:`_round_persist`), the r6 single-upstream-pass rule.
+    Output: (u, w, common_neighbors BIGINT, aa_score DOUBLE rounded
+    6dp); order/limit is the caller's cut."""
+    if deg_cap < 2:
+        raise ValueError(f"deg_cap must be >= 2, got {deg_cap}")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    e = _round_persist(e, 0, checkpoint_dir, 1)
+    adj = e.select(F.col("x").alias("c"), F.col("y").alias("n")).unionByName(
+        e.select(F.col("y").alias("c"), F.col("x").alias("n"))
+    )
+    deg = adj.groupBy("c").agg(F.count("*").alias("d"))
+    centers = deg.filter((F.col("d") >= 2) & (F.col("d") <= deg_cap))
+    # wedge legs share one partial frame: center-filtered adjacency
+    # with the center's 1/ln(deg) weight attached once
+    ca = adj.join(centers, "c").select(
+        "c", "n", (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w")
+    )
+    l1 = ca.select(F.col("c"), F.col("n").alias("u"), F.col("w"))
+    l2 = ca.select(F.col("c"), F.col("n").alias("v"))
+    pairs = (
+        l1.join(l2, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w").alias("_aa"),
+        )
+    )
+    non_edges = pairs.join(
+        e.select(F.col("x").alias("u"), F.col("y").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return non_edges.select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round(F.col("_aa"), 6).alias("aa_score"),
+    )

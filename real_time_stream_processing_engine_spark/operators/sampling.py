@@ -289,3 +289,197 @@ def weighted_sample(
         10,
     ).cast("long").cast("double") / F.lit(float(16**digits))
     return df.filter(draw < F.col(rate_col))
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """EXACT-k systematic (probability-proportional-to-size) sample:
+    lay every row's integer weight end-to-end along the cumulative
+    axis in ``order_cols`` order, cut the total into ``k`` equal
+    strata, and keep each row whose weight span crosses a stratum
+    boundary — the classic systematic PPS design (one guaranteed pick
+    per stratum; a row wider than a stratum is picked once, holding
+    output <= k while preserving PPS).
+
+    This is the third determinism tier of the module: Bernoulli
+    samplers (hash draws) give rate-EXPECTED sizes; this gives an
+    exact count with inclusion probability ∝ weight and ZERO
+    randomness — same data + order => same sample, bit-for-bit, on
+    any engine (all arithmetic is BIGINT floor division).
+
+    The cumulative sum is the scale risk, and it does NOT use a
+    global-order window (one task sorting the corpus): it rides
+    :func:`..stats.distributed_cumsum` — range-exchange + parallel
+    per-partition windows + |partitions|-row driver offsets.  The
+    total joins back as a broadcast 1-row aggregate.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    span on the axis).  Output: input ``order_cols`` head column set
+    plus ``w``, ``cum`` and 1-based ``stratum`` (the first stratum the
+    row's span covers)."""
+    from .stats import distributed_cumsum
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(*order_cols, F.col(weight_col).cast("long").alias("w"))
+    r = distributed_cumsum(base, order_cols + [], "w")
+    tot = base.agg(F.sum("w").alias("_tot"))
+    sel = (
+        r.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr(f"(cum * {k}) div _tot") > F.expr(f"((cum - w) * {k}) div _tot")
+        )
+        .select(
+            *order_cols,
+            F.col("w").cast("long").alias("w"),
+            F.col("cum").cast("long").alias("cum"),
+            (F.expr(f"((cum - w) * {k}) div _tot") + 1).cast("long").alias("stratum"),
+        )
+    )
+    return sel
+
+
+def group_uniform_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    seed: str = "gr1",
+) -> DataFrame:
+    """EXACT-k uniform sample per group, zero randomness: rank rows
+    inside each group by their md5 hex draw (the module's shared
+    ``seed|id`` family) and keep the ``k`` smallest.  Groups smaller
+    than ``k`` pass through whole.  Same determinism contract as every
+    sampler here — retry/repartition/growth-stable, and any engine
+    with md5 reproduces the identical member set (lexicographic hex
+    compare, no hex->int parsing).
+
+    Complements the rate-based tiers: :func:`stratified_sample` gives
+    expected-size strata, :func:`systematic_weighted_sample` exact-k
+    GLOBAL PPS; this is exact-k PER GROUP uniform — the "5 examples
+    per (lang, source) cell" eval-set shape.
+
+    The rank is a per-group row_number window; a mega-group lands on
+    one window task, the known q25-family skew posture.  For hub
+    groups at 100 TB, pre-filter with a per-partition top-k (the draw
+    is orderable, so local top-k then global top-k is exact) — not
+    needed at the k << |group| scales this targets.  Output: input
+    columns + ``draw`` (hex) + 1-based ``sample_rank``."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    d = df.withColumn("draw", _hash_hex(seed, id_col))
+    w = Window.partitionBy(*group_cols).orderBy("draw", id_col)
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def budget_capped_select(
+    df: DataFrame,
+    score_col: str,
+    cost_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy budget-capped curation: walk rows in (``score_col``
+    DESC, ``id_col``) order and keep each while the running
+    ``cost_col`` total stays within ``budget`` — "take the best
+    documents until the token budget is spent", the final cut of every
+    training-mix recipe (fixed token target, quality-ranked supply).
+
+    The greedy prefix is exact, not heuristic: with a total order on
+    (score, id) the kept set is the unique maximal prefix whose cost
+    sum <= budget (a row is kept iff ITS inclusive running cost fits —
+    one oversized row is skipped and the walk CONTINUES, standard
+    greedy knapsack-by-rank semantics... no: prefix semantics — see
+    below).  This implements the strict PREFIX form: the first row
+    whose inclusive cumulative cost exceeds the budget ends the
+    selection (rows after it are excluded even if they'd fit), which
+    keeps the result a pure ranking cut — reproducible, auditable, and
+    exactly what a SQL window replays.
+
+    The running sum is :func:`..stats.distributed_cumsum` (range
+    exchange + parallel per-partition windows + |partitions|-row
+    driver offsets), never a one-task global window.  Rows with NULL
+    score or NULL/non-positive cost are excluded up front (no span on
+    the cost axis).  Output: ``id_col``, ``score_col``, ``cost_col``,
+    ``cum_cost`` (inclusive, BIGINT)."""
+    from .stats import distributed_cumsum
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    base = (
+        df.filter(
+            F.col(score_col).isNotNull()
+            & F.col(cost_col).isNotNull()
+            & (F.col(cost_col) > 0)
+        )
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col(cost_col).cast("long").alias("_cost"),
+            (-F.col(score_col)).alias("_negscore"),
+        )
+    )
+    r = distributed_cumsum(base, ["_negscore", id_col], "_cost")
+    return (
+        r.filter(F.col("cum") <= budget)
+        .select(
+            id_col,
+            score_col,
+            F.col("_cost").cast("long").alias(cost_col),
+            F.col("cum").cast("long").alias("cum_cost"),
+        )
+    )
+
+
+def flattening_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_per_group: int,
+    seed: str = "fl1",
+) -> DataFrame:
+    """Inverse-frequency flattening: keep each row of group g with
+    probability ``min(1, target / |g|)`` so every group lands at an
+    EXPECTED ``target_per_group`` rows — the "don't let one domain
+    swamp the mix" stage of corpus balancing.  Unlike
+    :func:`mixture_sample` (literal per-group rates), the rate here is
+    DERIVED FROM THE DATA: one counting aggregate joins back onto the
+    scan (a |groups|-row frame — Catalyst broadcasts while it fits).
+
+    Membership is integer-exact, not a float compare: keep iff
+    ``draw7 * |g| < target * 16^7`` where ``draw7`` is the first 7 hex
+    digits of the shared ``md5(seed|id)`` draw — all BIGINT, so any
+    engine with md5 reproduces the identical keep set and the sample
+    stays retry/repartition-stable.  (7 digits keep the product within
+    BIGINT for |g| up to ~2^34 rows per group; granularity 1/16^7 ≈
+    4e-9 is far below any sampling-noise floor.)  Per-group counts
+    shift under corpus growth, so unlike the fixed-rate samplers this
+    one is growth-stable only WITHIN a group snapshot — that is the
+    semantics of flattening (the rate is a function of the corpus)."""
+    if target_per_group <= 0:
+        raise ValueError(
+            f"target_per_group must be positive, got {target_per_group}"
+        )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    draw7 = F.conv(
+        F.substring(F.md5(_draw_key(seed, id_col)), 1, 7), 16, 10
+    ).cast("long")
+    # fold target * 16^7 driver-side: as two INT literals the product
+    # overflows int32 during constant folding under ANSI mode
+    threshold = F.lit(int(target_per_group) * (16 ** 7)).cast("long")
+    return (
+        df.join(counts, group_col)
+        .filter(draw7 * F.col("_n") < threshold)
+        .drop("_n")
+    )

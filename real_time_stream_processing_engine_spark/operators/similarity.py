@@ -574,3 +574,205 @@ def ivfpq_topk_indexed(
     return pq_adc_topk(
         df, pq_lut(query_vec, codebooks), k=k, id_col=id_col, exclude_id=exclude_id
     )
+
+
+def dot_product_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact INNER-PRODUCT top-k (MIPS) against a literal query vector
+    — the retrieval metric of unnormalized recommender embeddings,
+    where magnitude carries popularity signal that cosine deliberately
+    erases.  Same plan shape as :func:`brute_force_topk` (codegen dot,
+    TakeOrderedAndProject, 6dp rounding for reassociation-stable
+    order); only the score differs, which is exactly why fusing the
+    two runs (:func:`rrf_fuse`) is informative."""
+    if exclude_id is not None:
+        emb = emb.filter(F.col(id_col) != exclude_id)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            id_col,
+            F.round(dot(F.col(vec_col), qlit), 6).alias("dot_score"),
+        )
+        .orderBy(F.desc("dot_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    runs: dict[str, DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval runs (Cormack et al.,
+    SIGIR'09): every run contributes ``1 / (k0 + rank)`` for each item
+    it retrieved; items missing from a run contribute 0 from it.  The
+    contribution is computed as INTEGER ppm (``1000000 div (k0 +
+    rank)``, floor) so the fused score is a BIGINT sum — deterministic
+    on any engine at any parallelism, no float-reassociation risk in
+    the ordering key.
+
+    Inputs are top-k frames (id + 1-based rank), i.e. ALREADY bounded
+    by their own TakeOrdered cuts — the fusion itself touches at most
+    Σ k rows, so the chained full-outer joins here are toy-sized by
+    construction no matter the corpus behind the runs.  Output carries
+    ``rrf_ppm`` plus each run's rank as ``rank_<name>`` (NULL when the
+    run missed the item)."""
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    fused = None
+    contribs = []
+    for name, df in runs.items():
+        r = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias(f"rank_{name}"),
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        contribs.append(
+            F.coalesce(
+                F.expr(f"1000000 div ({k0} + rank_{name})"), F.lit(0)
+            )
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return fused.select(
+        id_col,
+        score.cast("long").alias("rrf_ppm"),
+        *[F.col(f"rank_{n}") for n in runs],
+    )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    anchor_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for each anchor vector, the single most
+    cosine-similar vector carrying a DIFFERENT label — the pairs
+    contrastive training wants most (high similarity, wrong class) and
+    the pairs a labeling audit flags first (near-identical items
+    labeled apart).
+
+    The anchor set is an explicit small list (broadcast side); the
+    corpus side streams once through a codegen dot product, and the
+    per-anchor argmax is ``max(struct(cos, -id, payload))`` — a real
+    partial aggregate (map-side combine), NOT a row_number window, so
+    no (anchor x corpus) rows ever shuffle: each task reduces to one
+    candidate row per anchor before the exchange.  At 100 TB the
+    corpus scan drops onto the IVF index (probe cells near each
+    anchor) exactly as q28 does for retrieval; the argmax shape is
+    unchanged.  Ties break to the LOWEST candidate id on the 6dp-
+    rounded score (the struct's negated-id field)."""
+    if not anchor_ids:
+        raise ValueError("hard_negative_topk needs at least one anchor id")
+    anchors = emb.filter(F.col(id_col).isin([int(a) for a in anchor_ids])).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("_avec"),
+        l2_norm(F.col(vec_col)).alias("_anorm"),
+    )
+    cand = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    best = (
+        cand.join(
+            F.broadcast(anchors),
+            F.col("neg_label") != F.col("anchor_label"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.struct(
+                F.round(
+                    dot(F.col("_cvec"), F.col("_avec"))
+                    / (F.col("_cnorm") * F.col("_anorm")),
+                    6,
+                ).alias("cos_sim"),
+                (-F.col("neg_id")).alias("_negid"),
+                F.col("neg_id").alias("neg_id"),
+                F.col("neg_label").alias("neg_label"),
+            ).alias("_s"),
+        )
+        .groupBy("anchor_id", "anchor_label")
+        .agg(F.max("_s").alias("_m"))
+    )
+    return best.select(
+        "anchor_id",
+        "anchor_label",
+        F.col("_m.neg_id").alias("neg_id"),
+        F.col("_m.neg_label").alias("neg_label"),
+        F.col("_m.cos_sim").alias("cos_sim"),
+    )
+
+
+def whitened_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k in PER-DIMENSION STANDARDIZED space: every
+    dimension is centered on its corpus mean and scaled by its corpus
+    stddev before the dot product — the classic retrieval fix when a
+    few high-variance dimensions dominate raw cosine (whitening /
+    z-scoring, the diagonal special case of Mahalanobis).
+
+    One scan computes the 64 per-dim moments via posexplode + groupBy
+    (partial-aggregated — the exchange carries |dims| rows per task);
+    the |dims|-row stats frame is a documented BOUNDED collect (same
+    posture as IVF centroids), compiled back into the plan as two
+    literal arrays so the standardization runs per-row inside codegen
+    (zip_with, no join, no Python).  Zero-variance dims are dropped
+    from the metric (scale 0), not divided by.  Ranking reuses the
+    brute-force contract: 6dp rounding before the TakeOrdered cut."""
+    dims = (
+        emb.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.avg(F.col("x").cast("double")).alias("mu"),
+            F.stddev_pop(F.col("x").cast("double")).alias("sd"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    mu = F.array(*[F.lit(float(r.mu)) for r in dims])
+    # zero-variance dims contribute nothing: scale 0 on both sides
+    inv = F.array(
+        *[F.lit(1.0 / float(r.sd)) if r.sd and r.sd > 0.0 else F.lit(0.0) for r in dims]
+    )
+    def _whiten(col):
+        centered = F.zip_with(col, mu, lambda x, m: x.cast("double") - m)
+        return F.zip_with(centered, inv, lambda x, s: x * s)
+
+    q = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if q is None:
+        raise ValueError(f"query_id {query_id} not found in {id_col}")
+    qw_vals = [
+        (float(x) - float(r.mu)) * (1.0 / float(r.sd) if r.sd and r.sd > 0.0 else 0.0)
+        for x, r in zip(q[0], dims)
+    ]
+    qlit = F.array(*[F.lit(v) for v in qw_vals])
+    qnorm = sum(v * v for v in qw_vals) ** 0.5
+    w = _whiten(F.col(vec_col))
+    return (
+        emb.filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(dot(w, qlit) / (l2_norm(w) * F.lit(qnorm)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -556,3 +556,73 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 50,
+    min_sim: float = 0.2,
+) -> DataFrame:
+    """Doc-doc cosine similarity in tf-idf space — the weighted
+    bag-of-words near-dup/duplicate-topic detector sitting between
+    exact token Jaccard (set overlap, unweighted) and embedding cosine
+    (q18; needs a model).  Paraphrases that share rare vocabulary
+    score high here even when shingle overlap is low.
+
+    The declared space is RARE terms only: document frequency <=
+    ``max_df``.  That is both the semantics (stop-terms carry no
+    topical identity; tf-idf's own idf already asymptotes them to 0)
+    and the scale bound — pairs come from the inverted-index join on
+    shared terms, so work is Σ df² <= |postings| x max_df, never
+    |docs|² (the df cap is the mega-bucket cap, modeled exactly by the
+    SQL oracle).  Norms are computed over the same capped vocabulary,
+    so cosine stays a true cosine in the truncated space.
+
+    idf = ln(N/df) with N = docs holding >= 1 token; weights
+    w = tf x idf.  One token-explode scan feeds tf, df, norms, and the
+    pair join; everything is built-in (codegen) with partial aggs
+    before every shuffle.  Output: (doc_a, doc_b, cos_sim ROUND 6)
+    with cos_sim >= ``min_sim``."""
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokenize(text_col)).alias("_w"),
+        )
+        .groupBy("_id", "_w")
+        .agg(F.count("*").alias("_tf"))
+    )
+    n = tf.agg(F.countDistinct("_id").cast("double").alias("_n"))
+    dfreq = tf.groupBy("_w").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    w = (
+        tf.join(dfreq, "_w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_id", "_w", (F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_wt")
+        )
+    )
+    norm = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("_wt") * F.col("_wt"))).alias("_nrm"))
+    a = w.select(F.col("_w"), F.col("_id").alias("_ia"), F.col("_wt").alias("_wa"))
+    b = w.select(F.col("_w"), F.col("_id").alias("_ib"), F.col("_wt").alias("_wb"))
+    dot = (
+        a.join(b, "_w")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norm.select(F.col("_id").alias("_ia"), F.col("_nrm").alias("_na"))
+    nb = norm.select(F.col("_id").alias("_ib"), F.col("_nrm").alias("_nb"))
+    return (
+        dot.join(na, "_ia")
+        .join(nb, "_ib")
+        .select(
+            F.col("_ia").alias("doc_a"),
+            F.col("_ib").alias("doc_b"),
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_sim)
+    )

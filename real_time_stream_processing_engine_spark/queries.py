@@ -18846,3 +18846,499 @@ def q332_gini_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q332 answers q198's exact contract through the grouped scale-swap
 # plan; the shared oracle pins the two formulations to each other.
 ORACLE["q332_gini_scaled"] = ORACLE["q198_gini_order_values"]
+
+
+# --------------------------------------------------------------------------
+# Round-6 wave: character-level dedup, graph census, weighted-bag
+# similarity, exact-k PPS sampling, containment dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q333_edit_distance_neardup",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nw
+      FROM documents WHERE text IS NOT NULL),
+    b AS (SELECT doc_id, lang, substring(nw, 1, 120) AS pfx, length(nw) AS len,
+                 CAST(floor(length(nw) / 16) AS BIGINT) AS bk FROM d)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c
+      ON a.lang = c.lang AND a.doc_id < c.doc_id
+     AND c.bk BETWEEN a.bk - 1 AND a.bk + 1
+     AND abs(a.len - c.len) <= 12
+    WHERE levenshtein(a.pfx, c.pfx) <= 12
+    """,
+)
+def q333_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over length-bucketed lang blocks —
+    the character-noise dedup detector (OCR scans, typo'd mirrors)
+    that the token-set family (q15-q17, q38-q39) cannot see.  The
+    oracle replays the same declared predicate with an adjacent-bucket
+    non-equi join; the engine's bucket-probe join matches each pair
+    exactly once at the higher bucket."""
+    from .operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs)
+
+
+@register(
+    "q334_copurchase_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 4 = 0),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM e xy JOIN e yz ON xy.v = yz.u
+                      JOIN e xz ON xz.u = xy.u AND xz.v = yz.v),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+                 CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg)
+    SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+           CAST((3000000 * t) // nullif(n_wedges, 0) AS BIGINT) AS clustering_ppm
+    FROM s, tri
+    """,
+)
+def q334_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order, 25%-of-orders deterministic slice) — triangle density +
+    global clustering coefficient, the community-structure probe that
+    follows q203's k-core peel on co-occurrence graphs.
+
+    The engine counts via DEGREE-ORDERED orientation (out-degree <=
+    ~sqrt(2|E|) regardless of celebrity skew; work Σ outdeg² <=
+    |E|^1.5, the 100 TB bound); the oracle uses the id-ordered triple
+    join — orientation changes the join bound, never the exact count,
+    which is what makes the integer census oracle-checkable."""
+    from .operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    return triangle_stats(edges)
+
+
+@register(
+    "q335_tfidf_cosine",
+    r"""
+    WITH tf AS (
+      SELECT doc_id AS id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+            FROM documents WHERE text IS NOT NULL) t
+      GROUP BY 1, 2),
+    n AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM tf),
+    dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 50),
+    wt AS (SELECT tf.id, tf.w, tf.tf * ln(n.n / dfr.df) AS wt
+           FROM tf JOIN dfr ON tf.w = dfr.w CROSS JOIN n),
+    nrm AS (SELECT id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY 1),
+    dot AS (SELECT a.id AS ia, b.id AS ib, sum(a.wt * b.wt) AS dot
+            FROM wt a JOIN wt b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2)
+    SELECT ia AS doc_a, ib AS doc_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dot JOIN nrm na ON na.id = ia JOIN nrm nb ON nb.id = ib
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.2
+    ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 40
+    """,
+)
+def q335_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 doc pairs by tf-idf cosine over rare terms (df <= 50) —
+    the weighted bag-of-words similarity tier between unweighted token
+    Jaccard (q17) and model-embedding cosine (q18).  Pairs come from
+    the inverted-index join on the df-capped vocabulary (Σ df²
+    bounded), norms live in the same truncated space, and the top-40
+    cut is a TakeOrdered on (rounded cosine, ids) — deterministic
+    total order on both sides."""
+    from .operators.text import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tfidf_cosine_pairs(docs, max_df=50, min_sim=0.2)
+        .orderBy(F.desc("cos_sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(40)
+    )
+
+
+@register(
+    "q336_systematic_pps_sample",
+    """
+    WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars > 0),
+    c AS (SELECT doc_id, w, CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM d)
+    SELECT doc_id, w, cum, CAST(((cum - w) * 50) // tot + 1 AS BIGINT) AS stratum
+    FROM c CROSS JOIN t
+    WHERE (cum * 50) // tot > ((cum - w) * 50) // tot
+    """,
+)
+def q336_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-50 systematic PPS sample of documents weighted by length
+    — the zero-randomness exact-count tier of the sampling family
+    (Bernoulli/hash samplers give expected sizes; this cuts the
+    cumulative-weight axis into 50 strata and picks each boundary
+    crosser).  The cumulative sum rides distributed_cumsum (range
+    exchange + parallel partition windows), NOT a one-task global
+    window — the oracle's window SUM is the same math at toy scale.
+    All arithmetic is BIGINT floor division: bit-identical on any
+    engine at any parallelism."""
+    from .operators.sampling import systematic_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return systematic_weighted_sample(docs, "n_chars", ["doc_id"], k=50)
+
+
+@register(
+    "q337_shingle_containment",
+    r"""
+    WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nw
+               FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, length(nw) - 6),
+                         i -> substring(nw, i, 8))) AS sh
+           FROM d WHERE length(nw) >= 8),
+    kept AS (SELECT sh.doc_id, sh.sh FROM sh
+             JOIN (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= 16) f USING (sh)),
+    nk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nk FROM kept GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS n_common
+              FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT ia AS doc_a, ib AS doc_b, n_common,
+           CAST((n_common * 1000000) // na.nk AS BIGINT) AS cont_a_ppm,
+           CAST((n_common * 1000000) // nb.nk AS BIGINT) AS cont_b_ppm
+    FROM inter JOIN nk na ON na.doc_id = ia JOIN nk nb ON nb.doc_id = ib
+    WHERE GREATEST((n_common * 1000000) // na.nk, (n_common * 1000000) // nb.nk) >= 800000
+    """,
+)
+def q337_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs over discriminative character
+    8-shingles (df <= 16) — the SUBSET detector: a short doc embedded
+    verbatim in a long one has high containment |A∩B|/|A| even when
+    Jaccard |A∩B|/|A∪B| is tiny (Broder's resemblance-vs-containment
+    distinction).  The df cap is part of the declared measure (and the
+    Σ df² scale bound), so the SQL oracle models it exactly; all
+    ratios are integer ppm."""
+    from .operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, k=8, max_df=16, min_cont_ppm=800_000)
+
+
+# --------------------------------------------------------------------------
+# Round-6 wave 2: rank fusion, hard-negative mining, exact-k group
+# reservoir, budget-capped curation, link prediction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q338_rrf_fusion",
+    """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    terms AS (
+      SELECT e.vec_id,
+             SUM(CAST(e.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE)) AS dp,
+             SUM(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE)) AS na2,
+             SUM(CAST(q.embedding[s.i] AS DOUBLE) * CAST(q.embedding[s.i] AS DOUBLE)) AS nb2
+      FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, 64) s(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id),
+    rc AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY ROUND(dp / (sqrt(na2) * sqrt(nb2)), 6) DESC,
+                                     vec_id) AS rnk
+           FROM terms),
+    rd AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY ROUND(dp, 6) DESC, vec_id) AS rnk
+           FROM terms),
+    c AS (SELECT vec_id, CAST(rnk AS BIGINT) AS rank_cos FROM rc WHERE rnk <= 100),
+    d AS (SELECT vec_id, CAST(rnk AS BIGINT) AS rank_dot FROM rd WHERE rnk <= 100)
+    SELECT COALESCE(c.vec_id, d.vec_id) AS vec_id,
+           CAST(COALESCE(1000000 // (60 + c.rank_cos), 0)
+                + COALESCE(1000000 // (60 + d.rank_dot), 0) AS BIGINT) AS rrf_ppm,
+           c.rank_cos, d.rank_dot
+    FROM c FULL OUTER JOIN d ON c.vec_id = d.vec_id
+    ORDER BY rrf_ppm DESC, vec_id LIMIT 20
+    """,
+)
+def q338_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval runs for the same query
+    vector — cosine (angle) and raw inner product (MIPS, magnitude-
+    aware) — the standard zero-training ensemble for hybrid retrieval
+    (Cormack et al., SIGIR'09).  Each run is a bounded top-100
+    TakeOrdered; the fusion joins at most 200 rows, so its cost is
+    O(k) regardless of corpus size.  Contributions are integer ppm
+    (1000000 div (60 + rank)) — the fused ordering key is a BIGINT,
+    immune to float reassociation."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import brute_force_topk, dot_product_topk, rrf_fuse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    # rank windows run on the 100-row TakeOrdered results — single
+    # partition by construction, bounded by k not the corpus
+    runs = {
+        "cos": brute_force_topk(emb, qvec, k=100, exclude_id=0).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            ),
+        ),
+        "dot": dot_product_topk(emb, qvec, k=100, exclude_id=0).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("dot_score"), F.asc("vec_id"))
+            ),
+        ),
+    }
+    return (
+        rrf_fuse(runs, id_col="vec_id", k0=60)
+        .orderBy(F.desc("rrf_ppm"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "q339_hard_negatives",
+    """
+    WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding
+               FROM embeddings WHERE vec_id < 8),
+    p AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id, e.label AS neg_label,
+             ROUND(SUM(CAST(e.embedding[s.i] AS DOUBLE) * CAST(a.embedding[s.i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(a.embedding[s.i] AS DOUBLE) * CAST(a.embedding[s.i] AS DOUBLE)))),
+                   6) AS cs
+      FROM a JOIN embeddings e ON e.label <> a.anchor_label
+      CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY 1, 2, 3, 4),
+    r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cs DESC, neg_id) AS rn FROM p)
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cs AS cos_sim
+    FROM r WHERE rn = 1
+    """,
+)
+def q339_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each of 8 anchor vectors, the single
+    most cosine-similar vector with a DIFFERENT label — the pairs
+    contrastive training wants most and a labeling audit flags first.
+    The per-anchor argmax is max(struct(cos, -id, payload)) — a true
+    partial aggregate (map-side combine), so one corpus scan reduces
+    to |anchors| rows per task before the only exchange; no
+    (anchor x corpus) rows ever shuffle and no row_number window runs
+    over the corpus.  At 100 TB the scan side drops onto the IVF cells
+    near each anchor (q28's pruning) with the same argmax shape."""
+    from .operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, anchor_ids=list(range(8)))
+
+
+@register(
+    "q340_group_reservoir",
+    """
+    WITH d AS (SELECT lang, source, doc_id,
+                      substring(md5(concat_ws('|', 'gr1', CAST(doc_id AS VARCHAR))),
+                                1, 28) AS draw
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
+                                       ORDER BY draw, doc_id) AS rn FROM d)
+    SELECT lang, source, doc_id, draw, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def q340_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-5 uniform sample per (lang, source) cell with zero
+    randomness — the eval-set / spot-check shape ("5 examples from
+    every corpus cell").  Ranks ride the module's shared md5 hex-draw
+    family: lexicographic hex compare, so any engine with md5
+    reproduces the identical member set, and the sample is stable
+    under retries, repartitioning, AND corpus growth (a new doc only
+    displaces rows whose draw it undercuts).  Completes the sampler
+    determinism ladder: rate-expected strata (q49) -> exact-k global
+    PPS (q336) -> exact-k per-group uniform (this)."""
+    from .operators.sampling import group_uniform_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_uniform_sample(
+        docs, ["lang", "source"], "doc_id", k=5, seed="gr1"
+    ).select("lang", "source", "doc_id", "draw", "sample_rank")
+
+
+@register(
+    "q341_token_budget_curation",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '')) AS w
+               FROM documents WHERE text IS NOT NULL),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT w) AS DOUBLE) / count(*) AS ttr
+          FROM t GROUP BY 1),
+    c AS (SELECT doc_id, ttr, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id) AS BIGINT) AS cum
+          FROM s)
+    SELECT doc_id, ROUND(ttr, 6) AS ttr, n_tokens, cum AS cum_tokens
+    FROM c WHERE cum <= 50000
+    """,
+)
+def q341_token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped curation: walk documents in (type-token-ratio
+    DESC, doc_id) order and keep the prefix whose running token total
+    stays within a 50k-token budget — the final cut of every training-
+    mix recipe (fixed token target, quality-ranked supply).  TTR =
+    distinct/total tokens, an exact ratio both engines compute
+    bit-identically (one IEEE division), so the greedy prefix is the
+    unique ranking cut.  The running sum is distributed_cumsum (range
+    exchange + parallel per-partition windows + |partitions|-row
+    driver offsets) — never a one-task global window; the oracle's
+    window SUM is the same math at toy scale."""
+    from .operators.sampling import budget_capped_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokenize("text")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.countDistinct("w").cast("double") / F.count("*")).alias("ttr"),
+        )
+    )
+    sel = budget_capped_select(
+        s, score_col="ttr", cost_col="n_tokens", id_col="doc_id", budget=50_000
+    )
+    return sel.select(
+        "doc_id",
+        F.round("ttr", 6).alias("ttr"),
+        "n_tokens",
+        F.col("cum_cost").alias("cum_tokens"),
+    )
+
+
+@register(
+    "q342_adamic_adar_links",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 4 = 0),
+    adj AS (SELECT x AS c, y AS n FROM e UNION ALL SELECT y AS c, x AS n FROM e),
+    deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    ctr AS (SELECT c, 1.0 / ln(CAST(d AS DOUBLE)) AS w FROM deg
+            WHERE d BETWEEN 2 AND 64),
+    ca AS (SELECT adj.c, adj.n, ctr.w FROM adj JOIN ctr USING (c)),
+    p AS (SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS common_neighbors,
+                 SUM(a.w) AS aa
+          FROM ca a JOIN ca b ON a.c = b.c AND a.n < b.n GROUP BY 1, 2),
+    ne AS (SELECT * FROM p WHERE NOT EXISTS
+             (SELECT 1 FROM e WHERE e.x = p.u AND e.y = p.v))
+    SELECT u, v, common_neighbors, ROUND(aa, 6) AS aa_score
+    FROM ne ORDER BY aa_score DESC, u, v LIMIT 40
+    """,
+)
+def q342_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph (the
+    q334 slice): the 40 strongest NON-edges, scored Σ 1/ln(deg) over
+    common neighbors — "which parts should co-sell next".  Wedge
+    centers are degree-capped at 64 as part of the declared measure
+    (a hub's 1/ln(deg) weight is near-constant noise across millions
+    of pairs; the cap bounds the self-join at |V|·cap², the
+    mega-bucket-cap role, modeled exactly by the oracle).  Existing
+    edges leave via LEFT ANTI on the canonical pair; the adjacency
+    set feeds degrees, both wedge legs and the anti probe through ONE
+    lineage cut (the r6 single-upstream-pass rule)."""
+    from .operators.graph import adamic_adar_links
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = a.join(b, "l_orderkey").filter(F.col("u") < F.col("v")).select("u", "v")
+    return (
+        adamic_adar_links(edges, deg_cap=64)
+        .orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
+        .limit(40)
+    )
+
+
+@register(
+    "q343_whitened_knn",
+    """
+    WITH st AS (
+      SELECT s.i, avg(CAST(e.embedding[s.i] AS DOUBLE)) AS mu,
+             stddev_pop(CAST(e.embedding[s.i] AS DOUBLE)) AS sd
+      FROM embeddings e CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY 1),
+    sc AS (SELECT i, mu, CASE WHEN sd > 0 THEN 1.0 / sd ELSE 0.0 END AS inv FROM st),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 1),
+    terms AS (
+      SELECT e.vec_id,
+             SUM(((CAST(e.embedding[sc.i] AS DOUBLE) - sc.mu) * sc.inv)
+                 * ((CAST(q.embedding[sc.i] AS DOUBLE) - sc.mu) * sc.inv)) AS dp,
+             SUM(((CAST(e.embedding[sc.i] AS DOUBLE) - sc.mu) * sc.inv)
+                 * ((CAST(e.embedding[sc.i] AS DOUBLE) - sc.mu) * sc.inv)) AS na2,
+             SUM(((CAST(q.embedding[sc.i] AS DOUBLE) - sc.mu) * sc.inv)
+                 * ((CAST(q.embedding[sc.i] AS DOUBLE) - sc.mu) * sc.inv)) AS nb2
+      FROM embeddings e CROSS JOIN q JOIN sc ON TRUE
+      WHERE e.vec_id <> 1
+      GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(dp / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+    FROM terms ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q343_whitened_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 in per-dimension STANDARDIZED (whitened) space —
+    the retrieval fix when a few high-variance dimensions dominate raw
+    cosine (diagonal Mahalanobis).  One partial-aggregated scan
+    produces the 64 per-dim moments; that |dims|-row frame is a
+    documented bounded collect (the IVF-centroid posture) compiled
+    back as literal arrays, so standardization runs per-row inside
+    codegen — no join against stats, no Python.  Contrast with q13:
+    same TakeOrdered ranking contract, transformed space."""
+    from .operators.similarity import whitened_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return whitened_topk(emb, query_id=1, k=10)
+
+
+@register(
+    "q344_source_flattening",
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    d AS (SELECT doc_id, source,
+                 ('0x' || substr(md5('fl1' || '|' || CAST(doc_id AS VARCHAR)),
+                                 1, 7))::BIGINT AS draw7
+          FROM documents)
+    SELECT d.doc_id, d.source
+    FROM d JOIN c USING (source)
+    WHERE d.draw7 * c.n < CAST(15 AS BIGINT) * 268435456
+    """,
+)
+def q344_source_flattening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency source flattening: keep each document of
+    source s with probability min(1, 15/|s|), landing every source at
+    an EXPECTED 15 docs — the "no domain swamps the mix" balancing
+    stage.  The rate is derived from the data (one counting aggregate
+    broadcast back onto the scan), and membership is INTEGER-exact:
+    draw7 x |s| < 15 x 16^7 in BIGINT, so the oracle reproduces the
+    identical keep set with the same md5 digits — no float compare
+    anywhere."""
+    from .operators.sampling import flattening_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flattening_sample(
+        docs, "source", "doc_id", target_per_group=15, seed="fl1"
+    ).select("doc_id", "source")

@@ -778,3 +778,77 @@ def test_gini_scaled_grouped_windows_stay_partitioned(spark, sf_dir):
     assert "windowspecdefinition(_pid" in plan
     assert _count(plan, "SortMergeJoin") == 0
     assert _count(plan, "BroadcastHashJoin") >= 1
+
+
+def test_edit_distance_levenshtein_stays_jvm_side(spark, sf_dir):
+    """q333: the per-pair Levenshtein runs inside codegen (no
+    BatchEvalPython / ArrowEvalPython anywhere), and the bucket-probe
+    join is a real equi hash join, never a cartesian product."""
+    plan = _plan(spark, sf_dir, "q333_edit_distance_neardup")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan
+
+
+def test_triangle_census_all_joins_are_hash_joins(spark, sf_dir):
+    """q334: the oriented wedge/closing joins are hash/merge joins
+    with a partial-aggregated count on top — no cartesian product, no
+    row_number window over the edge set.  (The degree/orientation
+    joins sit behind the shared lineage cut, so the displayed plan
+    shows the wedge join and the left-semi closing probe.)"""
+    plan = _plan(spark, sf_dir, "q334_copurchase_triangles")
+    assert "CartesianProduct" not in plan, plan
+    assert _count(plan, "Window") == 0
+    assert (
+        _count(plan, "BroadcastHashJoin") + _count(plan, "SortMergeJoin")
+        + _count(plan, "ShuffledHashJoin") >= 2
+    )
+
+
+def test_tfidf_pair_join_partial_aggregates(spark, sf_dir):
+    """q335: the inverted-index dot-product groupBy partial-aggregates
+    below its exchange (map-side combine on (doc_a, doc_b)), and the
+    final top-40 is TakeOrdered, not a global Sort+Limit."""
+    plan = _plan(spark, sf_dir, "q335_tfidf_cosine")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pps_sample_windows_stay_partitioned(spark, sf_dir):
+    """q336: the cumulative-weight window partitions by the
+    range-partition id (parallel), never a single-task global-order
+    window; the total joins back as a broadcast."""
+    plan = _plan(spark, sf_dir, "q336_systematic_pps_sample")
+    assert "], true, 0" not in plan          # no globally-sorted Sort
+    assert "windowspecdefinition(_pid" in plan
+    assert _count(plan, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_hard_negatives_argmax_is_partial_aggregate(spark, sf_dir):
+    """q339: the cross-label argmax is max(struct(...)) — a
+    HashAggregate pair around one exchange (map-side combine), with
+    the 8-anchor side broadcast; NO row_number window over the corpus
+    and no Python evaluation."""
+    plan = _plan(spark, sf_dir, "q339_hard_negatives")
+    assert _count(plan, "Window") == 0
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _count(plan, "HashAggregate") + _count(plan, "SortAggregate") >= 2
+
+
+def test_budget_curation_cumsum_stays_parallel(spark, sf_dir):
+    """q341: the greedy-prefix running sum rides distributed_cumsum —
+    windows partitioned by the range-partition id, no global sort."""
+    plan = _plan(spark, sf_dir, "q341_token_budget_curation")
+    assert "], true, 0" not in plan
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_adamic_adar_no_cartesian_and_partial_agg(spark, sf_dir):
+    """q342: wedge pairing is an equi join on the center with a
+    partial-aggregated (u, v) rollup; existing edges leave via a
+    hash-join anti probe; final 40 by TakeOrdered."""
+    plan = _plan(spark, sf_dir, "q342_adamic_adar_links")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _count(plan, "Window") == 0
