@@ -481,5 +481,5 @@ def flattening_sample(
     return (
         df.join(counts, group_col)
         .filter(draw7 * F.col("_n") < threshold)
-        .drop("_n")
+        .select(*[F.col(c) for c in df.columns])
     )

@@ -766,13 +766,25 @@ def whitened_topk(
     ]
     qlit = F.array(*[F.lit(v) for v in qw_vals])
     qnorm = sum(v * v for v in qw_vals) ** 0.5
+    if qnorm == 0.0:
+        raise ValueError(
+            f"query {query_id} whitens to the zero vector (it sits at the "
+            "corpus mean in every non-constant dimension); cosine is "
+            "undefined for it"
+        )
     w = _whiten(F.col(vec_col))
+    wn = l2_norm(w)
+    # a candidate AT the corpus mean whitens to zero: cosine undefined,
+    # excluded (guarded division — ANSI mode errors on a bare /0)
     return (
         emb.filter(F.col(id_col) != query_id)
         .select(
             id_col,
-            F.round(dot(w, qlit) / (l2_norm(w) * F.lit(qnorm)), 6).alias("cos_sim"),
+            F.when(
+                wn > 0.0, F.round(dot(w, qlit) / (wn * F.lit(qnorm)), 6)
+            ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
