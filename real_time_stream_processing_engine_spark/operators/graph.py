@@ -597,3 +597,71 @@ def adamic_adar_links(
         "common_neighbors",
         F.round(F.col("_aa"), 6).alias("aa_score"),
     )
+
+
+def copresence_pairs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    kind_col: str = "event_type",
+    ts_col: str = "ts",
+    max_users: int = 200,
+) -> DataFrame:
+    """Temporal co-presence graph construction: two users are linked
+    once per DISTINCT (kind, hour) cell they both appear in — the
+    telemetry analogue of the basket projections (orders gave q334 its
+    co-purchase edges; sessionized telemetry gives affinity/abuse
+    rings theirs).
+
+    Pair volume is Σ|cell-users|² — user density per cell grows with
+    the corpus at fixed time resolution, so cells holding more than
+    ``max_users`` distinct users are EXCLUDED as part of the declared
+    measure (a rush-hour cell where everyone overlaps everyone carries
+    no pair-specific affinity signal; the cap is the mega-bucket bound
+    an exact SQL oracle can model, the containment/df posture).
+    Per-user cell counts are taken over the SAME kept-cell universe so
+    ``overlap_ppm`` = co/min(|a|, |b|) is a true overlap coefficient
+    in the capped space.  All ratios integer ppm (floor).  Output:
+    (user_a, user_b, co_cells, overlap_ppm)."""
+    if max_users < 2:
+        raise ValueError(f"max_users must be >= 2, got {max_users}")
+    cell = F.date_trunc("hour", F.col(ts_col))
+    b = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(kind_col).alias("_k"),
+            cell.alias("_h"),
+        )
+        .distinct()
+    )
+    kept = b.join(
+        b.groupBy("_k", "_h")
+        .agg(F.count("*").alias("_cu"))
+        .filter(F.col("_cu") <= max_users)
+        .select("_k", "_h"),
+        ["_k", "_h"],
+        "left_semi",
+    )
+    nu = kept.groupBy("_u").agg(F.count("*").alias("_nc"))
+    a = kept.select("_k", "_h", F.col("_u").alias("_ua"))
+    c = kept.select("_k", "_h", F.col("_u").alias("_ub"))
+    co = (
+        a.join(c, ["_k", "_h"])
+        .filter(F.col("_ua") < F.col("_ub"))
+        .groupBy("_ua", "_ub")
+        .agg(F.count("*").alias("co_cells"))
+    )
+    na = nu.select(F.col("_u").alias("_ua"), F.col("_nc").alias("_na"))
+    nb = nu.select(F.col("_u").alias("_ub"), F.col("_nc").alias("_nb"))
+    return (
+        co.join(na, "_ua")
+        .join(nb, "_ub")
+        .select(
+            F.col("_ua").alias("user_a"),
+            F.col("_ub").alias("user_b"),
+            F.col("co_cells").cast("long").alias("co_cells"),
+            F.expr("(co_cells * 1000000) div least(_na, _nb)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )

@@ -19342,3 +19342,43 @@ def q344_source_flattening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flattening_sample(
         docs, "source", "doc_id", target_per_group=15, seed="fl1"
     ).select("doc_id", "source")
+
+
+@register(
+    "q345_copresence_pairs",
+    """
+    WITH b AS (SELECT DISTINCT user_id AS u, event_type AS k,
+                               date_trunc('hour', ts) AS h
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    kept AS (SELECT b.* FROM b
+             JOIN (SELECT k, h FROM b GROUP BY 1, 2
+                   HAVING count(*) <= 200) f USING (k, h)),
+    nu AS (SELECT u, CAST(count(*) AS BIGINT) AS nc FROM kept GROUP BY 1),
+    co AS (SELECT a.u AS ua, c.u AS ub, CAST(count(*) AS BIGINT) AS co_cells
+           FROM kept a JOIN kept c ON a.k = c.k AND a.h = c.h AND a.u < c.u
+           GROUP BY 1, 2)
+    SELECT ua AS user_a, ub AS user_b, co_cells,
+           CAST((co_cells * 1000000) // least(na.nc, nb.nc) AS BIGINT)
+             AS overlap_ppm
+    FROM co JOIN nu na ON na.u = ua JOIN nu nb ON nb.u = ub
+    ORDER BY co_cells DESC, user_a, user_b LIMIT 25
+    """,
+)
+def q345_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 user pairs by temporal co-presence — distinct
+    (event_type, hour) cells both appear in, with the overlap
+    coefficient co/min(|a|,|b|) in integer ppm.  Graph CONSTRUCTION
+    from telemetry: the edges that feed the census/link-prediction
+    probes (q334/q342) when the graph isn't given.  Cells above 200
+    distinct users are excluded as part of the declared measure (user
+    density per cell grows with the corpus at fixed time resolution;
+    the cap is the mega-bucket bound, modeled exactly by the oracle).
+    Deterministic cut: (co_cells DESC, user_a, user_b)."""
+    from .operators.graph import copresence_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        copresence_pairs(ev, max_users=200)
+        .orderBy(F.desc("co_cells"), F.asc("user_a"), F.asc("user_b"))
+        .limit(25)
+    )

@@ -120,3 +120,75 @@ def test_flattening_drops_helper_column_and_rejects_bad_target(spark):
     assert out.columns == ["doc_id", "src"]
     with pytest.raises(ValueError, match="target_per_group"):
         flattening_sample(d, "src", "doc_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# copresence_pairs
+# ---------------------------------------------------------------------------
+
+import datetime
+
+from real_time_stream_processing_engine_spark.operators.graph import (
+    copresence_pairs,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, k, datetime.datetime(2024, 1, 1, h)) for u, k, h in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_copresence_counts_distinct_shared_cells(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "view", 0), (2, "view", 0),    # shared cell 1
+            (1, "view", 1), (2, "view", 1),    # shared cell 2
+            (1, "view", 1), (2, "view", 1),    # duplicates collapse
+            (1, "buy", 2), (3, "buy", 2),      # 1-3 share one cell
+            (2, "buy", 3),                     # alone
+        ],
+    )
+    rows = {(r.user_a, r.user_b): r for r in copresence_pairs(ev).collect()}
+    assert rows[(1, 2)].co_cells == 2
+    assert rows[(1, 3)].co_cells == 1
+    # user 1 has 3 kept cells, user 2 has 3: overlap = 2/3
+    assert rows[(1, 2)].overlap_ppm == 2 * 1_000_000 // 3
+
+
+def test_copresence_hot_cell_excluded_by_cap(spark):
+    # one cell holds 3 users > cap 2: contributes no pairs AND no
+    # per-user cell counts; the quiet cell still pairs 1-2
+    ev = _events(
+        spark,
+        [(1, "view", 0), (2, "view", 0), (3, "view", 0),
+         (1, "view", 1), (2, "view", 1)],
+    )
+    rows = copresence_pairs(ev, max_users=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_a, r.user_b, r.co_cells) == (1, 2, 1)
+    assert r.overlap_ppm == 1_000_000  # 1 shared of min(1, 1) kept cells
+
+
+def test_copresence_different_kind_same_hour_is_not_shared(spark):
+    ev = _events(spark, [(1, "view", 0), (2, "buy", 0)])
+    assert copresence_pairs(ev).count() == 0
+
+
+def test_copresence_null_user_and_ts_dropped_and_bad_cap_rejected(spark):
+    import pytest as _pytest
+
+    ev = spark.createDataFrame(
+        [(None, "view", datetime.datetime(2024, 1, 1)),
+         (1, "view", None),
+         (1, "view", datetime.datetime(2024, 1, 1)),
+         (2, "view", datetime.datetime(2024, 1, 1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    rows = copresence_pairs(ev).collect()
+    assert [(r.user_a, r.user_b) for r in rows] == [(1, 2)]
+    with _pytest.raises(ValueError, match="max_users"):
+        copresence_pairs(ev, max_users=1)
