@@ -19382,3 +19382,249 @@ def q345_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("co_cells"), F.asc("user_a"), F.asc("user_b"))
         .limit(25)
     )
+
+
+@register(
+    "q346_woe_iv",
+    """
+    WITH b AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS bucket,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+               FROM lineitem),
+    g AS (SELECT bucket,
+                 CAST(sum(1 - bad) AS BIGINT) AS n_good,
+                 CAST(sum(bad) AS BIGINT) AS n_bad
+          FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+                 CAST(sum(n_bad) AS BIGINT) AS tb FROM g)
+    SELECT bucket, n_good, n_bad,
+           ROUND(CASE WHEN n_good > 0 AND n_bad > 0
+                      THEN ln((CAST(n_good AS DOUBLE) / tg)
+                              / (CAST(n_bad AS DOUBLE) / tb)) END, 6) AS woe,
+           ROUND(CASE WHEN n_good > 0 AND n_bad > 0
+                      THEN (CAST(n_good AS DOUBLE) / tg
+                            - CAST(n_bad AS DOUBLE) / tb)
+                           * ln((CAST(n_good AS DOUBLE) / tg)
+                                / (CAST(n_bad AS DOUBLE) / tb)) END, 6)
+             AS iv_contrib
+    FROM g CROSS JOIN t
+    """,
+)
+def q346_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of the discount
+    grid against the return flag — the credit-scoring feature-audit
+    standard (how predictive is each discount band of a return?).
+    WOE_b = ln((good_b/G)/(bad_b/B)); IV contribution per band =
+    (good share - bad share) x WOE.  One partial-aggregated pass
+    builds the (band, outcome) counts; totals come back as a broadcast
+    1-row aggregate; bands missing an outcome get NULL WOE (ln 0 is
+    undefined — declared, not an ANSI error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    g = (
+        li.select(
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bucket"),
+            bad.alias("bad"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.lit(1) - F.col("bad")).cast("long").alias("n_good"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_good").cast("long").alias("tg"),
+        F.sum("n_bad").cast("long").alias("tb"),
+    )
+    gs = F.col("n_good").cast("double") / F.col("tg")
+    bs = F.col("n_bad").cast("double") / F.col("tb")
+    ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    return g.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        F.round(F.when(ok, F.log(gs / bs)), 6).alias("woe"),
+        F.round(F.when(ok, (gs - bs) * F.log(gs / bs)), 6).alias("iv_contrib"),
+    )
+
+
+@register(
+    "q347_burrows_delta",
+    r"""
+    WITH toks AS (SELECT source,
+                         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                            x -> x <> '')) AS w
+                  FROM documents WHERE text IS NOT NULL),
+    top AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY 1
+                           ORDER BY c DESC, w LIMIT 50)),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1),
+    sf AS (SELECT t.source, t.w, CAST(count(*) AS BIGINT) AS c
+           FROM toks t JOIN top USING (w) GROUP BY 1, 2),
+    rel AS (SELECT st.source, top.w,
+                   CAST(COALESCE(sf.c, 0) AS DOUBLE) / st.nt AS rf
+            FROM st CROSS JOIN top
+            LEFT JOIN sf ON sf.source = st.source AND sf.w = top.w),
+    z AS (SELECT source, w,
+                 (rf - avg(rf) OVER (PARTITION BY w))
+                   / nullif(stddev_pop(rf) OVER (PARTITION BY w), 0) AS z
+          FROM rel),
+    zz AS (SELECT * FROM z WHERE z IS NOT NULL)
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(avg(abs(a.z - b.z)), 6) AS delta
+    FROM zz a JOIN zz b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY delta ASC, source_a, source_b LIMIT 15
+    """,
+)
+def q347_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between sources — the stylometry standard
+    (Burrows 2002): z-score each of the top-50 corpus terms' relative
+    frequencies across sources, then Delta(a,b) = mean |z_a - z_b|.
+    The 15 CLOSEST pairs surface mirrored / same-pipeline sources that
+    near-dup detectors miss (style, not content, overlap).  One token
+    explode feeds the top-50 cut (count desc, term — deterministic),
+    per-source totals and the per-(source, term) counts; everything
+    after the explode runs on |sources| x 50 rows, so the z-score
+    windows and the pair join are toy-sized AT ANY CORPUS SCALE.
+    Zero-variance terms are dropped from the measure (declared);
+    missing (source, term) cells count as frequency 0 via the spine
+    LEFT join."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(tokenize("text")).alias("w")
+    )
+    top = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(50)
+        .select("w")
+    )
+    st = toks.groupBy("source").agg(F.count("*").alias("nt"))
+    sfq = (
+        toks.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    rel = (
+        st.crossJoin(F.broadcast(top))
+        .join(sfq, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("nt")).alias(
+                "rf"
+            ),
+        )
+    )
+    wterm = Window.partitionBy("w")
+    z = rel.select(
+        "source",
+        "w",
+        (
+            (F.col("rf") - F.avg("rf").over(wterm))
+            / F.nullif(F.stddev_pop("rf").over(wterm), F.lit(0.0))
+        ).alias("z"),
+    ).filter(F.col("z").isNotNull())
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
+        .orderBy(F.asc("delta"), F.asc("source_a"), F.asc("source_b"))
+        .limit(15)
+    )
+
+
+@register(
+    "q348_anova_f",
+    """
+    WITH j AS (SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, avg(v) AS m,
+                 sum(v * v) AS s2, sum(v) AS s1
+          FROM j GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+                 sum(s1) AS ts1, sum(s2) AS ts2
+          FROM g),
+    c AS (SELECT g.n, g.m, t.nn, t.k, t.ts1, t.ts2, t.ts1 / t.nn AS gm
+          FROM g CROSS JOIN t),
+    r AS (SELECT nn, k, ts1, ts2, gm,
+                 sum(n * (m - gm) * (m - gm)) AS ssb
+          FROM c GROUP BY 1, 2, 3, 4, 5)
+    SELECT k, nn AS n,
+           ROUND(ssb / (k - 1) / ((ts2 - ts1 * ts1 / nn - ssb) / (nn - k)), 6)
+             AS f_stat,
+           ROUND(ssb / (ts2 - ts1 * ts1 / nn), 6) AS eta_squared
+    FROM r
+    """,
+)
+def q348_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across market segments: the F
+    statistic (between-group vs within-group variance) and eta² (share
+    of variance the segmentation explains) — the "does this grouping
+    matter at all" gate that runs before the pairwise tests the stats
+    wing already has (q273 A/A, q315 Mann-Whitney).  Two partial-
+    aggregated passes: per-segment moments (|segments| rows), then one
+    scalar combine — no window, no sort, nothing driver-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v"))
+    g = j.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("v").alias("m"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum("v").alias("s1"),
+    )
+    # ssb needs the grand mean alongside per-group moments: compute it
+    # with a broadcast join of the 1-row grand aggregate instead of a
+    # nested aggregate (Spark cannot nest sum(m - sum(..)) like the
+    # oracle's scalar-subquery form)
+    gt = g.agg(
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+    )
+    comb = g.crossJoin(F.broadcast(gt)).select(
+        "n",
+        "m",
+        "nn",
+        "k",
+        "ts1",
+        "ts2",
+        (F.col("ts1") / F.col("nn")).alias("gm"),
+    )
+    res = comb.groupBy("nn", "k", "ts1", "ts2", "gm").agg(
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        ).alias("ssb")
+    )
+    return res.select(
+        F.col("k"),
+        F.col("nn").alias("n"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (
+                (
+                    F.col("ts2")
+                    - F.col("ts1") * F.col("ts1") / F.col("nn")
+                    - F.col("ssb")
+                )
+                / (F.col("nn") - F.col("k"))
+            ),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            F.col("ssb")
+            / (F.col("ts2") - F.col("ts1") * F.col("ts1") / F.col("nn")),
+            6,
+        ).alias("eta_squared"),
+    )

@@ -336,3 +336,94 @@ def test_grouped_distributed_cumsum_skewed_at_4m(spark):
     }
     assert got == want
     assert want[0][0] == 3_200_000  # the hot group really is 80%
+
+
+def test_triangle_census_clique_grid_closed_form_at_4m_edges(spark):
+    """100k disjoint 10-cliques (1M nodes, 4.5M edges): every census
+    figure has a closed form — the degree-ordered orientation must
+    reproduce all of them exactly, and the clustering coefficient of a
+    clique union is exactly 1."""
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    k, c = 100_000, 10
+    pairs = [(i, j) for i in range(c) for j in range(i + 1, c)]
+    pair_lit = F.array(
+        *[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j")) for i, j in pairs]
+    )
+    edges = (
+        spark.range(k)
+        .select(F.col("id").alias("g"), F.explode(pair_lit).alias("p"))
+        .select(
+            (F.col("g") * c + F.col("p.i")).alias("u"),
+            (F.col("g") * c + F.col("p.j")).alias("v"),
+        )
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert r.n_nodes == k * c
+    assert r.n_edges == k * len(pairs)
+    assert r.n_wedges == k * c * (c - 1) * (c - 2) // 2
+    assert r.n_triangles == k * c * (c - 1) * (c - 2) // 6
+    assert r.clustering_ppm == 1_000_000
+
+
+def test_adamic_adar_path_graph_closed_form_at_2m_nodes(spark):
+    """2M-node path graph: the only candidates are (i, i+2) pairs, one
+    common neighbor each of degree 2 — exactly N-2 rows, every score
+    1/ln(2)."""
+    import math
+
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        adamic_adar_links,
+    )
+
+    n = 2_000_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    out = adamic_adar_links(edges, deg_cap=64)
+    expected = round(1.0 / math.log(2.0), 6)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("aa_score").alias("mn"),
+        F.max("aa_score").alias("mx"),
+        F.sum("common_neighbors").alias("cn"),
+    ).collect()[0]
+    assert agg.n == n - 2
+    assert agg.mn == expected and agg.mx == expected
+    assert agg.cn == n - 2
+
+
+def test_systematic_pps_matches_naive_window_at_5m_rows(spark):
+    """5M weighted rows: the distributed-cumsum PPS sample equals the
+    naive single-partition global-window formulation row for row."""
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    d = spark.range(5_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(997)) + 1).alias("w"),
+    )
+    got = sorted(
+        (r.doc_id, r.stratum)
+        for r in systematic_weighted_sample(d, "w", ["doc_id"], k=1000).collect()
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    tot = d.agg(F.sum("w")).collect()[0][0]
+    naive = sorted(
+        (r.doc_id, r.stratum)
+        for r in d.select(
+            "doc_id", "w", F.sum("w").over(w).alias("cum")
+        )
+        .filter(
+            F.expr(f"(cum * 1000) div {tot}") > F.expr(f"((cum - w) * 1000) div {tot}")
+        )
+        .select(
+            "doc_id",
+            (F.expr(f"((cum - w) * 1000) div {tot}") + 1).alias("stratum"),
+        )
+        .collect()
+    )
+    assert got == naive and len(got) == 1000
