@@ -37,7 +37,7 @@ _RISK_ORDER = [
     "q333", "q334", "q335", "q336", "q337",
     # round-6 wave 2: rank fusion, hard-negative mining, exact-k group
     # reservoir, budget-capped curation, Adamic-Adar link prediction
-    "q338", "q339", "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347", "q348",
+    "q338", "q339", "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349", "q350", "q351",
     "q289", "q290",
     "q291", "q292", "q293", "q294", "q295", "q296", "q297", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q309", "q310", "q311", "q312", "q313", "q314", "q315", "q316", "q317", "q318", "q319", "q320", "q321", "q322", "q324", "q325", "q326", "q327", "q328", "q329", "q330",
     # r5-verified tail (q323/q331/q332 + q243-q288), next in line if

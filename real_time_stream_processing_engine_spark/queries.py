@@ -19628,3 +19628,208 @@ def q348_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("eta_squared"),
     )
+
+
+@register(
+    "q349_degree_powerlaw",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+            GROUP BY 1),
+    tail AS (SELECT d FROM deg WHERE d >= 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(2 AS BIGINT) AS dmin,
+           CAST(max(d) AS BIGINT) AS dmax,
+           ROUND(1.0 + count(*) / sum(ln(CAST(d AS DOUBLE) / 1.5)), 6)
+             AS alpha
+    FROM tail
+    """,
+)
+def q349_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent of the co-purchase degree
+    distribution via the Clauset-Shalizi-Newman MLE approximation
+    (alpha = 1 + n / Σ ln(d/(dmin - 0.5)), dmin = 2) — the scale-free
+    test that tells you whether hub mitigation (q342's degree caps,
+    q75/q82's salting) is a nicety or a necessity on this graph.
+    Two partial-aggregated passes over the edge list: degrees, then
+    one scalar combine — no window, no sort; the edge build reuses the
+    q334/q268 co-purchase shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("x"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("y"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionByName(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    tail = deg.filter(F.col("d") >= 2)
+    return tail.agg(
+        F.count("*").cast("long").alias("n_tail"),
+        F.lit(2).cast("long").alias("dmin"),
+        F.max("d").cast("long").alias("dmax"),
+        F.round(
+            F.lit(1.0)
+            + F.count("*") / F.sum(F.log(F.col("d").cast("double") / F.lit(1.5))),
+            6,
+        ).alias("alpha"),
+    )
+
+
+@register(
+    "q350_hoeffding_screen",
+    """
+    WITH j AS (SELECT p.p_brand AS brand,
+                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    g AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r) AS BIGINT) AS nr FROM j GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(nr) AS BIGINT) AS tr
+          FROM g),
+    s AS (SELECT brand, n, nr,
+                 CAST(nr AS DOUBLE) / n AS p_brand,
+                 CAST(tr AS DOUBLE) / tn AS p0,
+                 sqrt(ln(2.0 / 0.01) / (2.0 * n)) AS eps
+          FROM g CROSS JOIN t)
+    SELECT brand, n, nr,
+           ROUND(p_brand, 6) AS rate,
+           ROUND(eps, 6) AS bound,
+           ROUND(abs(p_brand - p0) - eps, 6) AS excess,
+           CAST(CASE WHEN abs(p_brand - p0) > eps THEN 1 ELSE 0 END AS BIGINT)
+             AS flagged
+    FROM s ORDER BY excess DESC, brand LIMIT 10
+    """,
+)
+def q350_hoeffding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free anomaly screening: flag brands whose return
+    rate deviates from the corpus rate by more than the Hoeffding
+    bound eps = sqrt(ln(2/delta)/(2n)) at delta = 0.01 — a multiple-
+    screening gate that needs NO distributional assumption and no
+    normal-CDF machinery, so a flagged brand carries a real >=99%
+    per-test guarantee.  The top 10 brands by excess are always
+    reported (flagged 0/1), so a clean corpus shows HOW CLOSE its
+    worst brand sits to the bound instead of an empty result.  One partial-aggregated (brand, outcome) pass,
+    a broadcast 1-row total, and a scan-side filter — the per-brand
+    bound tightens automatically as brands accumulate rows at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    g = j.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r").cast("long").alias("nr"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("nr").cast("long").alias("tr")
+    )
+    import math
+
+    s = g.crossJoin(F.broadcast(t)).select(
+        "brand",
+        "n",
+        "nr",
+        (F.col("nr").cast("double") / F.col("n")).alias("p_brand"),
+        (F.col("tr").cast("double") / F.col("tn")).alias("p0"),
+        F.sqrt(F.lit(math.log(2.0 / 0.01)) / (F.lit(2.0) * F.col("n"))).alias(
+            "eps"
+        ),
+    )
+    return (
+        s.select(
+            "brand",
+            "n",
+            "nr",
+            F.round("p_brand", 6).alias("rate"),
+            F.round("eps", 6).alias("bound"),
+            F.round(F.abs(F.col("p_brand") - F.col("p0")) - F.col("eps"), 6).alias(
+                "excess"
+            ),
+            (F.abs(F.col("p_brand") - F.col("p0")) > F.col("eps"))
+            .cast("long")
+            .alias("flagged"),
+        )
+        .orderBy(F.desc("excess"), F.asc("brand"))
+        .limit(10)
+    )
+
+
+@register(
+    "q351_leadlag_xcorr",
+    """
+    WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS x,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    p AS (SELECT l.lag, a.x, b.y
+          FROM lags l JOIN d a ON TRUE JOIN d b ON b.day = a.day + l.lag),
+    c AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+                 count(*) * sum(x * y) - sum(x) * sum(y) AS cov_n,
+                 sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
+                   * sqrt(count(*) * sum(y * y) - sum(y) * sum(y)) AS den
+          FROM p GROUP BY 1)
+    SELECT lag, n_days,
+           ROUND(cov_n / nullif(den, 0), 6) AS xcorr
+    FROM c ORDER BY lag
+    """,
+)
+def q351_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily view and purchase
+    series at lags -7..+7 — which direction and distance the funnel
+    signal travels (a positive-lag peak means views LEAD purchases by
+    that many days); q252's rolling correlation assumes lag 0, this
+    finds the lag.  The event scan partial-aggregates to one row per
+    day; every join and moment after that runs on |days| x 15 rows —
+    toy-sized at any corpus scale.  Pearson per lag from raw moments,
+    NULL when a series is constant (guarded denominator)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("long").alias("lag"))
+    a = d.select(F.col("day").alias("da"), "x")
+    b = d.select(F.col("day").alias("db"), "y")
+    p = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    c = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).alias(
+            "cov_n"
+        ),
+        (
+            F.sqrt(F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+            * F.sqrt(F.count("*") * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+        ).alias("den"),
+    )
+    return c.select(
+        "lag",
+        "n_days",
+        F.round(F.col("cov_n") / F.nullif(F.col("den"), F.lit(0.0)), 6).alias(
+            "xcorr"
+        ),
+    ).orderBy("lag")
