@@ -774,6 +774,9 @@ def edit_distance_pairs(
     # the tiny-bytes exchange back into the single task it exists to
     # break up.
     n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    # probe feeds BOTH join sides: one lazy cut instead of re-running
+    # the scan + normalize + explode per side
+    probe = probe.localCheckpoint(eager=False)
     a, b = probe.repartition(n_tasks).alias("a"), probe.alias("b")
     return (
         a.join(
@@ -848,6 +851,10 @@ def containment_pairs(
             ).alias("_sh"),
         )
     )
+    # sh feeds the df aggregate AND the semi-join probe; kept feeds the
+    # per-doc counts and both pair-join legs — one lazy cut each
+    # instead of re-running the shingle explode per consumer
+    sh = sh.localCheckpoint(eager=False)
     kept = sh.join(
         sh.groupBy("_sh")
         .agg(F.count("*").alias("_df"))
@@ -855,7 +862,7 @@ def containment_pairs(
         .select("_sh"),
         "_sh",
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     nk = kept.groupBy("_id").agg(F.count("*").alias("_nk"))
     a = kept.select(F.col("_sh"), F.col("_id").alias("_ia"))
     b = kept.select(F.col("_sh"), F.col("_id").alias("_ib"))

@@ -546,8 +546,9 @@ def adamic_adar_links(
     an exact SQL oracle models it (same posture as the df <= max_df
     cuts in the text family).  Endpoint degrees are NOT capped.
 
-    Existing edges are removed with a null-safe LEFT ANTI join on the
-    canonical (min, max) pair.  The adjacency set feeds degrees, both
+    Existing edges are removed with a LEFT ANTI join on the canonical
+    (min, max) pair (plain equality — null endpoints cannot reach it:
+    least/greatest propagates nulls into the x != y filter).  The adjacency set feeds degrees, both
     wedge legs, and the anti-join probe — one shared lazy lineage cut
     (:func:`_round_persist`), the r6 single-upstream-pass rule.
     Output: (u, w, common_neighbors BIGINT, aa_score DOUBLE rounded
@@ -634,6 +635,10 @@ def copresence_pairs(
         )
         .distinct()
     )
+    # b feeds the cell-size aggregate AND the semi probe; kept feeds
+    # the per-user counts and both pair legs — one lazy cut each (the
+    # r6 single-upstream-pass rule)
+    b = b.localCheckpoint(eager=False)
     kept = b.join(
         b.groupBy("_k", "_h")
         .agg(F.count("*").alias("_cu"))
@@ -641,7 +646,7 @@ def copresence_pairs(
         .select("_k", "_h"),
         ["_k", "_h"],
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     nu = kept.groupBy("_u").agg(F.count("*").alias("_nc"))
     a = kept.select("_k", "_h", F.col("_u").alias("_ua"))
     c = kept.select("_k", "_h", F.col("_u").alias("_ub"))

@@ -329,7 +329,11 @@ def systematic_weighted_sample(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).select(*order_cols, F.col(weight_col).cast("long").alias("w"))
     r = distributed_cumsum(base, order_cols + [], "w")
-    tot = base.agg(F.sum("w").alias("_tot"))
+    # the total is the running sum's last value — read it from the
+    # cumsum's already-materialized output instead of replaying the
+    # caller's whole scan+filter lineage a second time (the r6
+    # single-upstream-pass rule)
+    tot = r.agg(F.max("cum").alias("_tot"))
     sel = (
         r.crossJoin(F.broadcast(tot))
         .filter(
@@ -396,16 +400,13 @@ def budget_capped_select(
     documents until the token budget is spent", the final cut of every
     training-mix recipe (fixed token target, quality-ranked supply).
 
-    The greedy prefix is exact, not heuristic: with a total order on
-    (score, id) the kept set is the unique maximal prefix whose cost
-    sum <= budget (a row is kept iff ITS inclusive running cost fits —
-    one oversized row is skipped and the walk CONTINUES, standard
-    greedy knapsack-by-rank semantics... no: prefix semantics — see
-    below).  This implements the strict PREFIX form: the first row
-    whose inclusive cumulative cost exceeds the budget ends the
-    selection (rows after it are excluded even if they'd fit), which
-    keeps the result a pure ranking cut — reproducible, auditable, and
-    exactly what a SQL window replays.
+    This implements the strict PREFIX form: a row is kept iff its
+    inclusive running cost fits, so the first row whose cumulative
+    cost exceeds the budget ends the selection — rows after it are
+    excluded even if they would individually fit.  That keeps the
+    result a pure ranking cut (reproducible, auditable, exactly what a
+    SQL window replays), unlike skip-and-continue greedy knapsack
+    variants whose kept set depends on every earlier exclusion.
 
     The running sum is :func:`..stats.distributed_cumsum` (range
     exchange + parallel per-partition windows + |partitions|-row

@@ -674,18 +674,24 @@ def hard_negative_topk(
     rounded score (the struct's negated-id field)."""
     if not anchor_ids:
         raise ValueError("hard_negative_topk needs at least one anchor id")
-    anchors = emb.filter(F.col(id_col).isin([int(a) for a in anchor_ids])).select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("anchor_label"),
-        F.col(vec_col).alias("_avec"),
-        l2_norm(F.col(vec_col)).alias("_anorm"),
+    # zero-norm vectors have undefined cosine: excluded on both sides
+    # (a bare /0 errors under ANSI mode — the whitened_topk posture)
+    anchors = (
+        emb.filter(F.col(id_col).isin([int(a) for a in anchor_ids]))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("_avec"),
+            l2_norm(F.col(vec_col)).alias("_anorm"),
+        )
+        .filter(F.col("_anorm") > 0.0)
     )
     cand = emb.select(
         F.col(id_col).alias("neg_id"),
         F.col(label_col).alias("neg_label"),
         F.col(vec_col).alias("_cvec"),
         l2_norm(F.col(vec_col)).alias("_cnorm"),
-    )
+    ).filter(F.col("_cnorm") > 0.0)
     best = (
         cand.join(
             F.broadcast(anchors),

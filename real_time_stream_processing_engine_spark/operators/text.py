@@ -593,6 +593,11 @@ def tfidf_cosine_pairs(
         )
         .groupBy("_id", "_w")
         .agg(F.count("*").alias("_tf"))
+        # the (doc, term, tf) frame feeds N, df, weights, norms AND both
+        # pair-join legs: one lazy lineage cut instead of re-running the
+        # scan + explode + aggregate per consumer (the r6 single-
+        # upstream-pass rule)
+        .localCheckpoint(eager=False)
     )
     n = tf.agg(F.countDistinct("_id").cast("double").alias("_n"))
     dfreq = tf.groupBy("_w").agg(F.count("*").alias("_df")).filter(
@@ -605,7 +610,14 @@ def tfidf_cosine_pairs(
             "_id", "_w", (F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_wt")
         )
     )
-    norm = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("_wt") * F.col("_wt"))).alias("_nrm"))
+    # a doc whose every surviving term has df == N carries weight 0
+    # everywhere: zero norm, cosine undefined — excluded (the inner
+    # joins below drop its pairs; a bare /0 errors under ANSI mode)
+    norm = (
+        w.groupBy("_id")
+        .agg(F.sqrt(F.sum(F.col("_wt") * F.col("_wt"))).alias("_nrm"))
+        .filter(F.col("_nrm") > 0.0)
+    )
     a = w.select(F.col("_w"), F.col("_id").alias("_ia"), F.col("_wt").alias("_wa"))
     b = w.select(F.col("_w"), F.col("_id").alias("_ib"), F.col("_wt").alias("_wb"))
     dot = (

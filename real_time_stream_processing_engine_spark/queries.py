@@ -47,6 +47,17 @@ def register(name: str, sql: str | None):
     return deco
 
 
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Canonical co-purchase edge list (u < v part pairs sharing an
+    order) — the ONE definition q334's census, q342's link prediction
+    and q349's degree fit all build on, so the graph they describe
+    cannot silently diverge."""
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return a.join(b, "l_orderkey").filter(F.col("u") < F.col("v")).select("u", "v")
+
+
 # --------------------------------------------------------------------------
 # Reference surface: O1-O10 (SURVEY.md §2.2)
 # --------------------------------------------------------------------------
@@ -18923,14 +18934,7 @@ def q334_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") % 4 == 0
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-    )
-    return triangle_stats(edges)
+    return triangle_stats(_copurchase_edges(li))
 
 
 @register(
@@ -19263,11 +19267,8 @@ def q342_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import adamic_adar_links
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = a.join(b, "l_orderkey").filter(F.col("u") < F.col("v")).select("u", "v")
     return (
-        adamic_adar_links(edges, deg_cap=64)
+        adamic_adar_links(_copurchase_edges(li), deg_cap=64)
         .orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
         .limit(40)
     )
@@ -19660,17 +19661,10 @@ def q349_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     q334/q268 co-purchase shape."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("x"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("y"))
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y")
-        .distinct()
-    )
+    e = _copurchase_edges(op).distinct()
     deg = (
-        e.select(F.col("x").alias("n"))
-        .unionByName(e.select(F.col("y").alias("n")))
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )

@@ -276,3 +276,15 @@ def test_containment_short_and_null_texts_excluded(spark):
     )
     rows = containment_pairs(d, k=8, max_df=16, min_cont_ppm=800_000).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(3, 4)]
+
+
+def test_tfidf_all_common_terms_doc_is_excluded_not_an_error(spark):
+    # doc 3's only term appears in every doc: idf 0 -> zero norm ->
+    # cosine undefined; the doc drops out instead of raising
+    # DIVIDE_BY_ZERO under ANSI mode (r6 review catch)
+    d = spark.createDataFrame(
+        [(1, "shared rare1"), (2, "shared rare1"), (3, "shared")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(d, max_df=10, min_sim=0.0).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}

@@ -239,3 +239,16 @@ def test_adamic_adar_degree_cap_drops_hub_centers(spark):
 def test_adamic_adar_rejects_bad_cap(spark):
     with pytest.raises(ValueError, match="deg_cap"):
         adamic_adar_links(_edges(spark, [(1, 2)]), deg_cap=1)
+
+
+def test_hard_negative_zero_norm_vectors_excluded_not_an_error(spark):
+    # a zero embedding has no cosine: excluded on both sides instead of
+    # raising DIVIDE_BY_ZERO under ANSI mode (r6 review catch)
+    d = _emb(
+        spark,
+        [(0, [1.0, 0.0], 0), (1, [0.0, 0.0], 1), (2, [1.0, 1.0], 1),
+         (3, [0.0, 0.0], 0)],
+    )
+    rows = hard_negative_topk(d, anchor_ids=[0, 3]).collect()
+    # anchor 3 is zero-norm: no row for it; anchor 0 skips candidate 1
+    assert [(r.anchor_id, r.neg_id) for r in rows] == [(0, 2)]
