@@ -852,3 +852,11 @@ def test_adamic_adar_no_cartesian_and_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert _count(plan, "Window") == 0
+
+
+def test_group_reservoir_limits_below_exchange(spark, sf_dir):
+    """q340: the per-group rank<=k cut runs map-side (WindowGroupLimit),
+    so the shuffle carries at most k rows per group per task — the q25
+    posture for the sampler."""
+    plan = _plan(spark, sf_dir, "q340_group_reservoir")
+    assert "WindowGroupLimit" in plan, plan
