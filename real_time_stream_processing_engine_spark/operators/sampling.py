@@ -369,12 +369,13 @@ def group_uniform_sample(
     GLOBAL PPS; this is exact-k PER GROUP uniform — the "5 examples
     per (lang, source) cell" eval-set shape.
 
-    The rank is a per-group row_number window; a mega-group lands on
-    one window task, the known q25-family skew posture.  For hub
-    groups at 100 TB, pre-filter with a per-partition top-k (the draw
-    is orderable, so local top-k then global top-k is exact) — not
-    needed at the k << |group| scales this targets.  Output: input
-    columns + ``draw`` (hex) + 1-based ``sample_rank``."""
+    The rank is a per-group row_number window, and Spark's
+    WindowGroupLimit pushes the rank<=k cut MAP-SIDE (pinned in
+    tests/test_plans.py): each task forwards at most k rows per group,
+    so the exchange carries k x |groups| x |tasks| rows worst case and
+    a mega-group never ships whole — the local-top-k-then-global-top-k
+    decomposition is exact because the draw is a total order.  Output:
+    input columns + ``draw`` (hex) + 1-based ``sample_rank``."""
     from pyspark.sql import Window
 
     if k <= 0:
