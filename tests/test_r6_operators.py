@@ -288,3 +288,113 @@ def test_tfidf_all_common_terms_doc_is_excluded_not_an_error(spark):
     )
     rows = tfidf_cosine_pairs(d, max_df=10, min_sim=0.0).collect()
     assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# randomized differentials: engine vs brute-force Python reference
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _norm(t: str) -> str:
+    return " ".join(t.lower().split())
+
+
+def _noisy_corpus(seed: int, n: int):
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    base = [" ".join(rng.choices(words, k=rng.randint(4, 30))) for _ in range(n // 3)]
+    rows = []
+    for i in range(n):
+        src = rng.choice(base)
+        # random character edits to plant near-dups at varied distances
+        t = list(src)
+        for _ in range(rng.randint(0, 18)):
+            p = rng.randrange(len(t))
+            op = rng.randint(0, 2)
+            if op == 0:
+                t[p] = rng.choice("abcdefghij ")
+            elif op == 1 and len(t) > 5:
+                del t[p]
+            else:
+                t.insert(p, rng.choice("abcdefghij"))
+        rows.append((i, rng.choice(["en", "fr"]), "".join(t)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_edit_distance_matches_bruteforce_reference(spark, seed):
+    rows = _noisy_corpus(seed, 48)
+    expected = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ia, la, ta = rows[i]
+            ib, lb, tb = rows[j]
+            if la != lb:
+                continue
+            na, nb = _norm(ta), _norm(tb)
+            if abs(len(na) - len(nb)) > 12:
+                continue
+            d = _lev(na[:120], nb[:120])
+            if d <= 12:
+                a, b = sorted((ia, ib))
+                expected.add((a, b, d))
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in edit_distance_pairs(
+            spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        ).collect()
+    }
+    assert got == expected and expected  # non-vacuous: seeds plant dups
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_containment_matches_bruteforce_reference(spark, seed):
+    rows = _noisy_corpus(seed, 36)
+    k, max_df, thr = 8, 16, 500_000
+    sh = {
+        i: {_norm(t)[p:p + k] for p in range(len(_norm(t)) - k + 1)}
+        for i, _, t in rows
+        if len(_norm(t)) >= k
+    }
+    df_count: dict[str, int] = {}
+    for s in sh.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    kept = {i: {g for g in s if df_count[g] <= max_df} for i, s in sh.items()}
+    expected = set()
+    ids = sorted(kept)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(kept[a] & kept[b])
+            if not inter or not kept[a] or not kept[b]:
+                continue
+            ca = inter * 1_000_000 // len(kept[a])
+            cb = inter * 1_000_000 // len(kept[b])
+            if max(ca, cb) >= thr:
+                expected.add((a, b, inter, ca, cb))
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.cont_a_ppm, r.cont_b_ppm)
+        for r in containment_pairs(
+            spark.createDataFrame(
+                [(i, t) for i, _, t in rows], "doc_id long, text string"
+            ),
+            k=k,
+            max_df=max_df,
+            min_cont_ppm=thr,
+        ).collect()
+    }
+    assert got == expected and expected
