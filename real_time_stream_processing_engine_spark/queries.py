@@ -19827,3 +19827,207 @@ def q351_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xcorr"
         ),
     ).orderBy("lag")
+
+
+@register(
+    "q352_linkpred_backtest",
+    """
+    WITH tr AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                WHERE a.l_shipdate < DATE '2000-01-01'
+                  AND b.l_shipdate < DATE '2000-01-01'),
+    te AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           WHERE a.l_shipdate >= DATE '2000-01-01'
+             AND b.l_shipdate >= DATE '2000-01-01'),
+    new_e AS (SELECT te.x, te.y FROM te
+              WHERE NOT EXISTS (SELECT 1 FROM tr
+                                WHERE tr.x = te.x AND tr.y = te.y)),
+    adj AS (SELECT x AS c, y AS n FROM tr UNION ALL SELECT y AS c, x AS n FROM tr),
+    deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    ctr AS (SELECT c, 1.0 / ln(CAST(d AS DOUBLE)) AS w FROM deg
+            WHERE d BETWEEN 2 AND 64),
+    ca AS (SELECT adj.c, adj.n, ctr.w FROM adj JOIN ctr USING (c)),
+    p AS (SELECT a.n AS u, b.n AS v, SUM(a.w) AS aa
+          FROM ca a JOIN ca b ON a.c = b.c AND a.n < b.n GROUP BY 1, 2),
+    ne AS (SELECT * FROM p WHERE NOT EXISTS
+             (SELECT 1 FROM tr WHERE tr.x = p.u AND tr.y = p.v)),
+    pred AS (SELECT u, v FROM ne
+             ORDER BY ROUND(aa, 6) DESC, u, v LIMIT 100),
+    hits AS (SELECT CAST(count(*) AS BIGINT) AS h FROM pred
+             JOIN new_e ON pred.u = new_e.x AND pred.v = new_e.y),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_new FROM new_e)
+    SELECT CAST(100 AS BIGINT) AS k, n_new AS n_test_new, h AS n_hits,
+           CAST((h * 1000000) // 100 AS BIGINT) AS precision_ppm
+    FROM hits CROSS JOIN nn
+    """,
+)
+def q352_linkpred_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal BACKTEST of Adamic-Adar link prediction: train the
+    co-purchase graph on pre-2000 shipments, predict the top-100
+    non-edges, and score them against the pairs that ACTUALLY co-sold
+    for the first time from 2000 on — precision@100 with a real time
+    split, the evaluation harness that turns q342 from a scorer into a
+    measured model (and the leakage-safe split discipline of
+    q58/q118 applied to graphs).  Train/test edge builds share the
+    _copurchase_edges definition; the predicted cut is deterministic
+    ((6dp score DESC, u, v)); all reported numbers are integers."""
+    from .operators.graph import adamic_adar_links
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("2000-01-01").cast("date")
+    # train feeds the AA build AND the new-edge anti join: one lazy cut
+    # instead of two lineitem self-joins
+    train = (
+        _copurchase_edges(li.filter(F.col("l_shipdate") < cut))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    test = _copurchase_edges(li.filter(F.col("l_shipdate") >= cut)).distinct()
+    new_e = test.join(train, ["u", "v"], "left_anti")
+    pred = (
+        adamic_adar_links(train, deg_cap=64)
+        .orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
+        .limit(100)
+        .select("u", "v")
+    )
+    hits = pred.join(new_e, ["u", "v"]).agg(
+        F.count("*").cast("long").alias("h")
+    )
+    nn = new_e.agg(F.count("*").cast("long").alias("n_new"))
+    return hits.crossJoin(F.broadcast(nn)).select(
+        F.lit(100).cast("long").alias("k"),
+        F.col("n_new").alias("n_test_new"),
+        F.col("h").alias("n_hits"),
+        F.expr("(h * 1000000) div 100").cast("long").alias("precision_ppm"),
+    )
+
+
+@register(
+    "q353_price_indices",
+    """
+    WITH py AS (SELECT l_partkey AS part,
+                       CAST(year(l_shipdate) AS BIGINT) AS y,
+                       sum(l_extendedprice) / sum(l_quantity) AS p,
+                       sum(l_quantity) AS q
+                FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+    pair AS (SELECT a.part, a.y AS y0, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+             FROM py a JOIN py b ON b.part = a.part AND b.y = a.y + 1),
+    ix AS (SELECT y0, CAST(count(*) AS BIGINT) AS n_parts,
+                  sum(p1 * q0) / sum(p0 * q0) AS lasp,
+                  sum(p1 * q1) / sum(p0 * q1) AS paas
+           FROM pair GROUP BY 1)
+    SELECT y0 AS year_from, y0 + 1 AS year_to, n_parts,
+           ROUND(lasp, 6) AS laspeyres,
+           ROUND(paas, 6) AS paasche,
+           ROUND(sqrt(lasp * paas), 6) AS fisher
+    FROM ix ORDER BY y0
+    """,
+)
+def q353_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained price indices between consecutive shipment years over
+    the parts traded in both: Laspeyres (base-year basket), Paasche
+    (current-year basket) and their Fisher geometric mean — the
+    index-number economics of "did prices move, holding the basket
+    fixed".  Unit values are sum(revenue)/sum(quantity) per (part,
+    year) from ONE partial-aggregated pass; the consecutive-year pair
+    join runs on the |parts| x |years| aggregate, never on lineitem
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("long").alias("y"),
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    a = py.select("part", F.col("y").alias("y0"), F.col("p").alias("p0"), F.col("q").alias("q0"))
+    b = py.select("part", (F.col("y") - 1).alias("y0"), F.col("p").alias("p1"), F.col("q").alias("q1"))
+    ix = (
+        a.join(b, ["part", "y0"])
+        .groupBy("y0")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            (F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))).alias("lasp"),
+            (F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))).alias("paas"),
+        )
+    )
+    return ix.select(
+        F.col("y0").alias("year_from"),
+        (F.col("y0") + 1).alias("year_to"),
+        "n_parts",
+        F.round("lasp", 6).alias("laspeyres"),
+        F.round("paas", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("lasp") * F.col("paas")), 6).alias("fisher"),
+    ).orderBy("year_from")
+
+
+@register(
+    "q354_theil_decomposition",
+    """
+    WITH j AS (SELECT c.c_nationkey AS nk, o.o_totalprice AS x
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT nk, CAST(count(*) AS BIGINT) AS ng, sum(x) AS s1,
+                 sum(x * ln(x)) AS sl
+          FROM j GROUP BY 1),
+    t AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(s1) AS ts1,
+                 sum(s1) / sum(ng) AS mu FROM g),
+    parts AS (SELECT g.nk, g.ng, g.s1, g.sl, t.n, t.mu,
+                     g.s1 / g.ng AS mug FROM g CROSS JOIN t),
+    comb AS (SELECT max(n) AS n,
+                    sum(sl / (n * mu) ) - ln(max(mu)) AS total,
+                    sum((s1 / (n * mu)) * ln(mug / mu)) AS between_t,
+                    sum((s1 / (n * mu)) * (sl / s1 - ln(mug))) AS within_t
+             FROM parts GROUP BY n, mu)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(total, 6) AS theil_total,
+           ROUND(within_t, 6) AS theil_within,
+           ROUND(between_t, 6) AS theil_between
+    FROM comb
+    """,
+)
+def q354_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality DECOMPOSED into within-nation and between-
+    nation components (within + between = total, the additive property
+    that makes Theil the inequality index of choice for grouped data —
+    q302 reports only the global scalar).  Using T_g = SL_g/(N_g mu_g)
+    - ln(mu_g) from per-group sums of x and x ln x, the decomposition
+    needs just TWO aggregate levels: per-nation moments (25 rows),
+    then one scalar combine — no window, nothing driver-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(F.col("c_nationkey").alias("nk"), F.col("o_totalprice").alias("x"))
+    g = j.groupBy("nk").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.log("x")).alias("sl"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        (F.sum("s1") / F.sum("ng")).alias("mu"),
+    )
+    parts = g.crossJoin(F.broadcast(t)).select(
+        "ng", "s1", "sl", "n", "mu", (F.col("s1") / F.col("ng")).alias("mug")
+    )
+    comb = parts.groupBy("n", "mu").agg(
+        (F.sum(F.col("sl") / (F.col("n") * F.col("mu"))) - F.log(F.max("mu"))).alias(
+            "total"
+        ),
+        F.sum((F.col("s1") / (F.col("n") * F.col("mu"))) * F.log(F.col("mug") / F.col("mu"))).alias(
+            "between_t"
+        ),
+        F.sum(
+            (F.col("s1") / (F.col("n") * F.col("mu")))
+            * (F.col("sl") / F.col("s1") - F.log("mug"))
+        ).alias("within_t"),
+    )
+    return comb.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 6).alias("theil_total"),
+        F.round("within_t", 6).alias("theil_within"),
+        F.round("between_t", 6).alias("theil_between"),
+    )
