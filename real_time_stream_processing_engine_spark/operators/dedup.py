@@ -739,7 +739,12 @@ def edit_distance_pairs(
     length histogram slice, the usual mega-bucket story (hot buckets
     spread across tasks because the JOIN is a hash join on the bucket
     key, never a collect_list).  Levenshtein itself runs JVM-side
-    (``F.levenshtein``), inside whole-stage codegen."""
+    (``F.levenshtein``), inside whole-stage codegen.  The multi-
+    consumer frames here and in the other pair operators take
+    executor-local lineage cuts (lazy localCheckpoint): never
+    recomputed, but lost with an executor — a multi-hour cluster job
+    swaps them for reliable checkpoints, the _round_persist lever the
+    graph fixpoints already expose."""
     if bucket_width <= max_dist:
         raise ValueError(
             f"bucket_width ({bucket_width}) must exceed max_dist "

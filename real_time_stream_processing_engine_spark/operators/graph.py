@@ -548,7 +548,8 @@ def adamic_adar_links(
 
     Existing edges are removed with a LEFT ANTI join on the canonical
     (min, max) pair (plain equality — null endpoints cannot reach it:
-    least/greatest propagates nulls into the x != y filter).  The adjacency set feeds degrees, both
+    Spark's least/greatest SKIP nulls, so a (null, v) edge collapses to
+    x == y == v and the x != y filter drops it).  The adjacency set feeds degrees, both
     wedge legs, and the anti-join probe — one shared lazy lineage cut
     (:func:`_round_persist`), the r6 single-upstream-pass rule.
     Output: (u, w, common_neighbors BIGINT, aa_score DOUBLE rounded

@@ -18949,7 +18949,8 @@ def q334_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 50),
     wt AS (SELECT tf.id, tf.w, tf.tf * ln(n.n / dfr.df) AS wt
            FROM tf JOIN dfr ON tf.w = dfr.w CROSS JOIN n),
-    nrm AS (SELECT id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY 1),
+    nrm AS (SELECT id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY 1
+            HAVING sum(wt * wt) > 0),
     dot AS (SELECT a.id AS ia, b.id AS ib, sum(a.wt * b.wt) AS dot
             FROM wt a JOIN wt b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2)
     SELECT ia AS doc_a, ib AS doc_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
@@ -19126,7 +19127,9 @@ def q338_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                    6) AS cs
       FROM a JOIN embeddings e ON e.label <> a.anchor_label
       CROSS JOIN generate_series(1, 64) s(i)
-      GROUP BY 1, 2, 3, 4),
+      GROUP BY 1, 2, 3, 4
+      HAVING SUM(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE)) > 0
+         AND SUM(CAST(a.embedding[s.i] AS DOUBLE) * CAST(a.embedding[s.i] AS DOUBLE)) > 0),
     r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
                                        ORDER BY cs DESC, neg_id) AS rn FROM p)
     SELECT anchor_id, anchor_label, neg_id, neg_label, cs AS cos_sim
