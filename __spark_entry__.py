@@ -46,7 +46,7 @@ _RISK_ORDER = [
     # lead-lag xcorr, link-pred backtest, price indices, Theil
     # decomposition — each oracle-green locally at sf0.01 AND sf0.1
     "q333", "q334", "q335", "q336", "q337",
-    "q338", "q339", "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352", "q353", "q354",
+    "q338", "q339", "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352", "q353", "q354", "q355",
     # r5-verified tail (q323/q331/q332 + q243-q288), next in line if
     # the window widens
     "q323", "q331", "q332",

@@ -3986,8 +3986,10 @@ def q107_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(sum(value), 2) AS sum_value,
-           ROUND(sum(value) / count(*), 6) AS avg_value
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e6,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) // count(*)
+                AS BIGINT) AS avg_value_e6
     FROM events
     GROUP BY user_id
     """,
@@ -4001,6 +4003,11 @@ def q108_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials — never averaged averages).  The oracle computes the same
     rollup directly over the whole log, so the hash check IS the
     refresh-correctness statement: merge(part(A), part(B)) == agg(A+B).
+    Values ride the integer-micro grid (floor(value*1e6+0.5), the e4
+    cents-grid posture): partial ADDITION is then exact, so the
+    merge==direct identity holds bit-for-bit instead of depending on
+    float summation order (a 6dp rounding boundary flipped 10 of 1500
+    users at sf0.1 in the float form — r6 sweep catch).
 
     At 100 TB this is the difference between scanning one day and
     rescanning a year: any commutative-partial aggregate (count, sum,
@@ -4009,9 +4016,11 @@ def q108_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-20").cast("timestamp")
 
+    v_e6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(
-            F.count("*").alias("n"), F.sum("value").alias("s")
+            F.count("*").alias("n"), F.sum(v_e6).alias("s")
         )
 
     hist = partials(ev.filter(F.col("ts") < cut))
@@ -4024,9 +4033,9 @@ def q108_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round("sum_value", 2).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 6).alias(
-            "avg_value"
+        F.col("sum_value").cast("long").alias("sum_value_e6"),
+        F.expr("sum_value div n_events").cast("long").alias(
+            "avg_value_e6"
         ),
     )
 
@@ -20033,4 +20042,76 @@ def q354_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 6).alias("theil_total"),
         F.round("within_t", 6).alias("theil_within"),
         F.round("between_t", 6).alias("theil_between"),
+    )
+
+
+@register(
+    "q355_forecast_mase",
+    """
+    WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+                      sum(o_totalprice) AS y
+               FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1),
+    l AS (SELECT day, y,
+                 lag(y, 7) OVER (ORDER BY day) AS y7,
+                 lag(y, 1) OVER (ORDER BY day) AS y1
+          FROM d),
+    m AS (SELECT CAST(count(y7) AS BIGINT) AS n_scored,
+                 avg(abs(y - y7)) AS mae7,
+                 avg(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) AS mae1,
+                 avg(CASE WHEN y7 IS NOT NULL
+                          THEN 2.0 * abs(y - y7) / (abs(y) + abs(y7)) END) AS smape
+          FROM l)
+    SELECT n_scored,
+           ROUND(mae7 / mae1, 6) AS mase,
+           ROUND(smape, 6) AS smape
+    FROM m
+    """,
+)
+def q355_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation of the seasonal-naive baseline
+    (predict today = same weekday last week) on the 1995 daily revenue
+    series: MASE (Hyndman & Koehler's scale-free standard — MAE of the
+    forecast over MAE of the naive-1 random walk; < 1 beats naive) and
+    sMAPE.  The evaluation gate every forecasting pipeline runs before
+    trusting a model — the wing's seasonal tools (q219/q221/q283)
+    describe the series, this scores a predictor on it.  The order
+    scan partial-aggregates to one row per day; the lag windows run
+    over the |days| spine (the bounded-cardinality global-window
+    class, audited in PLANS.md)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
+    d = orders.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000")
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    w = Window.orderBy("day")
+    l = d.select(
+        "day",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    )
+    m = l.agg(
+        F.count("y7").cast("long").alias("n_scored"),
+        F.avg(F.abs(F.col("y") - F.col("y7"))).alias("mae7"),
+        F.avg(
+            F.when(F.col("y1").isNotNull(), F.abs(F.col("y") - F.col("y1")))
+        ).alias("mae1"),
+        F.avg(
+            F.when(
+                F.col("y7").isNotNull(),
+                F.lit(2.0)
+                * F.abs(F.col("y") - F.col("y7"))
+                / (F.abs("y") + F.abs("y7")),
+            )
+        ).alias("smape"),
+    )
+    return m.select(
+        "n_scored",
+        F.round(F.col("mae7") / F.col("mae1"), 6).alias("mase"),
+        F.round("smape", 6).alias("smape"),
     )
