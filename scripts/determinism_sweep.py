@@ -1,0 +1,87 @@
+"""Partitioning-determinism sweep: run EVERY registered query twice in
+one session — spark.sql.shuffle.partitions=32 then 5 — and compare the
+canonicalized result sets.  A mismatch means the result depends on the
+physical partitioning (an under-ordered LIMIT, a rank tie broken by
+task order, a float aggregate surfacing reassociation past its
+rounding) — the class of bug an oracle check at one fixed config can
+never see.
+
+Usage: python scripts/determinism_sweep.py [sf_dir]   (default sf0.01)
+Writes DETERMINISM_LOCAL.json {query: {"match": bool, "rows": [n, n]}}.
+Streaming drains re-stage their own sources per run, so they are
+compared too; queries that error under either config record the error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for row in df.collect():
+        rows.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (row[c] for c in cols)
+            )
+        )
+    return sorted(map(repr, rows))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as mod
+    from real_time_stream_processing_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="rs-determinism",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = mod.queries()
+    out: dict[str, dict] = {}
+    n_bad = 0
+    t0 = time.time()
+    for name, fn in qs.items():
+        rec: dict = {}
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            a = _canon(fn(spark, sf_dir))
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            b = _canon(fn(spark, sf_dir))
+            rec = {"match": a == b, "rows": [len(a), len(b)]}
+        except Exception as e:  # record, keep going
+            rec = {"match": False, "err": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        out[name] = rec
+        if not rec.get("match"):
+            n_bad += 1
+        print(f"# {name}: {'ok' if rec.get('match') else 'MISMATCH'}", file=sys.stderr)
+    meta = {
+        "sf_dir": sf_dir,
+        "configs": [32, 5],
+        "n_queries": len(qs),
+        "n_mismatch": n_bad,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    dest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DETERMINISM_LOCAL.json",
+    )
+    with open(dest, "w") as f:
+        json.dump({"_meta": meta, **out}, f, indent=2)
+    print(json.dumps(meta))
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
