@@ -38,15 +38,16 @@ _RISK_ORDER = [
     # waited two rounds for a driver row
     "q289", "q290",
     "q291", "q292", "q293", "q294", "q295", "q296", "q297", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q309", "q310", "q311", "q312", "q313", "q314", "q315", "q316", "q317", "q318", "q319", "q320", "q321", "q322", "q324", "q325", "q326", "q327", "q328", "q329", "q330",
-    # round-6 waves (q333-q354, 22 new operators): edit-distance dedup,
+    # round-6 waves (q333-q356, 24 new operators): edit-distance dedup,
     # triangle census, tf-idf cosine, systematic PPS, containment, RRF
     # fusion, hard negatives, group reservoir, budget curation,
     # Adamic-Adar, whitened kNN, source flattening, co-presence,
     # WOE/IV, Burrows' Delta, ANOVA, power-law MLE, Hoeffding screen,
     # lead-lag xcorr, link-pred backtest, price indices, Theil
-    # decomposition — each oracle-green locally at sf0.01 AND sf0.1
+    # decomposition, forecast MASE, Mann-Kendall/Theil-Sen trend —
+    # each oracle-green locally at sf0.01 AND sf0.1
     "q333", "q334", "q335", "q336", "q337",
-    "q338", "q339", "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352", "q353", "q354", "q355",
+    "q338", "q339", "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352", "q353", "q354", "q355", "q356",
     # r5-verified tail (q323/q331/q332 + q243-q288), next in line if
     # the window widens
     "q323", "q331", "q332",

@@ -20119,3 +20119,77 @@ def q355_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mae7") / F.col("mae1"), 6).alias("mase"),
         F.round("smape", 6).alias("smape"),
     )
+
+
+@register(
+    "q356_trend_mann_kendall",
+    """
+    WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+                      sum(o_totalprice) AS y
+               FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1),
+    p AS (SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg,
+                 (b.y - a.y) / (b.day - a.day) AS slope
+          FROM d a JOIN d b ON b.day > a.day),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    s AS (SELECT CAST(sum(sg) AS BIGINT) AS s_stat, median(slope) AS ts FROM p)
+    SELECT nd AS n_days, s_stat,
+           ROUND((s_stat - CASE WHEN s_stat > 0 THEN 1
+                                WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt(nd * (nd - 1) * (2 * nd + 5) / 18.0), 6) AS z_stat,
+           ROUND(ts, 6) AS theil_sen_slope
+    FROM s CROSS JOIN n
+    """,
+)
+def q356_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend kit on the 1995 daily-revenue series:
+    Mann-Kendall S and its continuity-corrected z (is there a monotone
+    trend at all — no normality assumption, unlike q318's
+    Durbin-Watson residual test) plus the Theil-Sen slope (median of
+    all pairwise slopes — the robust trend magnitude a single outlier
+    day cannot move, unlike q213's OLS).  The order scan
+    partial-aggregates to the |days| spine FIRST, so the O(|days|²)
+    pair join runs on ~365 rows (~66k pairs) — bounded at any corpus
+    scale, the q324-class spine posture.  The no-ties variance formula
+    is declared (revenue sums are continuous; exact ties measure
+    zero)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    )
+    d = orders.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000")
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    a = d.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    p = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sg"),
+        ((F.col("yb") - F.col("ya")) / (F.col("db") - F.col("da"))).alias(
+            "slope"
+        ),
+    )
+    n = d.agg(F.count("*").cast("long").alias("nd"))
+    s = p.agg(
+        F.sum("sg").cast("long").alias("s_stat"),
+        F.expr("percentile(slope, 0.5)").alias("ts"),
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("nd").alias("n_days"),
+        "s_stat",
+        F.round(
+            (
+                F.col("s_stat")
+                - F.when(F.col("s_stat") > 0, 1)
+                .when(F.col("s_stat") < 0, -1)
+                .otherwise(0)
+            )
+            / F.sqrt(
+                F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5) / 18.0
+            ),
+            6,
+        ).alias("z_stat"),
+        F.round("ts", 6).alias("theil_sen_slope"),
+    )
