@@ -20155,11 +20155,17 @@ def q356_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
     )
-    d = orders.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000")
-        .cast("long")
-        .alias("day")
-    ).agg(F.sum("o_totalprice").alias("y"))
+    # the day spine feeds both pair legs AND the count: one lazy cut
+    # instead of three orders scans (the r6 single-upstream-pass rule)
+    d = (
+        orders.groupBy(
+            F.expr("unix_micros(o_orderdate) div 86400000000")
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+        .localCheckpoint(eager=False)
+    )
     a = d.select(F.col("day").alias("da"), F.col("y").alias("ya"))
     b = d.select(F.col("day").alias("db"), F.col("y").alias("yb"))
     p = a.join(b, F.col("db") > F.col("da")).select(

@@ -23,16 +23,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _canon(df):
-    cols = sorted(df.columns)
-    rows = []
-    for row in df.collect():
-        rows.append(
-            tuple(
-                round(v, 6) if isinstance(v, float) else v
-                for v in (row[c] for c in cols)
-            )
+    """Same tolerance contract as the oracle harness (columns sorted by
+    name, floats rounded to 6dp, type-tagged) — reuse it so the sweep
+    cannot drift from tests/oracle.py.  Zeros normalize first: repr- or
+    str-keyed paths would otherwise split -0.0 from 0.0."""
+    from tests.oracle import canonical_rows
+
+    cols = list(df.columns)
+    rows = [
+        tuple(
+            0.0 if (isinstance(v, float) and v == 0.0) else v for v in tuple(row)
         )
-    return sorted(map(repr, rows))
+        for row in df.collect()
+    ]
+    return canonical_rows(cols, rows)
 
 
 def main() -> int:
