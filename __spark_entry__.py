@@ -24,40 +24,40 @@ from real_time_stream_processing_engine_spark.queries import ORACLE, QUERIES
 # (q01-q09 etc.) trails, covered every run by tests/ and the committed
 # scripts/local_correctness.py artifact.
 _RISK_ORDER = [
-    # round-6 head (the driver window is ~50): the two r5 reds first —
-    # both root-caused to oracle type divergence (q232 HUGEINT via
-    # sum(BIGINT)+COALESCE/abs; q244 DOUBLE via DuckDB's ** = pow) and
-    # fixed with explicit BIGINT casts in the oracle SQL — then
-    # q289-q322/q324-q330, the 41 queries no driver window has ever
-    # reached (r5 stopped at q288; q323/q331/q332 went green in r5)
+    # round-7 head: the r6 VERDICT's #1 item — 120 of 356 queries have
+    # never had a driver CORRECTNESS row (union of r1-r6 windows covers
+    # q01-q89 and q193-q339).  The never-checked queries lead so the
+    # ~50-query driver window yields maximal new evidence instead of
+    # re-verifying green rows.
+    #
+    # First the 17 round-6 additions that missed the r6 window
+    # (q340-q356: co-presence, WOE/IV, Burrows' Delta, ANOVA,
+    # power-law MLE, Hoeffding screen, lead-lag xcorr, Adamic-Adar,
+    # whitened kNN, flattening sample, link-pred backtest, price
+    # indices, Theil decomposition, forecast MASE, Mann-Kendall):
+    "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347",
+    "q348", "q349", "q350", "q351", "q352", "q353", "q354", "q355", "q356",
+    # then q90-q192 (the round-3-continuation / round-4 wave, 103
+    # queries, all local-green at sf0.01 AND sf0.1 under the strict
+    # type-faithful harness and stable across shuffle-partition
+    # sweeps) — riskiest first within the wave: streaming/stateful and
+    # float-aggregate queries, then indexes, then plain SQL shapes.
+    "q95", "q108", "q114", "q90", "q91", "q92", "q93", "q94",
+    "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103", "q104",
+    "q105", "q106", "q107", "q109", "q110", "q111", "q112", "q113",
+    "q115", "q116", "q117", "q118", "q119", "q120", "q121",
+    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q133", "q134", "q135", "q136", "q137", "q138", "q139", "q140", "q141", "q142", "q143", "q144", "q145", "q146", "q147", "q148", "q149", "q150", "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169", "q170", "q171", "q172", "q173", "q174", "q175", "q176", "q177", "q178", "q179", "q180", "q181", "q182", "q183", "q184", "q185", "q186", "q187", "q188", "q189", "q190", "q191", "q192",
+    # ---- everything below here has at least one green driver row ----
+    # r6-verified (q232/q244, q289-q330 window, q333-q339)
     "q232", "q244",
-    # the VERDICT's #1 open item: q289-q322/q324-q330 — 41 queries no
-    # driver window has ever reached (r5 stopped at q288) — go before
-    # the round-6 wave: the new queries carry fresh two-SF local
-    # evidence under the strict type-faithful harness, these 41 have
-    # waited two rounds for a driver row
     "q289", "q290",
     "q291", "q292", "q293", "q294", "q295", "q296", "q297", "q298", "q299", "q300", "q301", "q302", "q303", "q304", "q305", "q306", "q307", "q308", "q309", "q310", "q311", "q312", "q313", "q314", "q315", "q316", "q317", "q318", "q319", "q320", "q321", "q322", "q324", "q325", "q326", "q327", "q328", "q329", "q330",
-    # round-6 waves (q333-q356, 24 new operators): edit-distance dedup,
-    # triangle census, tf-idf cosine, systematic PPS, containment, RRF
-    # fusion, hard negatives, group reservoir, budget curation,
-    # Adamic-Adar, whitened kNN, source flattening, co-presence,
-    # WOE/IV, Burrows' Delta, ANOVA, power-law MLE, Hoeffding screen,
-    # lead-lag xcorr, link-pred backtest, price indices, Theil
-    # decomposition, forecast MASE, Mann-Kendall/Theil-Sen trend —
-    # each oracle-green locally at sf0.01 AND sf0.1
-    "q333", "q334", "q335", "q336", "q337",
-    "q338", "q339", "q340", "q341", "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349", "q350", "q351", "q352", "q353", "q354", "q355", "q356",
-    # r5-verified tail (q323/q331/q332 + q243-q288), next in line if
-    # the window widens
+    "q333", "q334", "q335", "q336", "q337", "q338", "q339",
+    # r5-verified tail (q323/q331/q332 + q243-q288)
     "q323", "q331", "q332",
     "q243", "q245", "q246", "q247", "q248", "q249", "q250", "q251", "q252", "q253", "q254", "q255", "q256", "q257", "q258", "q259", "q260", "q261", "q262", "q263", "q264", "q265", "q266", "q267", "q268", "q269", "q270", "q271", "q272", "q273", "q274", "q275", "q276", "q277", "q278", "q279", "q280", "q281", "q282", "q283", "q284", "q285", "q286", "q287", "q288",
     # round-4 wave (driver-verified in r4)
     "q193", "q194", "q195", "q196", "q197", "q198", "q199", "q200", "q201", "q202", "q203", "q204", "q205", "q206", "q207", "q208", "q209", "q210", "q211", "q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219", "q220", "q221", "q222", "q223", "q224", "q225", "q226", "q227", "q228", "q229", "q230", "q231", "q233", "q234", "q235", "q236", "q237", "q238", "q239", "q240", "q241", "q242",
-    "q122", "q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q133", "q134", "q135", "q136", "q137", "q138", "q139", "q140", "q141", "q142", "q143", "q144", "q145", "q146", "q147", "q148", "q149", "q150", "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158", "q159", "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169", "q170", "q171", "q172", "q173", "q174", "q175", "q176", "q177", "q178", "q179", "q180", "q181", "q182", "q183", "q184", "q185", "q186", "q187", "q188", "q189", "q190", "q191", "q192",
-    "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103", "q104",
-    "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112", "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
-    "q90", "q91", "q92", "q93", "q94", "q95",
     # round 3: rolling windows, CDC upsert (batch + streaming), LM
     # score, JSON extraction, chunking
     "q66", "q67", "q68", "q69", "q70", "q71", "q72", "q73", "q74", "q75",

@@ -99,18 +99,123 @@ def main() -> None:
     except ValueError:
         sf_num = sf
     total = round(sum(v for v in timings.values() if v > 0), 3)
+
+    # The driver archives only a ~2 KB stdout TAIL, so key order inside
+    # the one JSON line is information policy (r6 verdict item 3):
+    # "queries" goes first, sorted ASCENDING by cost so the slowest —
+    # the queries worth reading — sit at the END of the dict and
+    # survive truncation; the roll-up fields (per-family sums,
+    # slowest-10, totals) come after it, at the very end of the line.
+    asc = dict(sorted(timings.items(), key=lambda kv: (kv[1], kv[0])))
+    families: dict[str, float] = {}
+    fam_n: dict[str, int] = {}
+    for name, v in timings.items():
+        f = _family(name)
+        families[f] = round(families.get(f, 0.0) + max(v, 0.0), 3)
+        fam_n[f] = fam_n.get(f, 0) + 1
+    slowest10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "queries": asc,
+                "families": dict(sorted(families.items(), key=lambda kv: -kv[1])),
+                "family_counts": fam_n,
+                "slowest10": slowest10,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for v in timings.values() if v < 0),
                 "sf": sf_num,
+                "unit": "sec",
+                "value": total,
             }
         )
     )
     spark.stop()
+
+
+# keyword → family, first match wins; used only for the bench roll-up
+_FAMILIES = [
+    ("stream", "streaming"),
+    ("cdc", "streaming"),
+    ("dedup", "dedup"),
+    ("minhash", "dedup"),
+    ("simhash", "dedup"),
+    ("jaccard", "dedup"),
+    ("neardup", "dedup"),
+    ("editdist", "dedup"),
+    ("winnowing", "dedup"),
+    ("containment", "dedup"),
+    ("decontamination", "dedup"),
+    ("ann", "similarity"),
+    ("knn", "similarity"),
+    ("ivf", "similarity"),
+    ("cosine", "similarity"),
+    ("embedding", "similarity"),
+    ("rrf", "similarity"),
+    ("negatives", "similarity"),
+    ("components", "graph"),
+    ("pagerank", "graph"),
+    ("triangle", "graph"),
+    ("adamic", "graph"),
+    ("graph", "graph"),
+    ("linkpred", "graph"),
+    ("bm25", "text"),
+    ("logprob", "text"),
+    ("tfidf", "text"),
+    ("token", "text"),
+    ("langid", "text"),
+    ("pii", "text"),
+    ("repetition", "text"),
+    ("terms", "text"),
+    ("bpe", "text"),
+    ("vocab", "text"),
+    ("topk", "text"),
+    ("lsh", "dedup"),
+    ("sample", "sampling"),
+    ("sampling", "sampling"),
+    ("mixture", "sampling"),
+    ("reservoir", "sampling"),
+    ("upsampling", "sampling"),
+    ("curation", "sampling"),
+    ("split_assign", "sampling"),
+    ("packing", "packing"),
+    ("chunking", "packing"),
+    ("image", "multimodal"),
+    ("audio", "multimodal"),
+    ("frame", "multimodal"),
+    ("multimodal", "multimodal"),
+    ("window", "window"),
+    ("rolling", "window"),
+    ("asof", "window"),
+    ("sessionize", "window"),
+    ("anova", "stats"),
+    ("kendall", "stats"),
+    ("theil", "stats"),
+    ("mann", "stats"),
+    ("whitney", "stats"),
+    ("ks_", "stats"),
+    ("woe", "stats"),
+    ("powerlaw", "stats"),
+    ("hoeffding", "stats"),
+    ("xcorr", "stats"),
+    ("mase", "stats"),
+    ("quantile", "stats"),
+    ("percentile", "stats"),
+    ("approx", "sketch"),
+    ("countmin", "sketch"),
+    ("hll", "sketch"),
+    ("sketch", "sketch"),
+]
+
+
+def _family(name: str) -> str:
+    low = name.lower()
+    for kw, fam in _FAMILIES:
+        if kw in low:
+            return fam
+    return "sql"
 
 
 if __name__ == "__main__":

@@ -720,7 +720,11 @@ def edit_distance_pairs(
 
     All-pairs Levenshtein is |corpus|² x O(prefix²) — never viable.
     Two filters bound it, both EXACT for the declared predicate
-    ``dist(prefix) <= max_dist``:
+    ``|len(a) - len(b)| <= max_dist AND dist(prefix) <= max_dist``
+    (lengths are FULL normalized lengths, so two long docs with
+    identical prefixes but a full-length gap > max_dist are excluded
+    by declaration — the oracle and the brute-force tests pin the same
+    conjunction):
 
     - length blocking: edit distance >= |len(a) - len(b)|, so partner
       lengths live within ``max_dist``.  Docs hash-join on

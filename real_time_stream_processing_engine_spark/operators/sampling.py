@@ -334,16 +334,22 @@ def systematic_weighted_sample(
     # caller's whole scan+filter lineage a second time (the r6
     # single-upstream-pass rule)
     tot = r.agg(F.max("cum").alias("_tot"))
+    # cum * k in BIGINT overflows past 2^63 (token-weight totals ~1e15
+    # times k ~1e4 are in range of real corpora); DECIMAL(19,0) holds
+    # any BIGINT exactly and the product is DECIMAL(30,0) — exact, no
+    # precision cap, no ANSI overflow.  `div` (IntegralDivide) accepts
+    # decimals and returns BIGINT, so the stratum math stays integral.
+    k_i = int(k)
+    hi = F.expr(f"(cast(cum as decimal(19,0)) * {k_i}) div cast(_tot as decimal(19,0))")
+    lo = F.expr(f"(cast(cum - w as decimal(19,0)) * {k_i}) div cast(_tot as decimal(19,0))")
     sel = (
         r.crossJoin(F.broadcast(tot))
-        .filter(
-            F.expr(f"(cum * {k}) div _tot") > F.expr(f"((cum - w) * {k}) div _tot")
-        )
+        .filter(hi > lo)
         .select(
             *order_cols,
             F.col("w").cast("long").alias("w"),
             F.col("cum").cast("long").alias("cum"),
-            (F.expr(f"((cum - w) * {k}) div _tot") + 1).cast("long").alias("stratum"),
+            (lo + 1).cast("long").alias("stratum"),
         )
     )
     return sel
@@ -465,7 +471,9 @@ def flattening_sample(
     engine with md5 reproduces the identical keep set and the sample
     stays retry/repartition-stable.  (7 digits keep the product within
     BIGINT for |g| up to ~2^34 rows per group; granularity 1/16^7 ≈
-    4e-9 is far below any sampling-noise floor.)  Per-group counts
+    4e-9 is far below any sampling-noise floor.)  Rows with a NULL
+    ``group_col`` are refused loudly (``raise_error`` on the join key)
+    rather than silently dropped by the inner join.  Per-group counts
     shift under corpus growth, so unlike the fixed-rate samplers this
     one is growth-stable only WITHIN a group snapshot — that is the
     semantics of flattening (the rate is a function of the corpus)."""
@@ -473,7 +481,23 @@ def flattening_sample(
         raise ValueError(
             f"target_per_group must be positive, got {target_per_group}"
         )
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # NULL group values are REFUSED per-row (same loud posture as
+    # _draw_key's null-id refusal): the inner join below would
+    # otherwise silently drop them — a hidden row-loss class, not a
+    # sample.  raise_error rides the join key, so every scanned row is
+    # checked.
+    gtype = df.schema[group_col].dataType
+    guarded = F.when(
+        F.col(group_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"null {group_col}: flattening joins on the group key; "
+                "a NULL group would be silently dropped"
+            )
+        ).cast(gtype),
+    ).otherwise(F.col(group_col))
+    base = df.withColumn(group_col, guarded)
+    counts = base.groupBy(group_col).agg(F.count("*").alias("_n"))
     draw7 = F.conv(
         F.substring(F.md5(_draw_key(seed, id_col)), 1, 7), 16, 10
     ).cast("long")
@@ -481,7 +505,7 @@ def flattening_sample(
     # overflows int32 during constant folding under ANSI mode
     threshold = F.lit(int(target_per_group) * (16 ** 7)).cast("long")
     return (
-        df.join(counts, group_col)
+        base.join(counts, group_col)
         .filter(draw7 * F.col("_n") < threshold)
         .select(*[F.col(c) for c in df.columns])
     )

@@ -634,9 +634,14 @@ def rrf_fuse(
             F.col(rank_col).cast("long").alias(f"rank_{name}"),
         )
         fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        # Column API, not f-string SQL: a run name with a space/quote
+        # would otherwise parse-error (or worse) inside F.expr.
         contribs.append(
             F.coalesce(
-                F.expr(f"1000000 div ({k0} + rank_{name})"), F.lit(0)
+                F.floor(
+                    F.lit(1000000) / (F.lit(int(k0)) + F.col(f"rank_{name}"))
+                ).cast("long"),
+                F.lit(0),
             )
         )
     score = contribs[0]

@@ -279,9 +279,20 @@ def grouped_quantile_crossings(df: DataFrame, group_col: str,
     )
 
 
+#: Hard cap on the driver-side offsets table (|partitions| + groups
+#: spanning boundaries rows for grouped cumsums).  1e6 rows is ~tens of
+#: MB on the driver and as a broadcast — far above any sane use, far
+#: below driver OOM.  Above it the grouped-window swap is the wrong
+#: tool anyway: millions of SMALL groups parallelize fine under a plain
+#: ``Window.partitionBy(group)`` (skew, not cardinality, is what this
+#: function fixes), so the guard refuses loudly instead of collecting.
+_MAX_OFFSET_ROWS = 1_000_000
+
+
 def distributed_cumsum(df: DataFrame, order_cols: list[str],
                        value_col: str, num_partitions: int | None = None,
-                       group_cols: list[str] | None = None) -> DataFrame:
+                       group_cols: list[str] | None = None,
+                       max_offset_rows: int = _MAX_OFFSET_ROWS) -> DataFrame:
     """Exact global running sum + rank WITHOUT a single-partition
     window — the scale swap for every ``Window.orderBy(...)`` cumsum
     in this module (Lorenz, Gini, decile boundaries), whose one-task
@@ -313,8 +324,15 @@ def distributed_cumsum(df: DataFrame, order_cols: list[str],
     each carrying 1/25 of all orders).  Groups range-partition
     CONTIGUOUSLY ahead of the order keys — a huge group spans several
     partitions, each handled in parallel — and rk/cum restart per
-    group via per-(partition, group) offsets (≤ |partitions| +
-    |groups spanning a boundary| rows of driver traffic).
+    group via per-(partition, group) offsets (≤ |groups| +
+    |partitions| - 1 rows of driver traffic: contiguous layout means
+    each extra row is a group spanning a partition boundary).  That
+    bound is ENFORCED, not assumed: the collect is capped at
+    ``max_offset_rows`` (default 1e6) via a LIMIT, so a
+    data-cardinality group key can never OOM the driver — it raises
+    with the fix (plain ``Window.partitionBy``, which handles many
+    small groups fine; this function exists for the few-huge-groups
+    skew case).
     """
     from pyspark.sql import Window
 
@@ -335,13 +353,26 @@ def distributed_cumsum(df: DataFrame, order_cols: list[str],
     withpid = (
         ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     )
-    # pass 1: bounded per-(partition[, group]) totals -> driver -> offsets
+    # pass 1: bounded per-(partition[, group]) totals -> driver -> offsets.
+    # The LIMIT makes the bound a guarantee: at most max_offset_rows + 1
+    # rows ever reach the driver, and row cap+1 existing means the group
+    # cardinality outgrew the offsets design — refuse with the remedy.
     totals = (
         withpid.groupBy("_pid", *gcols)
         .agg(F.count("*").alias("_n"), F.sum(value_col).alias("_s"))
-        .orderBy("_pid")
+        .orderBy("_pid", *gcols)
+        .limit(max_offset_rows + 1)
         .collect()
     )
+    if len(totals) > max_offset_rows:
+        raise ValueError(
+            f"distributed_cumsum offsets table exceeds max_offset_rows="
+            f"{max_offset_rows} (group_cols={gcols} cardinality is "
+            "data-sized). This function fixes FEW-HUGE-GROUPS skew; for "
+            "many small groups use a plain Window.partitionBy(*group_cols)"
+            " running sum, which parallelizes by group without driver "
+            "offsets."
+        )
     from decimal import Decimal
 
     off_rows, runs = [], {}

@@ -1,0 +1,159 @@
+"""Round-7 hardening: the r6 verdict's distributed_cumsum offsets cap
+plus the four ADVICE items (rrf_fuse identifier safety, flattening
+NULL-group refusal, systematic PPS decimal overflow path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_stream_processing_engine_spark.operators.sampling import (
+    flattening_sample,
+    systematic_weighted_sample,
+)
+from real_time_stream_processing_engine_spark.operators.similarity import rrf_fuse
+from real_time_stream_processing_engine_spark.operators.stats import (
+    distributed_cumsum,
+)
+
+
+# ---------------------------------------------------------------------------
+# distributed_cumsum: the offsets collect is capped, not assumed-small
+# ---------------------------------------------------------------------------
+
+
+def test_cumsum_offsets_cap_refuses_datasized_group_key(spark):
+    # 50 distinct groups against a cap of 10: the offsets table
+    # (|groups| + spanning rows) must trip the guard BEFORE any
+    # unbounded collect
+    d = spark.createDataFrame(
+        [(i, i % 50, 1) for i in range(200)], "rid long, g long, v long"
+    )
+    with pytest.raises(ValueError, match="max_offset_rows"):
+        distributed_cumsum(
+            d, ["rid"], "v", group_cols=["g"], max_offset_rows=10
+        )
+
+
+def test_cumsum_unchanged_under_cap(spark):
+    # same data under a generous cap: exact global running sum
+    d = spark.createDataFrame(
+        [(i, (i * 7) % 10 + 1) for i in range(100)], "rid long, v long"
+    )
+    rows = {
+        r.rid: (r.rk, int(r.cum))
+        for r in distributed_cumsum(d, ["rid"], "v").collect()
+    }
+    run = 0
+    for i in range(100):
+        run += (i * 7) % 10 + 1
+        assert rows[i] == (i + 1, run)
+
+
+def test_cumsum_grouped_offsets_bounded_by_groups_plus_partitions(spark):
+    # 3 groups, any partition count: cap of (3 + 32) rows must admit it
+    d = spark.createDataFrame(
+        [(i, i % 3, 2) for i in range(90)], "rid long, g long, v long"
+    )
+    out = distributed_cumsum(
+        d, ["rid"], "v", group_cols=["g"], max_offset_rows=3 + 32
+    ).collect()
+    assert len(out) == 90
+    by_g = {}
+    for r in sorted(out, key=lambda r: (r.g, r.rid)):
+        by_g[r.g] = by_g.get(r.g, 0) + 2
+        assert int(r.cum) == by_g[r.g]
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse: run names are column refs, not SQL text
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hyphenated_run_name(spark):
+    # a run name that is not a bare SQL identifier used to parse-error
+    # inside F.expr; the column-API form must treat it as data
+    a = spark.createDataFrame([(1, 1), (2, 2)], "vec_id long, rank long")
+    b = spark.createDataFrame([(2, 1)], "vec_id long, rank long")
+    rows = {
+        r.vec_id: r.rrf_ppm
+        for r in rrf_fuse({"cos-v2": a, "bm25 run": b}, k0=60).collect()
+    }
+    assert rows[1] == 1_000_000 // 61
+    assert rows[2] == 1_000_000 // 62 + 1_000_000 // 61
+
+
+def test_rrf_fuse_scores_unchanged(spark):
+    # regression pin: identical ppm math as the expr form it replaced
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "vec_id long, rank long"
+    )
+    rows = {r.vec_id: r.rrf_ppm for r in rrf_fuse({"a": a}, k0=60).collect()}
+    assert rows == {i: 1_000_000 // (60 + i) for i in range(1, 6)}
+
+
+# ---------------------------------------------------------------------------
+# flattening_sample: NULL group is refused, not silently dropped
+# ---------------------------------------------------------------------------
+
+
+def test_flattening_sample_null_group_raises(spark):
+    d = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "web")], "doc_id long, src string"
+    )
+    with pytest.raises(Exception, match="null src"):
+        flattening_sample(d, "src", "doc_id", target_per_group=10).collect()
+
+
+def test_flattening_sample_keep_set_unchanged(spark):
+    # the guard must not perturb the deterministic keep set
+    d = spark.createDataFrame(
+        [(i, "s") for i in range(200)], "doc_id long, src string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in flattening_sample(d, "src", "doc_id", 50, seed="fl1").collect()
+    )
+    again = sorted(
+        r.doc_id
+        for r in flattening_sample(
+            d.repartition(5), "src", "doc_id", 50, seed="fl1"
+        ).collect()
+    )
+    assert kept == again
+    assert 20 <= len(kept) <= 80  # expected 50 of 200 at rate 0.25
+
+
+# ---------------------------------------------------------------------------
+# systematic_weighted_sample: cum * k is DECIMAL — no BIGINT overflow
+# ---------------------------------------------------------------------------
+
+
+def test_systematic_pps_huge_weights_no_overflow(spark):
+    # three rows near the BIGINT ceiling: cum*k in int64 would wrap or
+    # ANSI-error (3e18 * 1000 >> 2^63); the decimal(19,0)*k product is
+    # exact.  Every row is wider than a stratum, so all 3 are picked.
+    w = 3_000_000_000_000_000_000  # 3e18
+    d = spark.createDataFrame(
+        [(1, w), (2, w), (3, w)], "rid long, wt long"
+    )
+    out = systematic_weighted_sample(d, "wt", ["rid"], k=1000).collect()
+    assert sorted(r.rid for r in out) == [1, 2, 3]
+    # strata: row i covers ((i-1)*w*k) div tot + 1 = (i-1)*1000//3 + 1
+    strata = {r.rid: r.stratum for r in out}
+    assert strata == {1: 1, 2: 1000 // 3 + 1, 3: 2000 // 3 + 1}
+
+
+def test_systematic_pps_small_case_unchanged(spark):
+    # regression pin vs the brute-force definition on small ints
+    d = spark.createDataFrame(
+        [(i, i) for i in range(1, 11)], "rid long, wt long"
+    )
+    out = systematic_weighted_sample(d, "wt", ["rid"], k=5).collect()
+    tot = sum(range(1, 11))  # 55
+    cum = 0
+    expect = []
+    for i in range(1, 11):
+        lo, cum = cum, cum + i
+        if (cum * 5) // tot > (lo * 5) // tot:
+            expect.append((i, (lo * 5) // tot + 1))
+    assert sorted((r.rid, r.stratum) for r in out) == expect
