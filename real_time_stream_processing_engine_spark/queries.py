@@ -3938,47 +3938,63 @@ def q107_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than vanishing.  The negative-balance check fires on this
     data (TPC-H allows debt), so the violation path is live.
 
-    Shape: each check is a filter-count or partial-aggregated count;
-    the FK check is an anti join whose build side is the distinct key
-    column (broadcastable far beyond any dimension's realistic key
-    count).  One pass per table scan at scale — checks over the same
-    table share the scan via conditional aggregation where it matters
-    (the three orders checks compile to ONE scan each here; a
-    production gate would fuse them into one conditional-sum pass)."""
+    Shape: ONE conditional-aggregation pass per table (r7 — this used
+    to be 7 driver actions / 5 scans of orders, with a docstring
+    apologizing for it).  The FK check rides the same orders pass as a
+    broadcast LEFT join against the distinct key column
+    (broadcastable far beyond any dimension's realistic key count)
+    counting unmatched rows; uniqueness is the identity
+    Σ_keys(n_k - 1 | n_k > 1) = count(*) - count(distinct key), so no
+    per-key aggregate is materialized; nulls and domain checks are
+    conditional sums in the same aggregates.  Two jobs total at any
+    scale."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    n_orders = orders.count()
-    n_cust = cust.count()
 
-    def row(chk: str, viol_df_count: int, checked: int) -> DataFrame:
-        return spark.createDataFrame(
-            [(chk, viol_df_count, checked)],
-            "chk: string, n_violations: long, n_checked: long",
+    c = cust.agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_bal"),
+    ).head()
+    # LEFT join (not anti) so the FK violation count shares the scan
+    # with every other orders check: unmatched rows keep c_custkey
+    # NULL, exactly the rows the anti join would have kept (a NULL
+    # o_custkey never matches, so it counts as an orphan — same as the
+    # anti-join form this replaced).
+    o = (
+        orders.join(
+            # distinct: a LEFT join (unlike the anti join it replaced)
+            # would duplicate order rows under build-side key dupes
+            F.broadcast(cust.select("c_custkey").distinct()),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left",
         )
-
-    orphans = orders.join(
-        F.broadcast(cust.select("c_custkey")),
-        orders["o_custkey"] == F.col("c_custkey"),
-        "left_anti",
-    ).count()
-    dup_surplus = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)))
-        .head()[0]
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_surplus"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orphans"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nulls"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("nonpos"),
+        )
+        .head()
     )
-    nulls = orders.filter(F.col("o_custkey").isNull()).count()
-    neg_bal = cust.filter(F.col("c_acctbal") < 0).count()
-    nonpos = orders.filter(F.col("o_totalprice") <= 0).count()
-    out = (
-        row("fk_orders_customer", orphans, n_orders)
-        .unionByName(row("unique_o_orderkey", int(dup_surplus), n_orders))
-        .unionByName(row("null_o_custkey", nulls, n_orders))
-        .unionByName(row("nonneg_c_acctbal", neg_bal, n_cust))
-        .unionByName(row("positive_o_totalprice", nonpos, n_orders))
+    report = [
+        ("fk_orders_customer", int(o.orphans), int(o.n_orders)),
+        ("unique_o_orderkey", int(o.dup_surplus), int(o.n_orders)),
+        ("null_o_custkey", int(o.nulls), int(o.n_orders)),
+        ("nonneg_c_acctbal", int(c.neg_bal), int(c.n_cust)),
+        ("positive_o_totalprice", int(o.nonpos), int(o.n_orders)),
+    ]
+    return spark.createDataFrame(
+        report, "chk: string, n_violations: long, n_checked: long"
     )
-    return out
 
 
 @register(
@@ -19898,6 +19914,10 @@ def q352_linkpred_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     test = _copurchase_edges(li.filter(F.col("l_shipdate") >= cut)).distinct()
+    # new_e feeds both the hit join and the n_new count WITHOUT a
+    # lineage cut: exchange reuse covers the shared self-join shuffles,
+    # and an r7 paired measure showed a localCheckpoint here costs more
+    # than the residual recompute it saves (3.2-3.9s vs 2.5-3.1s warm)
     new_e = test.join(train, ["u", "v"], "left_anti")
     # cap 32 (vs q342's 64): the 5-year training graph is much denser
     # than q342's quarter slice, and hub centers near the cap carry the
