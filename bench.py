@@ -2,8 +2,14 @@
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line whose KEY ORDER is chosen for tail truncation (consumers
+keep only the last ~2 KB of stdout): ``{"metric": ...,
+"queries": {name: sec, ... ascending by cost, failures (-1) last},
+"families": {family: total_sec}, "family_counts": {...},
+"slowest10": {...}, "failed": [names], "n_queries": N, "n_failed": N,
+"sf": ..., "unit": "sec", "value": total_sec}`` — the roll-up fields
+and the slowest per-query timings sit at the END of the line, where
+they survive truncation.
 
 Each query is timed end-to-end (plan + execute + collect-to-count); the
 first query's JVM warmup is excluded via an untimed warmup action.
@@ -106,7 +112,12 @@ def main() -> None:
     # the queries worth reading — sit at the END of the dict and
     # survive truncation; the roll-up fields (per-family sums,
     # slowest-10, totals) come after it, at the very end of the line.
-    asc = dict(sorted(timings.items(), key=lambda kv: (kv[1], kv[0])))
+    # failures (-1) sort LAST, not first: the head of the dict is what
+    # truncation eats, and a failure's identity is the one thing the
+    # surviving tail must carry (r7 review catch)
+    asc = dict(
+        sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1], kv[0]))
+    )
     families: dict[str, float] = {}
     fam_n: dict[str, int] = {}
     for name, v in timings.items():
@@ -124,6 +135,7 @@ def main() -> None:
                 "families": dict(sorted(families.items(), key=lambda kv: -kv[1])),
                 "family_counts": fam_n,
                 "slowest10": slowest10,
+                "failed": sorted(n for n, v in timings.items() if v < 0),
                 "n_queries": len(timings),
                 "n_failed": sum(1 for v in timings.values() if v < 0),
                 "sf": sf_num,

@@ -334,14 +334,17 @@ def systematic_weighted_sample(
     # caller's whole scan+filter lineage a second time (the r6
     # single-upstream-pass rule)
     tot = r.agg(F.max("cum").alias("_tot"))
-    # cum * k in BIGINT overflows past 2^63 (token-weight totals ~1e15
-    # times k ~1e4 are in range of real corpora); DECIMAL(19,0) holds
-    # any BIGINT exactly and the product is DECIMAL(30,0) — exact, no
-    # precision cap, no ANSI overflow.  `div` (IntegralDivide) accepts
+    # Type audit (r7): distributed_cumsum returns cum as DECIMAL(38,0)
+    # (stats.py), so cum * k is decimal arithmetic with runtime
+    # overflow only at cum*k >= 1e38 — far beyond any corpus (totals
+    # ~1e15 x k ~1e4 is 1e19).  `div` (IntegralDivide) accepts
     # decimals and returns BIGINT, so the stratum math stays integral.
+    # Do NOT cast cum down (e.g. decimal(19,0)): that would cap the
+    # usable total at 1e19 and ANSI-error past it — the r7 review
+    # caught exactly that narrowing.
     k_i = int(k)
-    hi = F.expr(f"(cast(cum as decimal(19,0)) * {k_i}) div cast(_tot as decimal(19,0))")
-    lo = F.expr(f"(cast(cum - w as decimal(19,0)) * {k_i}) div cast(_tot as decimal(19,0))")
+    hi = F.expr(f"(cum * {k_i}) div _tot")
+    lo = F.expr(f"((cum - w) * {k_i}) div _tot")
     sel = (
         r.crossJoin(F.broadcast(tot))
         .filter(hi > lo)

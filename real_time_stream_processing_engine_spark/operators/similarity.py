@@ -626,6 +626,14 @@ def rrf_fuse(
     run missed the item)."""
     if not runs:
         raise ValueError("rrf_fuse needs at least one run")
+
+    def _rank_ref(name: str):
+        # backtick-quoted reference: F.col parses bare dots as nested-
+        # field access, so "cos.v2" would resolve as `rank_cos`.`v2`
+        # and fail — quoting makes any run name (space, dot, quote) a
+        # plain top-level column lookup (r7 review catch).
+        return F.col("`rank_" + name.replace("`", "``") + "`")
+
     fused = None
     contribs = []
     for name, df in runs.items():
@@ -639,7 +647,7 @@ def rrf_fuse(
         contribs.append(
             F.coalesce(
                 F.floor(
-                    F.lit(1000000) / (F.lit(int(k0)) + F.col(f"rank_{name}"))
+                    F.lit(1000000) / (F.lit(int(k0)) + _rank_ref(name))
                 ).cast("long"),
                 F.lit(0),
             )
@@ -650,7 +658,7 @@ def rrf_fuse(
     return fused.select(
         id_col,
         score.cast("long").alias("rrf_ppm"),
-        *[F.col(f"rank_{n}") for n in runs],
+        *[_rank_ref(n) for n in runs],
     )
 
 

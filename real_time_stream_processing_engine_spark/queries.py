@@ -3972,7 +3972,10 @@ def q107_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_surplus"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nullkeys"),
             F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("orphans"),
@@ -3985,12 +3988,22 @@ def q107_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .head()
     )
+    # sums over zero rows are NULL — report zeros, like the per-check
+    # counts this fused pass replaced (r7 review catch)
+    n_orders = int(o.n_orders)
+    nullkeys = int(o.nullkeys or 0)
+    # Σ_keys(n_k - 1 | n_k > 1): countDistinct ignores NULL keys, but
+    # GROUP BY (the check's spec, and the oracle) treats NULLs as ONE
+    # group contributing max(K-1, 0) for K null rows.  With D = count
+    # of distinct non-null keys: surplus = (N-K) - D + max(K-1, 0)
+    # = N - D - (1 if K > 0 else 0) (r7 review catch).
+    dup_surplus = n_orders - int(o.n_keys) - min(nullkeys, 1)
     report = [
-        ("fk_orders_customer", int(o.orphans), int(o.n_orders)),
-        ("unique_o_orderkey", int(o.dup_surplus), int(o.n_orders)),
-        ("null_o_custkey", int(o.nulls), int(o.n_orders)),
-        ("nonneg_c_acctbal", int(c.neg_bal), int(c.n_cust)),
-        ("positive_o_totalprice", int(o.nonpos), int(o.n_orders)),
+        ("fk_orders_customer", int(o.orphans or 0), n_orders),
+        ("unique_o_orderkey", dup_surplus, n_orders),
+        ("null_o_custkey", int(o.nulls or 0), n_orders),
+        ("nonneg_c_acctbal", int(c.neg_bal or 0), int(c.n_cust)),
+        ("positive_o_totalprice", int(o.nonpos or 0), n_orders),
     ]
     return spark.createDataFrame(
         report, "chk: string, n_violations: long, n_checked: long"

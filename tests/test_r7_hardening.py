@@ -82,6 +82,18 @@ def test_rrf_fuse_hyphenated_run_name(spark):
     assert rows[2] == 1_000_000 // 62 + 1_000_000 // 61
 
 
+def test_rrf_fuse_dotted_and_backticked_run_names(spark):
+    # dots are the nasty case: F.col parses them as nested-field
+    # access, so "cos.v2" must be backtick-quoted internally; a
+    # backtick in the name must be escaped, not break the quoting
+    a = spark.createDataFrame([(1, 1)], "vec_id long, rank long")
+    b = spark.createDataFrame([(1, 2)], "vec_id long, rank long")
+    out = rrf_fuse({"cos.v2": a, "bm`25": b}, k0=60).collect()
+    assert out[0].rrf_ppm == 1_000_000 // 61 + 1_000_000 // 62
+    cols = set(out[0].asDict())
+    assert "rank_cos.v2" in cols and "rank_bm`25" in cols
+
+
 def test_rrf_fuse_scores_unchanged(spark):
     # regression pin: identical ppm math as the expr form it replaced
     a = spark.createDataFrame(
@@ -129,9 +141,12 @@ def test_flattening_sample_keep_set_unchanged(spark):
 
 
 def test_systematic_pps_huge_weights_no_overflow(spark):
-    # three rows near the BIGINT ceiling: cum*k in int64 would wrap or
-    # ANSI-error (3e18 * 1000 >> 2^63); the decimal(19,0)*k product is
-    # exact.  Every row is wider than a stratum, so all 3 are picked.
+    # three rows near the BIGINT ceiling: cum (DECIMAL(38,0) from
+    # distributed_cumsum) times k stays decimal — 9e18 * 1000 is fine,
+    # and the filter must not narrow cum to a smaller decimal on the
+    # way (the operator's output contract caps cum at BIGINT, which
+    # this total approaches but respects).  Every row is wider than a
+    # stratum, so all 3 are picked.
     w = 3_000_000_000_000_000_000  # 3e18
     d = spark.createDataFrame(
         [(1, w), (2, w), (3, w)], "rid long, wt long"
