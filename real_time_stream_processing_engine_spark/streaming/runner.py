@@ -14,6 +14,7 @@ DataFrames; ``readStream`` vs ``read`` is the only switch (SURVEY.md §1.4).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -76,10 +77,16 @@ def _stage_symlink_dir(tag: str, links: dict[str, str]) -> str:
 
 def _as_stream_dir(path: str) -> str:
     """Spark's file stream source requires a directory; the testdata
-    tables are single parquet files.  Stage a symlink dir (no copy)."""
-    if os.path.isdir(path):
-        return path
-    return _stage_symlink_dir("streamdir", {os.path.basename(path): path})
+    tables are single parquet files.  Stage a symlink dir (no copy).
+
+    Directories go through the SAME per-part staging as files (r7
+    review): the file stream source lists non-recursively, so passing
+    a nested drop-zone directory through unstaged would silently
+    stream only its top-level files, and a hive layout would stream
+    rows missing the partition columns — `_expand_links` stages the
+    former one link per part and refuses the latter loudly, exactly
+    as it already did for the five maintained-table paths."""
+    return _stage_symlink_dir("streamdir", _expand_links("streamdir", path))
 
 
 def _expand_links(prefix: str, src_path: str) -> dict[str, str]:
@@ -141,7 +148,13 @@ def _env_max_files_per_trigger() -> int | None:
     v = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
     if not v:
         return None
-    n = int(v)
+    try:
+        n = int(v)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_STREAM_MAX_FILES must be an integer "
+            f"(non-positive means unset), got {v!r}"
+        ) from None
     return n if n > 0 else None
 
 
@@ -158,7 +171,11 @@ def _staged_events_stream(spark: SparkSession, d: str, src_path: str,
     mft = _env_max_files_per_trigger()
     if mft is None:
         mft = default_max_files
-    reader = spark.readStream.schema(schema)
+    # maxFileAge defaults to 7d: on a long-running stream a backfill
+    # file whose mtime is >7d older than the newest seen file is
+    # SILENTLY never picked up, breaking stream==batch (r7 review).
+    # The seen-files map this grows is bounded by file count, not data.
+    reader = spark.readStream.schema(schema).option("maxFileAge", "36500d")
     if mft is not None:
         reader = reader.option("maxFilesPerTrigger", mft)
     return convert_ts_cols(reader.parquet(d), conv)
@@ -172,7 +189,9 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     # unit-sniffed schema + conversion SHARED with load_table, so batch
     # and stream reads can never diverge on the timestamp unit
     schema, conv = read_schema_for("events", path)
-    reader = spark.readStream.schema(schema)
+    # maxFileAge: see _staged_events_stream — the 7d default silently
+    # skips old-mtime backfills on long-running streams
+    reader = spark.readStream.schema(schema).option("maxFileAge", "36500d")
     if max_files_per_trigger is None:
         max_files_per_trigger = _env_max_files_per_trigger()
     if max_files_per_trigger is not None:
@@ -310,8 +329,6 @@ def run_to_memory_available_now(
     SparkSession.  The drain's tmpfs checkpoint is reclaimed on return
     (the unbounded leak in a long bench loop); the memory-sink view
     persists for the session, bounded by result sizes."""
-    import shutil
-
     spark = agg.sparkSession
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_scratch_dir(), f"rs_ckpt_{qname}")
@@ -398,14 +415,14 @@ def run_to_memory_available_now(
                 )
             else:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    # reclaim the checkpoint (state/offset/commit logs on tmpfs — the
-    # unbounded part of a long bench loop; the memory sink's data lives
-    # in the driver, so the table stays readable).  The temp view
-    # itself persists for the session, bounded by result sizes — a
-    # driver-side collect-and-recreate would drop it too, but costs
-    # ~20% of every drain at sf0.1 (measured r5) for no leak that
-    # matters.
-    shutil.rmtree(ckpt, ignore_errors=True)
+        # reclaim the checkpoint (state/offset/commit logs on tmpfs —
+        # the unbounded part of a long bench loop; the memory sink's
+        # data lives in the driver, so the table stays readable).  In
+        # the finally so the EXCEPTION path doesn't leak either (r7
+        # review): this checkpoint is fresh-uuid per call, so nothing
+        # can ever resume from it.  The temp view itself persists for
+        # the session, bounded by result sizes.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -417,19 +434,18 @@ def stream_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_available_now(agg)
 
 
-def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly event-time tumbling windows on the stream, with a
-    watermark bounding state (late rows beyond 2h are dropped — the
-    late-data policy the reference lacks entirely, SURVEY.md §2.5).
-    Output matches the batch tumbling aggregate at stream end.
-
-    Drop/keep semantics are differentially pinned by
-    ``tests/test_watermark_lateness.py`` (too-late dropped and counted
-    in ``numRowsDroppedByWatermark``, in-horizon late merged, plus the
-    engine's one-batch watermark-commit grace window)."""
+def _windowed_event_counts(
+    spark: SparkSession, sf_dir: str, slide: str | None
+) -> DataFrame:
+    """Shared body of the tumbling/hopping drains (they differ ONLY in
+    the slide argument — factored r7 so a watermark/projection fix
+    cannot reach one and miss the other)."""
     src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    w = (
+        F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
+    ).alias("w")
     agg = (
-        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        src.groupBy(w, "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -439,26 +455,33 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_available_now(agg)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-time tumbling windows on the stream.  Output
+    matches the batch tumbling aggregate at stream end.
+
+    Late-data policy: this drain uses COMPLETE output mode, where the
+    declared watermark is carried but INERT — Spark neither drops late
+    rows nor evicts window state in complete mode, which is what makes
+    stream-end == batch the checkable contract here (r7 review: the
+    docstring used to claim 2 h drops).  The enforced drop/evict
+    policy lives in the append-mode pipelines differentially pinned by
+    ``tests/test_watermark_lateness.py`` (too-late dropped and counted
+    in ``numRowsDroppedByWatermark``, in-horizon late merged); an
+    unbounded deployment of THIS aggregate must switch to append or
+    update mode for the watermark to bound state."""
+    return _windowed_event_counts(spark, sf_dir, slide=None)
 
 
 def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) event-time windows on the stream: 1 h width,
-    30 min slide, 2 h watermark — q53's streaming twin.  Each event
-    lands in 2 overlapping windows; state holds one aggregate per open
-    (window, key) and the watermark closes windows for GC.  Stream-end
-    equals the batch hopping aggregate."""
-    src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
-    agg = (
-        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "cnt",
-            "sum_value",
-        )
-    )
-    return run_to_memory_available_now(agg)
+    30 min slide — q53's streaming twin.  Each event lands in 2
+    overlapping windows.  Stream-end equals the batch hopping
+    aggregate.  Same complete-mode late-data posture as
+    :func:`stream_tumbling_counts` (watermark inert in the drain;
+    append/update mode makes it bind on an unbounded deployment)."""
+    return _windowed_event_counts(spark, sf_dir, slide="30 minutes")
 
 
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,6 +669,7 @@ def stream_cdc_upsert(
         n_applied["n"] += 1
 
     src = _staged_events_stream(spark, d, src_path)
+    default_ckpt = checkpoint is None
     ckpt = checkpoint or os.path.join(
         _scratch_dir(), f"rs_ckpt_rs_cdc_{uuid.uuid4().hex[:8]}"
     )
@@ -663,6 +687,12 @@ def stream_cdc_upsert(
         # failure in the merge path must not masquerade as one
         if fail_after_batches is None or "injected sink crash" not in str(e):
             raise
+    if default_ckpt and fail_after_batches is None:
+        # fresh-uuid checkpoint after a clean drain: unresumable by
+        # construction — reclaim the tmpfs logs (r7 review: q69 bench
+        # loops leaked one per run).  The target stays: it IS the
+        # maintained table the returned frame reads.
+        shutil.rmtree(ckpt, ignore_errors=True)
     final = spark.read.parquet(target_path)
     return final.select(
         "c_custkey",
@@ -730,7 +760,10 @@ def stream_window_leaderboard(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:
     """Continuous leaderboard: hourly event-time windows stream into a
-    checkpointed (window, user) count state (2 h watermark bounds it);
+    checkpointed (window, user) count state (the declared 2 h
+    watermark bounds it only under append/update mode — this
+    complete-mode drain retains all windows, same posture as
+    :func:`stream_tumbling_counts`, r7 review);
     the per-window top-k rank runs over the drained stream-end state —
     rank is NOT stateful (a late event can reshuffle the board), so
     the streaming part maintains exactly the commutative aggregate and
@@ -770,38 +803,7 @@ def stream_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataF
     GC-able and the join runs forever on an unbounded stream.  Inner
     matches emit immediately — no output is withheld at drain end, so
     stream-end equals the batch self-join (the oracle)."""
-    src = stream_events(spark, sf_dir)
-    clicks = (
-        src.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    buys = (
-        src.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("b_user"),
-            F.col("ts").alias("b_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("b_ts", "2 hours")
-    )
-    joined = clicks.join(
-        buys,
-        (F.col("c_user") == F.col("b_user"))
-        & (F.col("b_ts") >= F.col("c_ts"))
-        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-    ).select(
-        F.col("c_user").alias("user_id"),
-        "click_id",
-        F.unix_timestamp("c_ts").alias("click_ts"),
-        F.unix_timestamp("b_ts").alias("purchase_ts"),
-        F.round("purchase_value", 2).alias("purchase_value"),
-    )
-    return run_to_memory_available_now(joined, output_mode="append")
+    return _click_purchase_interval_join(spark, sf_dir, how="inner")
 
 
 def stream_stream_click_purchase_left_join(
@@ -821,6 +823,16 @@ def stream_stream_click_purchase_left_join(
     still held in state — callers wanting a deterministic batch
     equivalence must restrict to the emitted horizon
     (c_ts + 1 h < max_ts - 2 h), which is exactly what q96 does."""
+    return _click_purchase_interval_join(spark, sf_dir, how="leftOuter")
+
+
+def _click_purchase_interval_join(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared body of the stream-stream click→purchase interval joins
+    (the inner and leftOuter variants were 45-line verbatim copies
+    differing only in the join type — factored r7 so a condition/
+    watermark/projection fix cannot silently reach only one)."""
     src = stream_events(spark, sf_dir)
     clicks = (
         src.filter(F.col("event_type") == "click")
@@ -845,7 +857,7 @@ def stream_stream_click_purchase_left_join(
         (F.col("c_user") == F.col("b_user"))
         & (F.col("b_ts") >= F.col("c_ts"))
         & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -854,6 +866,22 @@ def stream_stream_click_purchase_left_join(
         F.round("purchase_value", 2).alias("purchase_value"),
     )
     return run_to_memory_available_now(joined, output_mode="append")
+
+
+def _check_ledger_ckpt(recorded: str | None, ckpt: str, target_path: str) -> None:
+    """foreachBatch batch ids are CHECKPOINT-LOCAL: a maintained table
+    whose ledger was written from a different checkpoint cannot be
+    safely continued (new ids restart at 0 <= the old ledger, so every
+    batch silently skips — or double-applies if the old run was
+    shorter).  Refuse loudly instead (r7 review)."""
+    if recorded is not None and recorded != ckpt:
+        raise RuntimeError(
+            f"maintained table {target_path!r} was last written from "
+            f"checkpoint {recorded!r}, but this stream runs from "
+            f"{ckpt!r}: batch ids are checkpoint-local, so continuing "
+            "would silently skip or double-apply batches. Pass the "
+            "original checkpoint to resume, or a fresh target_path."
+        )
 
 
 def stream_countmin(
@@ -873,7 +901,12 @@ def stream_countmin(
     Counting is not latest-wins, so redelivered data would double —
     exactness comes from a batch-id ledger RIDING IN the sketch rows
     (``last_batch`` column, swapped atomically with the counts): a
-    replayed foreachBatch id <= the ledger is skipped whole.  Merge
+    replayed foreachBatch id <= the ledger is skipped whole.  Batch
+    ids are CHECKPOINT-LOCAL, so the ledger also records which
+    checkpoint produced it (``last_ckpt``) and refuses a target/
+    checkpoint mismatch loudly — reusing a maintained target with a
+    fresh checkpoint would otherwise silently skip every new batch
+    (ids restart at 0 <= ledger) or double-count (r7 review).  Merge
     associativity + the ledger give stream-end == batch-sketch EXACT
     equality (pinned in ``tests/test_streaming_live.py``)."""
     from ..operators.sketches import countmin_build, countmin_merge
@@ -886,6 +919,10 @@ def stream_countmin(
             _scratch_dir(), f"rs_cms_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
         )
     recover_swap(spark, target_path)
+    default_ckpt = checkpoint is None
+    ckpt = checkpoint or os.path.join(
+        _scratch_dir(), f"rs_ckpt_rs_cms_{uuid.uuid4().hex[:8]}"
+    )
 
     n_applied = {"n": 0}
 
@@ -906,19 +943,24 @@ def stream_countmin(
             merged = delta
         else:
             prev = s.read.parquet(target_path)
-            applied = prev.agg(F.max("last_batch")).head()[0]
-            if applied is not None and batch_id <= applied:
+            head = prev.select(
+                F.max("last_batch").alias("b"), F.max("last_ckpt").alias("c")
+            ).head()
+            _check_ledger_ckpt(head.c, ckpt, target_path)
+            if head.b is not None and batch_id <= head.b:
                 return  # replayed batch: the ledger makes it a no-op
-            merged = countmin_merge(prev.drop("last_batch"), delta)
+            merged = countmin_merge(
+                prev.drop("last_batch", "last_ckpt"), delta
+            )
         replace_contents(
-            merged.withColumn("last_batch", F.lit(batch_id)), target_path
+            merged.withColumn("last_batch", F.lit(batch_id)).withColumn(
+                "last_ckpt", F.lit(ckpt)
+            ),
+            target_path,
         )
         n_applied["n"] += 1
 
     src = _staged_events_stream(spark, d, src_path)
-    ckpt = checkpoint or os.path.join(
-        _scratch_dir(), f"rs_ckpt_rs_cms_{uuid.uuid4().hex[:8]}"
-    )
     q = (
         src.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
@@ -926,7 +968,11 @@ def stream_countmin(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(target_path).drop("last_batch")
+    if default_ckpt and fail_after_batches is None:
+        # fresh-uuid checkpoint: nothing can resume from it; reclaim
+        # the tmpfs state/offset logs (r7 review: bench loops leaked)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(target_path).drop("last_batch", "last_ckpt")
 
 
 def stream_lifetime_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,7 +1127,10 @@ def stream_binned_counts(
     merge into a tiny parquet target behind the atomic swap, a
     batch-id ledger riding in the rows makes replays whole-batch
     no-ops — constant state (types x 10 bins), exactly-once without
-    latest-wins semantics.  The maintained table is the input every
+    latest-wins semantics.  The ledger records its checkpoint
+    (``last_ckpt``) and a target/checkpoint mismatch refuses loudly —
+    batch ids are checkpoint-local (r7 review, same gate as
+    stream_countmin).  The maintained table is the input every
     distribution monitor (PSI drift, q162) reads for free at any
     moment — the monitoring loop never rescans history."""
     from ..sources.catalog import recover_swap, replace_contents
@@ -1093,6 +1142,10 @@ def stream_binned_counts(
             _scratch_dir(), f"rs_psi_target_u{os.getuid()}_{uuid.uuid4().hex[:8]}"
         )
     recover_swap(spark, target_path)
+    default_ckpt = checkpoint is None
+    ckpt = checkpoint or os.path.join(
+        _scratch_dir(), f"rs_ckpt_rs_psi_{uuid.uuid4().hex[:8]}"
+    )
 
     n_applied = {"n": 0}
 
@@ -1122,24 +1175,27 @@ def stream_binned_counts(
             merged = delta
         else:
             prev = s.read.parquet(target_path)
-            applied = prev.agg(F.max("last_batch")).head()[0]
-            if applied is not None and batch_id <= applied:
+            head = prev.select(
+                F.max("last_batch").alias("b"), F.max("last_ckpt").alias("c")
+            ).head()
+            _check_ledger_ckpt(head.c, ckpt, target_path)
+            if head.b is not None and batch_id <= head.b:
                 return
             merged = (
-                prev.drop("last_batch")
+                prev.drop("last_batch", "last_ckpt")
                 .unionByName(delta)
                 .groupBy("event_type", "bin")
                 .agg(F.sum("n").alias("n"))
             )
         replace_contents(
-            merged.withColumn("last_batch", F.lit(batch_id)), target_path
+            merged.withColumn("last_batch", F.lit(batch_id)).withColumn(
+                "last_ckpt", F.lit(ckpt)
+            ),
+            target_path,
         )
         n_applied["n"] += 1
 
     src = _staged_events_stream(spark, d, src_path)
-    ckpt = checkpoint or os.path.join(
-        _scratch_dir(), f"rs_ckpt_rs_psi_{uuid.uuid4().hex[:8]}"
-    )
     q = (
         src.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
@@ -1147,7 +1203,9 @@ def stream_binned_counts(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(target_path).drop("last_batch")
+    if default_ckpt and fail_after_batches is None:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(target_path).drop("last_batch", "last_ckpt")
 
 
 def stream_bitmap_dau(
@@ -1207,6 +1265,7 @@ def stream_bitmap_dau(
         replace_contents(merged, target_path)
 
     src = _staged_events_stream(spark, d, src_path)
+    default_ckpt = checkpoint is None
     ckpt = checkpoint or os.path.join(
         _scratch_dir(), f"rs_ckpt_rs_dau_{uuid.uuid4().hex[:8]}"
     )
@@ -1217,4 +1276,6 @@ def stream_bitmap_dau(
         .start()
     )
     q.awaitTermination()
+    if default_ckpt:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(target_path)

@@ -207,22 +207,26 @@ def test_stream_countmin_recovers_from_sink_crash(spark, sf_dir, tmp_path):
 
 
 def test_stream_countmin_rerun_is_ledger_noop(spark, sf_dir, tmp_path):
-    """Re-running the whole job against an already-complete target
-    (fresh checkpoint, so every batch redelivers with the same ids)
-    must change nothing: the last_batch ledger makes each replayed
-    batch a whole-batch no-op — double-counting is the failure mode
-    this guards against for additive state."""
+    """Replaying against an already-complete target from the SAME
+    checkpoint must change nothing (the last_batch ledger makes each
+    replayed batch a whole-batch no-op), and re-running from a FOREIGN
+    checkpoint must refuse loudly: batch ids are checkpoint-local, so
+    the r7 ledger records its checkpoint and a mismatch would silently
+    skip or double-apply batches (the old form of this test passed
+    only because identical sources happened to reuse the same ids)."""
+    import pytest
+
     from real_time_stream_processing_engine_spark.streaming.runner import (
         stream_countmin,
     )
 
     target = str(tmp_path / "cms_target2")
+    ck = str(tmp_path / "ck_a")
     first = sorted(
         map(
             tuple,
             stream_countmin(
-                spark, sf_dir, target_path=target,
-                checkpoint=str(tmp_path / "ck_a"),
+                spark, sf_dir, target_path=target, checkpoint=ck
             ).collect(),
         )
     )
@@ -230,12 +234,16 @@ def test_stream_countmin_rerun_is_ledger_noop(spark, sf_dir, tmp_path):
         map(
             tuple,
             stream_countmin(
-                spark, sf_dir, target_path=target,
-                checkpoint=str(tmp_path / "ck_b"),
+                spark, sf_dir, target_path=target, checkpoint=ck
             ).collect(),
         )
     )
     assert first == second
+    with pytest.raises(Exception, match="checkpoint-local"):
+        stream_countmin(
+            spark, sf_dir, target_path=target,
+            checkpoint=str(tmp_path / "ck_b"),
+        ).collect()
 
 
 def test_chained_stateful_wau_recovers_and_dedups(spark, tmp_path):

@@ -172,3 +172,121 @@ def test_systematic_pps_small_case_unchanged(spark):
         if (cum * 5) // tot > (lo * 5) // tot:
             expect.append((i, (lo * 5) // tot + 1))
     assert sorted((r.rid, r.stratum) for r in out) == expect
+
+
+# ---------------------------------------------------------------------------
+# streaming runner hardening (r7 review pass over runner.py)
+# ---------------------------------------------------------------------------
+
+
+def _mini_events(spark, sf_dir, n=60):
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "events").limit(n).cache()
+
+
+def test_stream_dir_nested_layout_streams_every_part(spark, sf_dir, tmp_path):
+    # a nested drop-zone layout (batch1/part, batch2/part) passed as a
+    # DIRECTORY source used to stream only top-level files (none here)
+    # because the file source lists non-recursively; staging through
+    # _expand_links must surface every part
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_grouped_counts,
+    )
+
+    ev = _mini_events(spark, sf_dir)
+    root = tmp_path / "sf" / "events.parquet"
+    ev.limit(30).coalesce(1).write.parquet(str(root / "batch1"))
+    ev.subtract(ev.limit(30)).coalesce(1).write.parquet(str(root / "batch2"))
+    got = stream_grouped_counts(spark, str(tmp_path / "sf"))
+    want = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(root))
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert {(r.event_type, r.cnt) for r in got.collect()} == {
+        (r.event_type, r["count"]) for r in want
+    }
+
+
+def test_stream_dir_hive_layout_refused(spark, sf_dir, tmp_path):
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_grouped_counts,
+    )
+
+    ev = _mini_events(spark, sf_dir)
+    root = tmp_path / "sf" / "events.parquet"
+    ev.limit(20).coalesce(1).write.parquet(str(root / "day=1"))
+    with pytest.raises(RuntimeError, match="hive"):
+        stream_grouped_counts(spark, str(tmp_path / "sf")).collect()
+
+
+def test_stream_max_files_env_var_error_names_the_var(monkeypatch):
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        _env_max_files_per_trigger,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "all")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_STREAM_MAX_FILES"):
+        _env_max_files_per_trigger()
+
+
+def test_binned_counts_refuses_foreign_checkpoint(spark, sf_dir, tmp_path):
+    # reuse a maintained target under a FRESH checkpoint: batch ids are
+    # checkpoint-local, so the old silent behavior (skip every new
+    # batch) must now be a loud refusal
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_binned_counts,
+    )
+
+    tgt = str(tmp_path / "tgt")
+    first = stream_binned_counts(
+        spark, sf_dir, target_path=tgt, checkpoint=str(tmp_path / "ck_a")
+    ).collect()
+    assert first
+    with pytest.raises(Exception, match="checkpoint-local"):
+        stream_binned_counts(
+            spark, sf_dir, target_path=tgt, checkpoint=str(tmp_path / "ck_b")
+        ).collect()
+
+
+def test_binned_counts_same_checkpoint_resume_is_noop(spark, sf_dir, tmp_path):
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_binned_counts,
+    )
+
+    tgt = str(tmp_path / "tgt")
+    ck = str(tmp_path / "ck")
+    first = {
+        (r.event_type, r.bin): r.n
+        for r in stream_binned_counts(
+            spark, sf_dir, target_path=tgt, checkpoint=ck
+        ).collect()
+    }
+    again = {
+        (r.event_type, r.bin): r.n
+        for r in stream_binned_counts(
+            spark, sf_dir, target_path=tgt, checkpoint=ck
+        ).collect()
+    }
+    assert first == again
+
+
+def test_default_checkpoints_are_reclaimed(spark, sf_dir):
+    # default (fresh-uuid) checkpoints are unresumable by construction;
+    # a clean drain must not leak them on tmpfs (r7 review: bench loops
+    # over the foreachBatch sinks grew /dev/shm without bound)
+    import glob
+    import os
+
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        _scratch_dir,
+        stream_bitmap_dau,
+    )
+
+    before = set(glob.glob(os.path.join(_scratch_dir(), "rs_ckpt_rs_dau_*")))
+    stream_bitmap_dau(spark, sf_dir).collect()
+    after = set(glob.glob(os.path.join(_scratch_dir(), "rs_ckpt_rs_dau_*")))
+    assert after <= before
