@@ -110,7 +110,12 @@ def merge(spark: SparkSession, path: str, fmt: str = "parquet", target_files: in
     replace_contents(df.coalesce(n), path, fmt)
 
 
-def replace_contents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+def replace_contents(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
     """Atomically replace a table directory with ``df``'s contents.
 
     The df must be readable while ``path`` still holds the OLD data
@@ -141,7 +146,10 @@ def replace_contents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     token = uuid.uuid4().hex
     base = path.rstrip("/")
     tmp = f"{base}{_SWAP_TMP}{token}"
-    getattr(df.write.mode("overwrite"), fmt)(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(tmp)
     from .fsmeta import fs_and_path, rename_or_raise
 
     fs, src = fs_and_path(spark, tmp)
@@ -153,7 +161,12 @@ def replace_contents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     if fs.exists(dst):
         rename_or_raise(fs, dst, oldp)
     rename_or_raise(fs, src, dst)
-    fs.delete(oldp, True)
+    # step-4 delete CHECKED: a silently-failed delete leaves a stale
+    # __swap_old_ beside the healthy target, and a LATER crashed swap
+    # would then face an ambiguous recovery (r7 review — recover_swap
+    # now prefers paired sets, but the stale dir should never exist)
+    if not fs.delete(oldp, True) and fs.exists(oldp):
+        raise IOError(f"failed to delete swap leftover {oldp}")
 
 
 def recover_swap(spark: SparkSession, path: str) -> bool:
@@ -187,19 +200,38 @@ def recover_swap(spark: SparkSession, path: str) -> bool:
             elif n.startswith(name + _SWAP_TMP):
                 tmps[n[len(name + _SWAP_TMP):]] = st.getPath()
     if not fs.exists(dst):
-        # at most one token's swap can have displaced the target
-        for token, oldp in sorted(olds.items()):
-            tmpp = tmps.pop(token, None)
-            if tmpp is not None:
-                # the delete of old runs ONLY after the forward rename
-                # SUCCEEDED — an unchecked false return here would
-                # destroy the only surviving copy (r5 review catch)
-                rename_or_raise(fs, tmpp, dst)
-                fs.delete(oldp, True)
-            else:  # pragma: no cover - unreachable under the protocol
-                rename_or_raise(fs, oldp, dst)
+        # Prefer a PAIRED (old, tmp) set over any lone old: step 2 only
+        # runs after the tmp write completed, so a pair's tmp is the
+        # newest committed data and finishing FORWARD is always right.
+        # A lone old beside a pair is stale scratch from an unchecked
+        # step-4 delete — rolling IT back (the old sorted-first-token
+        # behavior) would resurrect the pre-swap snapshot and the
+        # cleanup below would delete the newest data (r7 review).
+        paired = sorted(t for t in olds if t in tmps)
+        if len(paired) > 1:  # pragma: no cover - two in-flight swaps
+            raise RuntimeError(
+                f"ambiguous swap recovery for {base}: multiple paired "
+                f"(old, tmp) sets {paired} — concurrent swaps on one "
+                "target are unsupported; resolve manually"
+            )
+        if paired:
+            token = paired[0]
+            # the delete of old runs ONLY after the forward rename
+            # SUCCEEDED — an unchecked false return here would
+            # destroy the only surviving copy (r5 review catch)
+            rename_or_raise(fs, tmps.pop(token), dst)
+            fs.delete(olds.pop(token), True)
+        elif len(olds) == 1:
+            ((token, oldp),) = olds.items()
+            rename_or_raise(fs, oldp, dst)
             olds.pop(token)
-            break
+        elif len(olds) > 1:  # pragma: no cover - needs two failures
+            raise RuntimeError(
+                f"ambiguous swap recovery for {base}: target missing "
+                f"with multiple lone __swap_old_ dirs {sorted(olds)} and "
+                "no paired tmp — cannot tell which snapshot is newest; "
+                "resolve manually"
+            )
     if not fs.exists(dst):
         return False
     for p in list(olds.values()) + list(tmps.values()):
@@ -252,10 +284,14 @@ def build_time_partitioned(
         return
     out = df.withColumn(date_col, F.to_date(F.col(ts_col)))
     # repartition on the date first: each day directory gets files from
-    # one task wave, not one file per upstream task per day
-    out.repartition(date_col).write.mode("overwrite").partitionBy(
-        date_col
-    ).parquet(path)
+    # one task wave, not one file per upstream task per day.  The
+    # rebuild rides the module's own atomic swap (r7 review): a direct
+    # mode("overwrite") deleted the previous good layout BEFORE the
+    # write, so a crash mid-rebuild destroyed it with no recovery, and
+    # concurrent readers saw a half-deleted tree.  recover_swap first:
+    # an earlier crashed rebuild may have left the (old, tmp) pair.
+    recover_swap(spark, path)
+    replace_contents(out.repartition(date_col), path, partition_by=[date_col])
     write_manifest(spark, path, fp)
 
 

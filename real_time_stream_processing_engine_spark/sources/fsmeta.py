@@ -7,9 +7,9 @@ file's mtime) and the index-manifest data fingerprint
 Both answer the same question — "has this dataset changed since I
 last looked?" — from metadata only, never a data scan:
 
-- :func:`first_part_file` + :func:`local_mtime` serve the LOCAL-FS
-  fast path (driver testdata): pick a deterministic part file, key a
-  cache on its mtime.
+- :func:`list_part_files` + :func:`local_mtime` serve the LOCAL-FS
+  fast path (driver testdata): enumerate the parts, key per-file
+  caches on each part's mtime.
 - :func:`hadoop_tree_stats` serves the portable path (index builds):
   recursive listing through the Hadoop FS API, so the same
   fingerprint works on HDFS/S3 as on a local tempdir.
@@ -31,7 +31,13 @@ def list_part_files(path: str) -> list[str]:
     level; a plain file path returns itself as the single part.  THE
     one part-filter — stream staging (`streaming.runner._expand_links`)
     and the ts-unit sniff both go through here.  LOCAL-FS ONLY
-    (os.walk) — on HDFS/S3 go through :func:`hadoop_tree_stats`."""
+    (os.walk) — on HDFS/S3 go through :func:`hadoop_tree_stats`.
+
+    A nonexistent path fails HERE with the real name (r7 review): the
+    old fall-through returned it as a single "part", and the error
+    surfaced later as an opaque read failure against a staged symlink."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no such dataset: {path}")
     if not os.path.isdir(path):
         return [path]
     parts: list[str] = []
@@ -49,11 +55,6 @@ def list_part_files(path: str) -> list[str]:
     return sorted(parts)
 
 
-def first_part_file(path: str) -> str:
-    """Deterministic representative part file of a parquet dataset."""
-    return list_part_files(path)[0]
-
-
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FS API — correct for EVERY
     scheme Spark itself can read (hdfs://, s3a://, file:, bare local
@@ -61,9 +62,7 @@ def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     first-batch seeding: a driver-local ``os.path.exists`` there would
     be always-False for remote URIs and silently reset accumulated
     state to one batch's worth every batch."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, p = fs_and_path(spark, path)
     return bool(fs.exists(p))
 
 
@@ -81,9 +80,7 @@ def hadoop_tree_stats(spark: SparkSession, path: str) -> dict[str, int]:
     staleness contract).  The blind spot is an in-place byte flip that
     preserves size and mtime — no metadata check can see that; callers
     keep an explicit ``force=True`` override for it."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, p = fs_and_path(spark, path)
     n_files = total_bytes = max_mtime = 0
     it = fs.listFiles(p, True)
     while it.hasNext():

@@ -155,20 +155,25 @@ def parquet_ts_unit(path: str, col: str) -> str:
     """Physical unit of a timestamp parquet column, read from the footer.
 
     Returns ``'ms'``/``'us'``/``'ns'`` for a parquet TIMESTAMP logical
-    type.  One footer read of one part file — O(KB), no data scan —
-    cached per (part file, mtime, col): keying on the file's mtime means
-    a rewrite of the same path with a different physical unit (the exact
-    NANOS->MICROS drift this helper exists to catch) invalidates the
-    cache instead of silently reusing the stale unit.  A raw int64
-    column (no timestamp annotation) is an error: its epoch unit is
-    unknowable from the file, and guessing is exactly the 1000x-shift
-    failure this helper exists to prevent.
+    type.  One footer read PER PART FILE — O(KB) each, no data scan —
+    because one read schema applies to every part, so mixed physical
+    units across parts must be refused up front (r5 review), which a
+    single-part sniff cannot see.  Each footer read is cached per
+    (part file, mtime, col): keying on the file's mtime means a
+    rewrite with a different physical unit (the exact NANOS->MICROS
+    drift this helper exists to catch) invalidates the cache instead
+    of silently reusing the stale unit.  A raw int64 column (no
+    timestamp annotation) is an error: its epoch unit is unknowable
+    from the file, and guessing is exactly the 1000x-shift failure
+    this helper exists to prevent.
 
     LOCAL-FS ONLY (os.path listing/stat): the driver testdata is local.
-    On HDFS/S3 the same sniff would go through pyarrow's filesystem
-    layer with the store's own etag/mtime as the cache key.  Part-file
-    selection and mtime keying live in :mod:`sources.fsmeta` (shared
-    with the index-manifest staleness check).
+    On HDFS/S3 (or ~1M-part tables) the same sniff belongs in a
+    distributed or thread-pooled footer pass with the store's
+    etag/mtime as the cache key — serial driver-side opens do not
+    scale past ~10⁴ parts.  Part-file selection and mtime keying live
+    in :mod:`sources.fsmeta` (shared with the index-manifest
+    staleness check).
     """
     from .fsmeta import list_part_files, local_mtime
 
@@ -188,7 +193,10 @@ def parquet_ts_unit(path: str, col: str) -> str:
     return units.pop()
 
 
-@lru_cache(maxsize=256)
+# 64k entries: the cache must hold one row per (part, ts-col) or a
+# multi-part table evicts itself every call and re-pays the full
+# footer pass (the old 256 bound did exactly that past 256 parts)
+@lru_cache(maxsize=65536)
 def _parquet_ts_unit_cached(f: str, mtime: float, col: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -280,7 +288,19 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every testdata table present in ``sf_dir`` as a temp
     view (unit-corrected schemas included), making the whole engine
     queryable through plain ``spark.sql`` — the ANSI-SQL front door
-    next to the RAINSTORM command surface.  Returns the view names."""
+    next to the RAINSTORM command surface.  Returns the view names.
+
+    LOCAL-FS ONLY, and loudly so (r7 review): presence is decided with
+    a driver-local listing (the ts-unit sniff underneath is os.walk
+    anyway), which is always-False for hdfs://s3a:// URIs — silently
+    returning zero views there would surface later as
+    TABLE_OR_VIEW_NOT_FOUND with the real cause hidden."""
+    if "://" in sf_dir and not sf_dir.startswith("file://"):
+        raise ValueError(
+            f"register_tables is local-FS only (driver testdata); got "
+            f"remote URI {sf_dir!r} — its footer sniff and presence "
+            "checks are driver-local and would silently register nothing"
+        )
     out = []
     for name in SCHEMAS:
         if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
@@ -338,8 +358,12 @@ def read_jsonl(
     pass over 100 TB), and malformed lines land in ``corrupt_col``
     (PERMISSIVE mode) instead of failing the job — callers split the
     frame on ``corrupt_col IS NULL`` to route rejects to a quarantine
-    sink.  JSONL splits by newline, so unlike multi-line JSON it
-    parallelizes per-block like text.
+    sink.  CAVEAT (Spark restriction, r7 review): a query that
+    references ONLY the corrupt column on the raw parsed frame raises
+    AnalysisException — ``.cache()`` the frame (or select at least one
+    data column alongside) before filtering on ``corrupt_col``.  JSONL
+    splits by newline, so unlike multi-line JSON it parallelizes
+    per-block like text.
     """
     # build a NEW StructType — StructType.add mutates the caller's schema
     full = T.StructType(

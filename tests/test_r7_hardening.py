@@ -290,3 +290,96 @@ def test_default_checkpoints_are_reclaimed(spark, sf_dir):
     stream_bitmap_dau(spark, sf_dir).collect()
     after = set(glob.glob(os.path.join(_scratch_dir(), "rs_ckpt_rs_dau_*")))
     assert after <= before
+
+
+# ---------------------------------------------------------------------------
+# sources hardening (r7 review pass over sources/)
+# ---------------------------------------------------------------------------
+
+
+def test_recover_swap_prefers_paired_set_over_stale_old(spark, tmp_path):
+    # target missing; a STALE lone old (token sorts first) sits beside
+    # an in-flight (old, tmp) pair.  Rolling back the stale old — the
+    # previous sorted-first-token behavior — would resurrect the oldest
+    # snapshot and delete the newest committed data; recovery must
+    # forward-finish the PAIR.
+    import os
+    import shutil
+
+    from real_time_stream_processing_engine_spark.sources.catalog import (
+        recover_swap,
+        replace_contents,
+    )
+
+    tgt = str(tmp_path / "tbl")
+
+    def write_version(path, v):
+        spark.createDataFrame([(v,)], "ver long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    replace_contents(spark.createDataFrame([(1,)], "ver long"), tgt)
+    # stale old from a failed step-4 delete (token 'aaaa' sorts first)
+    write_version(f"{tgt}__swap_old_aaaa", 0)
+    # in-flight swap 'bbbb' crashed between steps 2 and 3:
+    os.rename(tgt, f"{tgt}__swap_old_bbbb")          # step 2 done
+    write_version(f"{tgt}__swap_tmp_bbbb", 2)        # tmp complete
+    assert recover_swap(spark, tgt)
+    assert spark.read.parquet(tgt).head().ver == 2   # newest wins
+    leftovers = [d for d in os.listdir(tmp_path) if "__swap_" in d]
+    assert leftovers == []
+    shutil.rmtree(tgt, ignore_errors=True)
+
+
+def test_recover_swap_single_lone_old_rolls_back(spark, tmp_path):
+    import os
+
+    from real_time_stream_processing_engine_spark.sources.catalog import (
+        recover_swap,
+        replace_contents,
+    )
+
+    tgt = str(tmp_path / "tbl2")
+    replace_contents(spark.createDataFrame([(7,)], "ver long"), tgt)
+    os.rename(tgt, f"{tgt}__swap_old_cccc")
+    assert recover_swap(spark, tgt)
+    assert spark.read.parquet(tgt).head().ver == 7
+
+
+def test_list_part_files_missing_path_fails_fast():
+    from real_time_stream_processing_engine_spark.sources.fsmeta import (
+        list_part_files,
+    )
+
+    with pytest.raises(FileNotFoundError, match="no_such_dataset_xyz"):
+        list_part_files("/tmp/no_such_dataset_xyz")
+
+
+def test_register_tables_remote_uri_refused(spark):
+    from real_time_stream_processing_engine_spark.sources.readers import (
+        register_tables,
+    )
+
+    with pytest.raises(ValueError, match="local-FS only"):
+        register_tables(spark, "s3a://bucket/sf")
+
+
+def test_build_time_partitioned_rebuild_is_swapped(spark, sf_dir, tmp_path):
+    # a forced rebuild must go through the atomic swap: afterwards the
+    # layout is complete, readable, and no swap scratch remains
+    import os
+
+    from real_time_stream_processing_engine_spark.sources.catalog import (
+        build_time_partitioned,
+    )
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    path = str(tmp_path / "events_by_day")
+    build_time_partitioned(ev, path)
+    n1 = spark.read.parquet(path).count()
+    build_time_partitioned(ev, path, force=True)
+    n2 = spark.read.parquet(path).count()
+    assert n1 == n2 == 200
+    assert not [d for d in os.listdir(tmp_path) if "__swap_" in d]
+    assert any(d.startswith("event_date=") for d in os.listdir(path))
