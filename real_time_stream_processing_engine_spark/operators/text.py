@@ -38,6 +38,13 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
     construction); scoring is an array-intersection per row, no shuffle.
     A char-n-gram profile model drops in behind the same column contract
     when real corpora replace the synthetic fixture."""
+    clash = {f"_s_{lang}" for lang in LANG_LEXICON} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"lang_id helper columns {sorted(clash)} already exist on "
+            "the input frame; rename them first (a silent duplicate "
+            "would make the tie-break reference ambiguous)"
+        )
     toks = tokenize(text_col)
     scores = [
         F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))).alias(f"_s_{lang}")
@@ -55,7 +62,9 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
     return df.withColumn(out, pred).drop(*score_cols)
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Deterministic quality features + composite score in [0, 1]:
 
     - n_tokens      : whitespace tokens
@@ -77,7 +86,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
     )
     return df.select(
-        "doc_id",
+        id_col,
         n_tokens.cast("long").alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
@@ -214,7 +223,12 @@ def regex_redact(
     counts = []
     for label, pat in patterns.items():
         counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{label}"))
-        cur = F.regexp_replace(cur, pat, f"[{label.upper()}]")
+        # the replacement string is a Java Matcher template: a literal
+        # $ or \ in the label would be read as a group reference and
+        # throw (or splice matched text into the "redacted" output) —
+        # escape both (r7 review)
+        mask = "[" + label.upper().replace("\\", "\\\\").replace("$", "\\$") + "]"
+        cur = F.regexp_replace(cur, pat, mask)
     return df.select(*cols, *counts, cur.alias(out))
 
 
@@ -270,13 +284,28 @@ def bm25_topk(
     df_map = F.create_map(
         *chain.from_iterable((F.lit(t), F.col(f"_df_{i}")) for i, t in enumerate(terms))
     )
-    df_t = F.element_at(df_map, F.col("term"))
+    return _bm25_score_topk(
+        tf.crossJoin(F.broadcast(stats)),
+        F.element_at(df_map, F.col("term")),
+        k1, b, id_col, k,
+    )
+
+
+def _bm25_score_topk(tf_frame: DataFrame, df_t, k1: float, b: float,
+                     id_col: str, k: int) -> DataFrame:
+    """Shared BM25 scoring tail of :func:`bm25_topk` and
+    :func:`bm25_topk_indexed` (they were verbatim copies — factored r7
+    so a formula/tie-break fix cannot reach one and silently miss the
+    other, which would make the indexed path diverge from its
+    index-free oracle twin).  ``tf_frame`` carries (id_col, tf, dl,
+    n_docs, avgdl); ``df_t`` is the per-term document-frequency column
+    expression (map lookup in the index-free form, joined column in
+    the indexed form)."""
     idf = F.log((F.col("n_docs") - df_t + 0.5) / (df_t + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * F.col("tf") * (k1 + 1.0) / denom
     return (
-        tf.crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
+        tf_frame.groupBy(id_col)
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
@@ -404,7 +433,6 @@ def build_bm25_index(
     post.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(
         f"{path}/postings"
     )
-    spark = docs.sparkSession
     written = spark.read.parquet(f"{path}/postings")
     written.groupBy("shard", "term").agg(F.count("*").alias("df_t")).repartition(
         "shard"
@@ -476,16 +504,10 @@ def bm25_topk_indexed(
         .select("term", "df_t")
     )
     stats = spark.read.parquet(f"{path}/stats")
-    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
-    return (
-        post.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc(id_col))
-        .limit(k)
+    return _bm25_score_topk(
+        post.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats)),
+        F.col("df_t"),
+        k1, b, id_col, k,
     )
 
 

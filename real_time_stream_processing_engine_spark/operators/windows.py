@@ -40,6 +40,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_sec: int = 1800,
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time
     since the user's previous event exceeds ``gap_sec``.
@@ -48,16 +49,29 @@ def sessionize(
     key, per-user sort inside partitions.  Skewed power users are the
     scale hazard — AQE skew handling plus a per-user daily pre-split
     are the mitigations, not a different algorithm.  Gaps are compared
-    in whole microseconds (``unix_micros``) so an oracle agrees exactly."""
+    in whole microseconds (``unix_micros``) so an oracle agrees
+    exactly.  Rows with a NULL ``ts_col`` are EXCLUDED up front (a
+    timestamp-less event has no position on the session axis; the old
+    fall-through silently made each one its own one-event session —
+    r7 review).  ``tiebreak_col`` orders equal-timestamp events (it
+    was a hard-coded ``event_id``, crashing on any other frame)."""
     us = F.unix_micros(F.col(ts_col))
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     new_sess = F.when(
         (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_sec * 1_000_000),
         1,
     ).otherwise(0)
-    sess = df.select(
-        F.col(user_col), F.col(ts_col), F.col("event_id"), us.alias("_us"), new_sess.alias("_new")
-    ).withColumn("session_id", F.sum("_new").over(w).cast("long"))
+    sess = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            us.alias("_us"),
+            new_sess.alias("_new"),
+        )
+        .withColumn("session_id", F.sum("_new").over(w).cast("long"))
+    )
     return sess.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("_us").alias("session_start_us"),
@@ -94,11 +108,20 @@ def asof_join(
     direction: str = "backward",
     tolerance_s: int | None = None,
     out_prefix: str = "asof_",
+    unit: str = "s",
 ) -> DataFrame:
     """General as-of join (pandas ``merge_asof`` semantics, distributed):
     every left row gets the nearest right row per key — at-or-before its
     timestamp (``backward``) or at-or-after (``forward``) — optionally
     only within ``tolerance_s`` seconds; unmatched left rows keep nulls.
+
+    GRANULARITY is declared by ``unit``: the default ``"s"`` compares
+    whole epoch SECONDS (the oracle-pinned semantics of the q25/q48
+    family — DuckDB models it as ``floor(epoch(ts))``), which means
+    sub-second data rounds to its second and a backward match can pick
+    a right row up to 999 ms later within that second (r7 review).
+    Pass ``unit="us"`` for microsecond-exact positions on sub-second
+    feeds; ``tolerance_s`` stays in seconds either way.
 
     Same union-sort-carry shape as :func:`asof_join_last_order` (ONE
     exchange of |left|+|right| on the key, per-key sort, window carry —
@@ -114,8 +137,24 @@ def asof_join(
       candidate does too."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if unit not in ("s", "us"):
+        raise ValueError(f"unit must be 's' or 'us', got {unit!r}")
+    epoch = F.unix_timestamp if unit == "s" else F.unix_micros
+    tol = None if tolerance_s is None else int(tolerance_s) * (1 if unit == "s" else 1_000_000)
+    # helper/output name collisions silently corrupt the final
+    # select(*left.columns) — refuse like regex_redact does (r7 review)
+    reserved = {"_aj_t", "_aj_m", "_aj_is_r", "_aj_match"} | {
+        f"{out_prefix}ts", *[f"{out_prefix}{c}" for c in value_cols]
+    }
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output/helper columns {sorted(clash)} already "
+            "exist on the left frame; rename them or pass another "
+            "out_prefix"
+        )
     match = F.struct(
-        F.unix_timestamp(right[right_ts]).cast("long").alias("_mts"),
+        epoch(right[right_ts]).cast("long").alias("_mts"),
         *[right[c].alias(c) for c in value_cols],
     )
     # a null right timestamp would sort first (asc nulls-first) and its
@@ -123,12 +162,12 @@ def asof_join(
     # unmatched left row — drop timestamp-less right rows up front
     r = right.filter(right[right_ts].isNotNull()).select(
         right[on].alias(on),
-        F.unix_timestamp(right[right_ts]).cast("long").alias("_aj_t"),
+        epoch(right[right_ts]).cast("long").alias("_aj_t"),
         match.alias("_aj_m"),
         F.lit(1).alias("_aj_is_r"),
     )
     l = (
-        left.withColumn("_aj_t", F.unix_timestamp(left[left_ts]).cast("long"))
+        left.withColumn("_aj_t", epoch(left[left_ts]).cast("long"))
         .withColumn("_aj_m", F.lit(None).cast(r.schema["_aj_m"].dataType))
         .withColumn("_aj_is_r", F.lit(0))
     )
@@ -150,14 +189,14 @@ def asof_join(
     out = out.withColumn(
         "_aj_match", F.when(F.col("_aj_t").isNotNull(), F.col("_aj_match"))
     )
-    if tolerance_s is not None:
+    if tol is not None:
         delta = (
             F.col("_aj_t") - F.col("_aj_match._mts")
             if direction == "backward"
             else F.col("_aj_match._mts") - F.col("_aj_t")
         )
         out = out.withColumn(
-            "_aj_match", F.when(delta <= int(tolerance_s), F.col("_aj_match"))
+            "_aj_match", F.when(delta <= tol, F.col("_aj_match"))
         )
     return out.select(
         *[F.col(c) for c in left.columns],

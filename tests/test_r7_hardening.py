@@ -5,6 +5,7 @@ NULL-group refusal, systematic PPS decimal overflow path)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_stream_processing_engine_spark.operators.sampling import (
     flattening_sample,
@@ -383,3 +384,80 @@ def test_build_time_partitioned_rebuild_is_swapped(spark, sf_dir, tmp_path):
     assert n1 == n2 == 200
     assert not [d for d in os.listdir(tmp_path) if "__swap_" in d]
     assert any(d.startswith("event_date=") for d in os.listdir(path))
+
+
+# ---------------------------------------------------------------------------
+# text/windows hardening (r7 review pass)
+# ---------------------------------------------------------------------------
+
+
+def test_regex_redact_dollar_label_is_literal(spark):
+    from real_time_stream_processing_engine_spark.operators.text import (
+        regex_redact,
+    )
+
+    d = spark.createDataFrame([("cost 12 usd",)], "text string")
+    out = regex_redact(d, {"price$": r"\d+"}).head()
+    # a $ in the label is masked literally, never read as a Java
+    # group reference (which used to throw or splice matched text)
+    assert out.redacted == "cost [PRICE$] usd"
+    assert out["n_price$"] == 1
+
+
+def test_sessionize_null_ts_excluded_and_tiebreak_param(spark):
+    from real_time_stream_processing_engine_spark.operators.windows import (
+        sessionize,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "2020-01-01 10:00:00", 1), (1, None, 2), (1, "2020-01-01 10:10:00", 3)],
+        "account long, when string, eid long",
+    ).selectExpr("account", "cast(when as timestamp) as when", "eid")
+    out = sessionize(
+        d, user_col="account", ts_col="when", tiebreak_col="eid"
+    ).collect()
+    # the NULL-ts row is excluded (no phantom one-event session), and
+    # the two real events gap-join into one session under the 30 min gap
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_asof_join_collision_guard_and_us_unit(spark):
+    from real_time_stream_processing_engine_spark.operators.windows import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-01 10:00:00.100")], "k long, lts string"
+    ).selectExpr("k", "cast(lts as timestamp) as lts")
+    right = spark.createDataFrame(
+        [(1, "2020-01-01 10:00:00.900", 42.0)], "k long, rts string, v double"
+    ).selectExpr("k", "cast(rts as timestamp) as rts", "v")
+    # declared second-granularity: both round to the same second, so
+    # backward matches (the documented truncation)
+    s = asof_join(left, right, "k", "lts", "rts", ["v"]).head()
+    assert s.asof_v == 42.0
+    # microsecond unit: the right row is 800ms in the FUTURE -> no match
+    us = asof_join(left, right, "k", "lts", "rts", ["v"], unit="us").head()
+    assert us.asof_v is None
+    # helper-name collision refuses instead of corrupting the output
+    bad = left.withColumn("asof_ts", F.lit(0))
+    with pytest.raises(ValueError, match="asof_ts"):
+        asof_join(bad, right, "k", "lts", "rts", ["v"])
+
+
+def test_quality_features_id_col_param(spark):
+    from real_time_stream_processing_engine_spark.operators.text import (
+        quality_features,
+    )
+
+    d = spark.createDataFrame([(9, "the quick brown fox.")], "id long, body string")
+    out = quality_features(d, text_col="body", id_col="id").head()
+    assert out.id == 9 and out.n_tokens == 4
+
+
+def test_lang_id_score_column_clash_refused(spark):
+    from real_time_stream_processing_engine_spark.operators.text import lang_id
+
+    d = spark.createDataFrame([("the and of", 1)], "text string, _s_en long")
+    with pytest.raises(ValueError, match="_s_en"):
+        lang_id(d)
