@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 def _validate_merge_spec(
     target: DataFrame,
+    updates: DataFrame,
     key_cols: list[str],
     set_cols: dict[str, str],
     insert_only_cols: dict[str, str],
@@ -31,12 +32,20 @@ def _validate_merge_spec(
 ) -> None:
     """Reject the merge-spec shapes that would otherwise surface as
     AMBIGUOUS_REFERENCE mid-join or as silently-shadowed semantics
-    (r5 review catch):
+    (r5 review catch; destination/source existence and the
+    ``present`` scratch hazard added r7):
 
     - a key column is immutable: naming it as a set/insert target
       would build two ``_u_<key>`` columns;
     - one target column in BOTH set_cols and insert_only_cols would
       let the dict merge silently drop the UPDATE mapping;
+    - every DESTINATION must exist on the target and every SOURCE on
+      the updates frame — a typo'd destination used to be silently
+      dropped by the output loop while rows still tagged 'update'
+      (silent corruption, r7 review);
+    - a key/destination literally named ``present`` would alias to
+      the ``_u_present`` join marker (duplicate column →
+      AMBIGUOUS_REFERENCE);
     - the ``_t_present``/``_u_*`` scratch names and ``op_col`` must
       not collide with real target columns."""
     overlap = set(key_cols) & (set(set_cols) | set(insert_only_cols))
@@ -50,6 +59,27 @@ def _validate_merge_spec(
         raise ValueError(
             f"{sorted(both)} appear in BOTH set_cols and insert_only_cols "
             "— pick one semantics per target column"
+        )
+    missing_dst = sorted(
+        (set(set_cols) | set(insert_only_cols)) - set(target.columns)
+    )
+    if missing_dst:
+        raise ValueError(
+            f"destination column(s) {missing_dst} do not exist on the "
+            "target — the merge would silently drop them"
+        )
+    missing_src = sorted(
+        ({*set_cols.values(), *insert_only_cols.values()} | set(key_cols))
+        - set(updates.columns)
+    )
+    if missing_src:
+        raise ValueError(
+            f"updates frame lacks source column(s) {missing_src}"
+        )
+    if "present" in set(key_cols) | set(set_cols) | set(insert_only_cols):
+        raise ValueError(
+            "a key/destination named 'present' aliases onto the merge's "
+            "_u_present join marker — rename it first"
         )
     reserved = [
         c
@@ -66,6 +96,78 @@ def _validate_merge_spec(
             f"op_col {op_col!r} already exists on the target — pass a "
             "different audit-column name or op_col=None"
         )
+
+
+def _merge_by_key(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    set_cols: dict[str, str],
+    insert_only_cols: dict[str, str],
+    version_cols: dict[str, str],
+    op_col: str | None,
+) -> DataFrame:
+    """Shared MERGE core of :func:`apply_upsert` and
+    :func:`apply_upsert_versioned` (they were ~30-line near-copies —
+    factored r7 so a scratch-name or coalesce fix cannot reach one and
+    silently miss the other).  The ONLY semantic difference between
+    the two is the take-from-update predicate: plain upsert takes on
+    any match; versioned takes only when the update's version struct
+    is STRICTLY newer (or the target row was never versioned)."""
+    clash = set(set_cols) & set(version_cols)
+    if clash:
+        raise ValueError(
+            f"{sorted(clash)} appear in BOTH set_cols and version_cols "
+            "— the version mapping would silently win; pick one"
+        )
+    _validate_merge_spec(
+        target, updates, key_cols, {**set_cols, **version_cols},
+        insert_only_cols, op_col,
+    )
+    if version_cols:
+        missing = [c for c in version_cols if c not in target.columns]
+        if missing:
+            raise ValueError(f"target lacks version columns {missing}")
+    u = updates.select(
+        *[F.col(k).alias(f"_u_{k}") for k in key_cols],
+        *[
+            F.col(src).alias(f"_u_{dst}")
+            for dst, src in {**set_cols, **insert_only_cols, **version_cols}.items()
+        ],
+        F.lit(1).alias("_u_present"),
+    )
+    cond = [target[k].eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
+    j = target.withColumn("_t_present", F.lit(1)).join(u, cond, "full_outer")
+    matched = F.col("_t_present").isNotNull() & F.col("_u_present").isNotNull()
+    insert = F.col("_t_present").isNull()
+    if version_cols:
+        t_ver = F.struct(*[target[c] for c in version_cols])
+        u_ver = F.struct(*[F.col(f"_u_{c}") for c in version_cols])
+        never_versioned = target[next(iter(version_cols))].isNull()
+        # strict >: a redelivered (equal-version) update must NOT re-apply
+        take_u = (matched & (never_versioned | (u_ver > t_ver))) | insert
+    else:
+        take_u = matched | insert
+    setlike = set(set_cols) | set(version_cols)
+    out_cols = []
+    for c in target.columns:
+        if c in key_cols:
+            expr = F.coalesce(target[c], F.col(f"_u_{c}"))
+        elif c in setlike:
+            expr = F.when(take_u, F.col(f"_u_{c}")).otherwise(target[c])
+        elif c in insert_only_cols:
+            expr = F.when(insert, F.col(f"_u_{c}")).otherwise(target[c])
+        else:
+            expr = target[c]
+        out_cols.append(expr.alias(c))
+    if op_col is not None:
+        out_cols.append(
+            F.when(matched, F.lit("update"))
+            .when(insert, F.lit("insert"))
+            .otherwise(F.lit("keep"))
+            .alias(op_col)
+        )
+    return j.select(*out_cols)
 
 
 def apply_upsert(
@@ -93,39 +195,10 @@ def apply_upsert(
     ``op_col`` tags each output row update/insert/keep for audit; pass
     None to drop it.
     """
-    insert_only_cols = insert_only_cols or {}
-    _validate_merge_spec(target, key_cols, set_cols, insert_only_cols, op_col)
-    u = updates.select(
-        *[F.col(k).alias(f"_u_{k}") for k in key_cols],
-        *[
-            F.col(src).alias(f"_u_{dst}")
-            for dst, src in {**set_cols, **insert_only_cols}.items()
-        ],
-        F.lit(1).alias("_u_present"),
+    return _merge_by_key(
+        target, updates, key_cols, set_cols, insert_only_cols or {},
+        version_cols={}, op_col=op_col,
     )
-    cond = [target[k].eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
-    j = target.withColumn("_t_present", F.lit(1)).join(u, cond, "full_outer")
-    matched = F.col("_t_present").isNotNull() & F.col("_u_present").isNotNull()
-    insert = F.col("_t_present").isNull()
-    out_cols = []
-    for c in target.columns:
-        if c in key_cols:
-            expr = F.coalesce(target[c], F.col(f"_u_{c}"))
-        elif c in set_cols:
-            expr = F.when(matched | insert, F.col(f"_u_{c}")).otherwise(target[c])
-        elif c in insert_only_cols:
-            expr = F.when(insert, F.col(f"_u_{c}")).otherwise(target[c])
-        else:
-            expr = target[c]
-        out_cols.append(expr.alias(c))
-    if op_col is not None:
-        out_cols.append(
-            F.when(matched, F.lit("update"))
-            .when(insert, F.lit("insert"))
-            .otherwise(F.lit("keep"))
-            .alias(op_col)
-        )
-    return j.select(*out_cols)
 
 
 def apply_upsert_versioned(
@@ -154,40 +227,7 @@ def apply_upsert_versioned(
     first materialization) — they are the sink-side dedup ledger, the
     durable analogue of the reference's unused in-memory
     ``processedIds`` set (``Node.java:117``)."""
-    insert_only_cols = insert_only_cols or {}
-    _validate_merge_spec(
-        target, key_cols, {**set_cols, **version_cols}, insert_only_cols, None
+    return _merge_by_key(
+        target, updates, key_cols, set_cols, insert_only_cols or {},
+        version_cols=version_cols, op_col=None,
     )
-    missing = [c for c in version_cols if c not in target.columns]
-    if missing:
-        raise ValueError(f"target lacks version columns {missing}")
-    u = updates.select(
-        *[F.col(k).alias(f"_u_{k}") for k in key_cols],
-        *[
-            F.col(src).alias(f"_u_{dst}")
-            for dst, src in {**set_cols, **insert_only_cols, **version_cols}.items()
-        ],
-        F.lit(1).alias("_u_present"),
-    )
-    cond = [target[k].eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
-    j = target.withColumn("_t_present", F.lit(1)).join(u, cond, "full_outer")
-    t_ver = F.struct(*[target[c] for c in version_cols])
-    u_ver = F.struct(*[F.col(f"_u_{c}") for c in version_cols])
-    never_versioned = target[next(iter(version_cols))].isNull()
-    matched = F.col("_t_present").isNotNull() & F.col("_u_present").isNotNull()
-    # strict >: a redelivered (equal-version) update must NOT re-apply
-    newer = matched & (never_versioned | (u_ver > t_ver))
-    insert = F.col("_t_present").isNull()
-    take_u = newer | insert
-    out_cols = []
-    for c in target.columns:
-        if c in key_cols:
-            expr = F.coalesce(target[c], F.col(f"_u_{c}"))
-        elif c in set_cols or c in version_cols:
-            expr = F.when(take_u, F.col(f"_u_{c}")).otherwise(target[c])
-        elif c in insert_only_cols:
-            expr = F.when(insert, F.col(f"_u_{c}")).otherwise(target[c])
-        else:
-            expr = target[c]
-        out_cols.append(expr.alias(c))
-    return j.select(*out_cols)

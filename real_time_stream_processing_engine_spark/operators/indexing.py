@@ -32,10 +32,22 @@ MANIFEST = "_manifest"
 
 
 def params_fingerprint(params: dict[str, Any]) -> str:
-    """Stable fingerprint of build parameters (json-serializable)."""
-    return hashlib.md5(
-        json.dumps(params, sort_keys=True, default=repr).encode()
-    ).hexdigest()
+    """Stable fingerprint of build parameters.
+
+    Params must be json-serializable: a ``default=repr`` fallback would
+    turn an object param (compiled regex, tokenizer instance) into a
+    memory-address repr that changes every process — the manifest would
+    never match and every call would silently trigger a full rebuild
+    (r7 review).  Refusing loudly keeps build-once/probe-many honest."""
+    try:
+        blob = json.dumps(params, sort_keys=True)
+    except TypeError as e:
+        raise TypeError(
+            f"index build params must be json-serializable for a stable "
+            f"fingerprint; got {e} — pass primitive values (a repr "
+            "fallback would change per process and defeat idempotence)"
+        ) from None
+    return hashlib.md5(blob.encode()).hexdigest()
 
 
 def data_fingerprint(spark: SparkSession, source_path: str) -> dict[str, int]:
@@ -81,3 +93,21 @@ def write_manifest(spark: SparkSession, path: str, fingerprint: str) -> None:
     spark.createDataFrame([(fingerprint,)], "value: string").coalesce(
         1
     ).write.mode("overwrite").text(f"{path}/{MANIFEST}")
+
+
+def invalidate_manifest(spark: SparkSession, path: str) -> None:
+    """Call FIRST, before a rebuild overwrites any index component.
+
+    The "a partial build leaves no manifest" contract is only true for
+    FIRST builds: a rebuild that crashes after overwriting some
+    components but before :func:`write_manifest` would leave the OLD
+    manifest validating a mixed-generation index — e.g. new-modulus
+    postings probed with the surviving old shard params, silently
+    wrong results (r7 review).  Deleting the manifest up front restores
+    the invariant: any crash during the rebuild leaves a manifest-less
+    index that the next build rebuilds from scratch."""
+    from ..sources.fsmeta import fs_and_path
+
+    fs, p = fs_and_path(spark, f"{path}/{MANIFEST}")
+    if fs.exists(p):
+        fs.delete(p, True)

@@ -404,6 +404,7 @@ def build_bm25_index(
     change is detected from ``source_path``'s metadata fingerprint when
     given (else the caller's ``force=True``)."""
     from .indexing import (
+        invalidate_manifest,
         manifest_matches,
         params_fingerprint,
         source_params,
@@ -418,6 +419,12 @@ def build_bm25_index(
     )
     if not force and manifest_matches(spark, path, fp):
         return
+    # invalidate FIRST: this index's components live in SUBDIRECTORIES
+    # (postings/dfreq/stats/probe_params), so overwriting them does not
+    # remove {path}/_manifest the way the whole-dir IVF/layout builders
+    # do — a crash mid-rebuild would leave the old manifest validating
+    # a mixed-generation index (r7 review)
+    invalidate_manifest(spark, path)
 
     toks = docs.select(id_col, tokenize(text_col).alias("_toks"))
     dl = toks.select(id_col, F.size("_toks").alias("dl"), F.col("_toks"))

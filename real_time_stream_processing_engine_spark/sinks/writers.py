@@ -54,7 +54,10 @@ def write_results_with_provenance(
     column to be deterministic under re-evaluation — which
     ``read_text_lines`` guarantees (``uid`` = md5 of src_file:line_id,
     never ``uuid()``).  Pinned by
-    ``tests/test_sinks_catalog.py::test_provenance_uids_match_results``."""
+    ``tests/test_sinks_catalog.py::test_provenance_uids_match_results``.
+    The frame is persisted around the pair so the upstream plan (often
+    an expensive curation pipeline) executes ONCE, not once per sink
+    (r7 review)."""
     prov_cols = [c for c in ("uid", "src_file", "line_id") if c in df.columns]
     if fmt == "text" and prov_cols:
         # validate BEFORE any write: the provenance frame is multi-
@@ -66,12 +69,18 @@ def write_results_with_provenance(
             "fmt='text' cannot carry the multi-column provenance log; "
             "use parquet/csv/json for paired results+provenance writes"
         )
-    write_results(df, results_path, fmt)
-    if prov_cols:
+    if not prov_cols:
+        write_results(df, results_path, fmt)
+        return
+    df = df.persist()
+    try:
+        write_results(df, results_path, fmt)
         prov = df.select(*prov_cols).withColumn(
             "_processed_at", F.current_timestamp()
         )
         write_results(prov, provenance_path, fmt)
+    finally:
+        df.unpersist()
 
 
 def stream_to_files(
@@ -121,7 +130,11 @@ def write_training_shards(
     - ONE range exchange on ``shard_cols`` clusters each shard's rows
       into the same tasks (no per-task file dribble);
     - an in-partition sort on ``order_cols`` makes every file's row
-      order deterministic (resumable loaders index by offset);
+      order deterministic (resumable loaders index by offset) —
+      PROVIDED ``shard_cols + order_cols`` is a total order: rows tied
+      on every sort key land in shuffle-arrival order, which varies
+      run to run, so pass a unique tie-break (an id column) as the
+      last order col (r7 review);
     - ``maxRecordsPerFile`` splits oversized partitions at write time,
       bounding the largest file without another shuffle.
 

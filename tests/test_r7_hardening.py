@@ -461,3 +461,132 @@ def test_lang_id_score_column_clash_refused(spark):
     d = spark.createDataFrame([("the and of", 1)], "text string, _s_en long")
     with pytest.raises(ValueError, match="_s_en"):
         lang_id(d)
+
+
+# ---------------------------------------------------------------------------
+# cdc / indexing / sinks hardening (r7 review pass)
+# ---------------------------------------------------------------------------
+
+
+def _merge_frames(spark):
+    t = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")], "k long, bal double, name string"
+    )
+    u = spark.createDataFrame(
+        [(2, 99.0, "B"), (3, 30.0, "c")], "k long, nb double, nn string"
+    )
+    return t, u
+
+
+def test_upsert_typoed_destination_refused(spark):
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert,
+    )
+
+    t, u = _merge_frames(spark)
+    # 'balance' does not exist on the target: the old code silently
+    # dropped the mapping while still tagging rows op='update'
+    with pytest.raises(ValueError, match="balance"):
+        apply_upsert(t, u, ["k"], set_cols={"balance": "nb"})
+
+
+def test_upsert_missing_source_refused(spark):
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert,
+    )
+
+    t, u = _merge_frames(spark)
+    with pytest.raises(ValueError, match="no_such"):
+        apply_upsert(t, u, ["k"], set_cols={"bal": "no_such"})
+
+
+def test_upsert_present_name_refused(spark):
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert,
+    )
+
+    t = spark.createDataFrame([(1, 1.0)], "present long, bal double")
+    u = spark.createDataFrame([(1, 2.0)], "present long, nb double")
+    with pytest.raises(ValueError, match="present"):
+        apply_upsert(t, u, ["present"], set_cols={"bal": "nb"})
+
+
+def test_versioned_set_version_overlap_refused(spark):
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert_versioned,
+    )
+
+    t = spark.createDataFrame([(1, 1.0, None)], "k long, bal double, ver_ts timestamp")
+    u = spark.createDataFrame([(1, 2.0, "2020-01-01 00:00:00")],
+                              "k long, nb double, ts string")
+    u = u.selectExpr("k", "nb", "cast(ts as timestamp) as ts")
+    with pytest.raises(ValueError, match="BOTH set_cols and version_cols"):
+        apply_upsert_versioned(
+            t, u, ["k"], set_cols={"ver_ts": "ts"},
+            version_cols={"ver_ts": "ts"},
+        )
+
+
+def test_upsert_merge_semantics_unchanged(spark):
+    # regression pin across the r7 shared-core refactor
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert,
+    )
+
+    t, u = _merge_frames(spark)
+    rows = {
+        r.k: (r.bal, r.name, r.op)
+        for r in apply_upsert(
+            t, u, ["k"], set_cols={"bal": "nb"}, insert_only_cols={"name": "nn"}
+        ).collect()
+    }
+    assert rows == {
+        1: (10.0, "a", "keep"),
+        2: (99.0, "b", "update"),   # name untouched on update
+        3: (30.0, "c", "insert"),
+    }
+
+
+def test_params_fingerprint_refuses_unstable_objects():
+    from real_time_stream_processing_engine_spark.operators.indexing import (
+        params_fingerprint,
+    )
+
+    class Tok:
+        pass
+
+    with pytest.raises(TypeError, match="json-serializable"):
+        params_fingerprint({"tokenizer": Tok()})
+
+
+def test_bm25_rebuild_crash_leaves_no_stale_manifest(spark, sf_dir, tmp_path, monkeypatch):
+    # a rebuild that crashes after overwriting components must NOT
+    # leave the old manifest validating a mixed-generation index
+    from real_time_stream_processing_engine_spark.operators import indexing, text
+    from real_time_stream_processing_engine_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "bm25")
+    text.build_bm25_index(docs, path, n_shards=4)
+    fp_old = indexing.params_fingerprint(
+        {"id": "doc_id", "text": "text", "n_shards": 4, "seed": "bm25shard", "v": 1}
+    )
+    assert indexing.manifest_matches(spark, path, fp_old)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(
+        "real_time_stream_processing_engine_spark.operators.indexing.write_manifest",
+        boom,
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        text.build_bm25_index(docs, path, n_shards=8)
+    # the old manifest is gone: the next build rebuilds from scratch
+    assert not indexing.manifest_matches(spark, path, fp_old)
+
+
+def test_sinks_package_exports_training_shards():
+    from real_time_stream_processing_engine_spark.sinks import (  # noqa: F401
+        write_training_shards,
+    )
