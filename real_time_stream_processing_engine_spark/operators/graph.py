@@ -289,6 +289,12 @@ def connected_components_star(
         e = _round_persist(
             _small_star(_large_star(e)), it, checkpoint_dir, checkpoint_every
         )
+        # convergence = equal (count, Σ xxhash64(u,v)) fingerprints of
+        # consecutive edge sets.  DOCUMENTED TRADEOFF (r7 review): two
+        # different sets colliding on both is ~2⁻⁶⁴ per round — traded
+        # against an exact except/anti-join comparison that would cost
+        # an extra |E| shuffle every round; the min-label sibling keeps
+        # the exact changed-count form for callers who want it.
         fp = e.agg(
             F.count("*").alias("n"),
             F.coalesce(
@@ -345,6 +351,12 @@ def pagerank(
     Determinism: mass sums are doubles; callers round before ordering
     (the q106 oracle replays both rounds in SQL and compares ROUNDED
     ranks, same contract as the k-means oracle)."""
+    # one lazy cut on the caller's edge pipeline: edges feeds nodes
+    # (twice), deg, and every iteration's contribution join — without
+    # the cut an expensive upstream (q106's edge build) re-executes
+    # ~2+4·iters times (r7 review; the r6 single-upstream-pass rule
+    # the star CC and triangle census already follow)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
@@ -409,7 +421,19 @@ def kcore(
         # siblings set this too; without it df.checkpoint() raises
         # "Checkpoint directory has not been set" (r5 review catch)
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+    # canonicalize like triangle_stats/adamic_adar: a symmetrized list
+    # (both (a,b) and (b,a)) would double every degree and keep the
+    # whole degree-1 tail the peel exists to strip, and a self-loop
+    # alone counts as degree 2 and survives as a fake core node (r7
+    # review — latent: q203 already passes canonical x<y pairs)
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("x"),
+            F.greatest(src_col, dst_col).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
     for it in range(rounds):
         keep = (
             e.select(F.col("x").alias("v"))
@@ -504,10 +528,15 @@ def triangle_stats(
     tri = wedges.join(closing, ["p", "q"], "left_semi").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+    # coalesce: sums over an EMPTY degree table (all-self-loop or empty
+    # input) are NULL, but the declared contract is exact integers with
+    # NULL reserved for clustering_ppm on wedge-free graphs (r7 review)
     stats = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
-        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
-        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
     )
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
@@ -627,8 +656,16 @@ def copresence_pairs(
     if max_users < 2:
         raise ValueError(f"max_users must be >= 2, got {max_users}")
     cell = F.date_trunc("hour", F.col(ts_col))
+    # NULL kind is excluded EXPLICITLY with the other two (r7 review):
+    # it used to survive this filter, pay the distinct+groupBy cost,
+    # then silently vanish at the equi-joins on (_k, _h) — exclusion by
+    # join semantics instead of by declaration
     b = (
-        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        events.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(kind_col).isNotNull()
+        )
         .select(
             F.col(user_col).alias("_u"),
             F.col(kind_col).alias("_k"),

@@ -157,8 +157,21 @@ def bloom_prefilter(
     """Filter ``df`` to rows whose key MAY be in the Bloom filter
     (all ``num_hashes`` bits set).  Pure codegen — the bitmap rides as
     an array literal in the plan and each probe is element_at + AND,
-    no Python, no join, no shuffle; apply BEFORE the exact join."""
+    no Python, no join, no shuffle; apply BEFORE the exact join.
+
+    ``num_bits`` must agree with the build: probing pmod a larger
+    modulus than the bitmap was built with indexes past the word array
+    (NULL condition off-ANSI → rows silently dropped = FALSE
+    NEGATIVES, the one guarantee a Bloom filter must never break; a
+    runtime error under ANSI).  The bitmap itself pins the truth —
+    64 * len(bitmap) — so a mismatch is refused here (r7 review)."""
     _check_num_bits(num_bits)
+    if num_bits != 64 * len(bitmap):
+        raise ValueError(
+            f"num_bits={num_bits} does not match the bitmap "
+            f"(64 * {len(bitmap)} words = {64 * len(bitmap)} bits): a "
+            "build/probe modulus mismatch would produce false negatives"
+        )
     arr = F.lit(bitmap)
     # each hash computed ONCE into a scratch column and reused for the
     # word index and the bit; the key reference stays in the column API

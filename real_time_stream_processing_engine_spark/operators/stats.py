@@ -334,9 +334,21 @@ def distributed_cumsum(df: DataFrame, order_cols: list[str],
     small groups fine; this function exists for the few-huge-groups
     skew case).
     """
-    from pyspark.sql import Window
-
     gcols = list(group_cols or [])
+    # the offsets accumulate through Python int / Decimal and the final
+    # cum is decimal(38,0): a fractional value column would be silently
+    # FLOORED at every partition boundary — refuse it (r7 review; every
+    # in-repo caller pre-casts to long for exactness anyway)
+    vtype = dict(df.dtypes)[value_col]
+    if not (
+        vtype in ("bigint", "int", "smallint", "tinyint")
+        or (vtype.startswith("decimal(") and vtype.endswith(",0)"))
+    ):
+        raise TypeError(
+            f"distributed_cumsum needs an integral value column for an "
+            f"exact running sum; {value_col} is {vtype} — cast to long "
+            "or a scale-0 decimal (e.g. a fixed-point micro grid) first"
+        )
     n_parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
@@ -396,10 +408,19 @@ def distributed_cumsum(df: DataFrame, order_cols: list[str],
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # eqNullSafe on the group keys: a plain equi-join would DROP every
+    # NULL-group row here (NULL never equals NULL in a join), unlike
+    # the Window.partitionBy this function documents itself as the
+    # drop-in swap for, which treats NULL as a normal group (r7 review)
+    local = withpid.withColumn("_lrk", F.count("*").over(w)).withColumn(
+        "_lcum", F.sum(value_col).over(w)
+    )
+    cond = local["_pid"] == offsets["_pid"]
+    for c in gcols:
+        cond = cond & local[c].eqNullSafe(offsets[c])
     return (
-        withpid.withColumn("_lrk", F.count("*").over(w))
-        .withColumn("_lcum", F.sum(value_col).over(w))
-        .join(F.broadcast(offsets), ["_pid", *gcols])
+        local.join(F.broadcast(offsets), cond)
+        .drop(offsets["_pid"], *[offsets[c] for c in gcols])
         .withColumn("rk", (F.col("_off_n") + F.col("_lrk")).cast("long"))
         .withColumn(
             "cum", (F.col("_off_s") + F.col("_lcum")).cast("decimal(38,0)")

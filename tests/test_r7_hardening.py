@@ -590,3 +590,65 @@ def test_sinks_package_exports_training_shards():
     from real_time_stream_processing_engine_spark.sinks import (  # noqa: F401
         write_training_shards,
     )
+
+
+# ---------------------------------------------------------------------------
+# graph / sketches / stats hardening (r7 review pass)
+# ---------------------------------------------------------------------------
+
+
+def test_cumsum_null_group_rows_survive(spark):
+    # NULL is a normal group for Window.partitionBy; the offsets join
+    # must not silently drop those rows (plain equi-join would)
+    d = spark.createDataFrame(
+        [(1, "a", 1), (2, None, 1), (3, None, 1), (4, "a", 1)],
+        "rid long, g string, v long",
+    )
+    out = distributed_cumsum(d, ["rid"], "v", group_cols=["g"]).collect()
+    assert len(out) == 4
+    nulls = sorted((r.rid, int(r.cum)) for r in out if r.g is None)
+    assert nulls == [(2, 1), (3, 2)]
+
+
+def test_cumsum_fractional_value_refused(spark):
+    d = spark.createDataFrame([(1, 0.5)], "rid long, v double")
+    with pytest.raises(TypeError, match="integral"):
+        distributed_cumsum(d, ["rid"], "v")
+
+
+def test_bloom_prefilter_modulus_mismatch_refused(spark):
+    from real_time_stream_processing_engine_spark.operators.sketches import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    dim = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    bm = bloom_build(dim, "k", num_bits=1 << 16)
+    with pytest.raises(ValueError, match="false negatives"):
+        bloom_prefilter(dim, "k", bm, num_bits=1 << 20)
+    # matching modulus keeps the no-false-negatives guarantee
+    kept = bloom_prefilter(dim, "k", bm, num_bits=1 << 16).count()
+    assert kept == 20
+
+
+def test_kcore_canonicalizes_symmetrized_and_selfloop_edges(spark):
+    from real_time_stream_processing_engine_spark.operators.graph import kcore
+
+    # a path a-b-c given SYMMETRIZED (+ a self-loop): every true degree
+    # is < 2, so kcore(k=2) must strip everything; inflated degrees
+    # from the duplicate/self-loop edges used to keep fake core nodes
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (4, 4)], "src long, dst long"
+    )
+    assert kcore(e, k=2, rounds=4).count() == 0
+
+
+def test_triangle_stats_empty_graph_zeros(spark):
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    e = spark.createDataFrame([(7, 7)], "u long, v long")  # self-loop only
+    r = triangle_stats(e).head()
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (0, 0, 0, 0)
+    assert r.clustering_ppm is None
