@@ -36,9 +36,11 @@ MAX_BUCKET = 4096
 
 def _cap_buckets(
     buckets: DataFrame,
-    arr_col: str,
+    arr_col: str | None,
     max_bucket: int | None,
     on_overflow: str,
+    size_col=None,
+    what: str = "bucket",
 ) -> tuple[DataFrame, DataFrame | None]:
     """Enforce the mega-bucket cap on a (key, collect_list) frame.
 
@@ -62,13 +64,16 @@ def _cap_buckets(
         return buckets, None
     if on_overflow not in ("drop", "error"):
         raise ValueError(f"on_overflow must be 'drop' or 'error', got {on_overflow!r}")
-    size = F.size(arr_col)
+    # size either from a collect_list column or a caller-supplied count
+    # column (the prefix-filter variant caps a (gram, count) frame — it
+    # used to re-implement this whole contract inline; r7 review)
+    size = size_col if size_col is not None else F.size(arr_col)
     if on_overflow == "error":
         chk = F.when(
             size > max_bucket,
             F.raise_error(
                 F.concat(
-                    F.lit(f"bucket exceeds max_bucket={max_bucket}: size="),
+                    F.lit(f"{what} exceeds max_bucket={max_bucket}: size="),
                     size.cast("string"),
                 )
             ).cast("boolean"),
@@ -324,10 +329,17 @@ def ngram_jaccard_pairs_blocked(
     - a ``n_salt``-cell grid salt splits each block's pair space across
       ``n_salt`` tasks (one side replicated n_salt times — the standard
       replicate-vs-parallelize trade for self-joins on few-valued keys);
-    - the Jaccard length filter (t*|A| <= |B| <= |A|/t) prunes pairs
-      before any intersection is computed."""
+    - the Jaccard length filter (t*|A| <= |B| <= |A|/t, epsilon-guarded
+      against binary-double slop in t*|A| — the same 0.07*100 =
+      7.000000000000001 case the prefix variant documents) prunes
+      pairs before any intersection is computed.
+
+    Rows with a NULL ``block_col`` are EXCLUDED by declaration (they
+    carry no blocking key to meet on) — explicitly, not as an accident
+    of join semantics (r7 review)."""
     cols = [id_col] + ([block_col] if block_col else [])
-    docs = _gram_arrays(df, cols, text_col, k)
+    base = df.filter(F.col(block_col).isNotNull()) if block_col else df
+    docs = _gram_arrays(base, cols, text_col, k)
     blk = [block_col] if block_col else []
     a = docs.select(
         *blk,
@@ -346,8 +358,11 @@ def ngram_jaccard_pairs_blocked(
         a.join(b, blk + ["_cell"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("_nb") * threshold <= F.col("_na"))
-            & (F.col("_na") * threshold <= F.col("_nb"))
+            # -1e-9: the filter may only LOOSEN (extra candidates are
+            # re-verified exactly below); without it 100*0.07 >
+            # 7 excludes a pair whose true Jaccard equals the threshold
+            & (F.col("_nb") * threshold - F.lit(1e-9) <= F.col("_na"))
+            & (F.col("_na") * threshold - F.lit(1e-9) <= F.col("_nb"))
         )
         .select(
             "doc_a",
@@ -361,7 +376,13 @@ def ngram_jaccard_pairs_blocked(
 def _gram_arrays(df: DataFrame, cols: list[str], text_col: str, k: int) -> DataFrame:
     """Per-doc sorted array of xxhash64'd distinct grams + set size
     (map-side only; hashing before the pair join makes every downstream
-    comparison a long compare)."""
+    comparison a long compare).  Grams come from
+    :func:`..functions.textfn.gram_array` — THE one gram constructor —
+    not a re-implementation (r7 review: this body had duplicated it
+    verbatim, the exact silent-divergence hazard that helper exists to
+    prevent)."""
+    from ..functions.textfn import gram_array
+
     toks = tokenize(text_col)
     return (
         df.select(*cols, toks.alias("_toks"))
@@ -370,12 +391,7 @@ def _gram_arrays(df: DataFrame, cols: list[str], text_col: str, k: int) -> DataF
             *cols,
             F.array_sort(
                 F.transform(
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
-                            lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
-                        )
-                    ),
+                    F.array_distinct(gram_array(F.col("_toks"), k)),
                     lambda g: F.xxhash64(g),
                 )
             ).alias("grams"),
@@ -414,9 +430,15 @@ def ngram_jaccard_pairs_prefix(
     fail loudly with ``on_overflow='error'`` (the exact-oracle mode).
     (On tiny-vocab corpora every doc shares its prefix with most others
     and this degrades to all-pairs plus overhead — use the blocked form
-    there.)"""
+    there.)
+
+    Rows with a NULL ``block_col`` are EXCLUDED by declaration, like
+    the blocked variant (r7 review — the candidate join's plain
+    equality silently dropped them anyway; now it is stated and
+    filtered up front)."""
     cols = [id_col] + ([block_col] if block_col else [])
-    g = shingles(df.select(*cols, text_col), text_col, k=k, out="gram")
+    base = df.filter(F.col(block_col).isNotNull()) if block_col else df
+    g = shingles(base.select(*cols, text_col), text_col, k=k, out="gram")
 
     freq = g.groupBy("gram").agg(F.count("*").alias("_f"))
     docs = (
@@ -447,42 +469,27 @@ def ngram_jaccard_pairs_prefix(
         )
     )
 
+    # docs feeds the prefix explode AND both verification legs, pref
+    # feeds both candidate-join sides — one lazy lineage cut each, the
+    # same multi-consumer discipline as edit_distance/containment (r7
+    # review: without the cuts the shingle+freq+sort pipeline re-ran
+    # ~4x, roughly quadrupling the operator's dominant stage)
+    docs = docs.localCheckpoint(eager=False)
     pref = docs.select(
         *cols, F.explode(F.slice("grams", 1, F.col("_plen").cast("int"))).alias("gram")
     )
     overflow_stats = None
     if max_bucket is not None:
-        if on_overflow not in ("drop", "error"):
-            raise ValueError(
-                f"on_overflow must be 'drop' or 'error', got {on_overflow!r}"
-            )
+        # the shared mega-bucket contract, sized by the precomputed
+        # prefix-gram count instead of a collect_list (r7 review: this
+        # block used to re-implement _cap_buckets inline)
         pf = pref.groupBy("gram").agg(F.count("*").alias("_pf"))
-        if on_overflow == "error":
-            chk = F.when(
-                F.col("_pf") > max_bucket,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"prefix gram exceeds max_bucket={max_bucket}: size="
-                        ),
-                        F.col("_pf").cast("string"),
-                    )
-                ).cast("boolean"),
-            ).otherwise(F.lit(True))
-            keep = pf.filter(chk).select("gram")
-        else:
-            overflow_stats = pf.agg(
-                F.count(F.when(F.col("_pf") > max_bucket, 1)).alias(
-                    "overflow_buckets"
-                ),
-                F.coalesce(
-                    F.sum(F.when(F.col("_pf") > max_bucket, F.col("_pf"))),
-                    F.lit(0),
-                ).alias("overflow_members"),
-                F.coalesce(F.max("_pf"), F.lit(0)).alias("max_bucket_size"),
-            )
-            keep = pf.filter(F.col("_pf") <= max_bucket).select("gram")
-        pref = pref.join(keep, "gram", "left_semi")
+        kept, overflow_stats = _cap_buckets(
+            pf, None, max_bucket, on_overflow,
+            size_col=F.col("_pf"), what="prefix gram",
+        )
+        pref = pref.join(kept.select("gram"), "gram", "left_semi")
+    pref = pref.localCheckpoint(eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     cond = (F.col("a.gram") == F.col("b.gram")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -756,8 +763,10 @@ def edit_distance_pairs(
             "a >=2-bucket skew implies a length gap beyond max_dist"
         )
     nw = normalize_ws(text_col)
+    # NULL blocks excluded by declaration, like the Jaccard variants
+    # (r7 review — the _blk equi-join silently dropped them anyway)
     base = (
-        df.filter(F.col(text_col).isNotNull())
+        df.filter(F.col(text_col).isNotNull() & F.col(block_col).isNotNull())
         .select(
             F.col(id_col).alias("_id"),
             F.col(block_col).alias("_blk"),

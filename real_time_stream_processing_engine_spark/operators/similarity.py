@@ -73,25 +73,41 @@ def blocked_neardup_pairs(
         .filter(F.size("ms") > 1)
     )
     buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
-    # sorted by id + (i < j) keeps vec_a < vec_b; dot product runs
-    # inside the same codegen'd expression (double-promoted like dot())
-    pair_expr = f"""
+    pairs = buckets.select(
+        F.explode(_cosine_pair_expr(threshold)).alias("p")
+    ).select("p.vec_a", "p.vec_b", "p.cos_sim")
+    pairs.bucket_overflow = overflow_stats
+    return pairs
+
+
+def _cosine_pair_expr(threshold: float):
+    """In-bucket pair expansion with exact cosine verification — ONE
+    codegen expression shared by :func:`blocked_neardup_pairs` and
+    :func:`rp_lsh_neardup_pairs` (they carried verbatim copies; a fix
+    to one would have silently missed the other — r7 review).
+
+    Buckets are sorted by id and (i < j) keeps vec_a < vec_b; the dot
+    product runs inside the same codegen'd expression
+    (double-promoted like dot()).  ``try_divide`` maps a zero-norm
+    vector's cosine to NULL (a bare ``/`` would fail the whole job
+    under ANSI), and the threshold filter then excludes its pairs —
+    cosine against the zero vector is undefined, so exclusion is the
+    declared semantics (same posture as ``_cell_assignment_expr``)."""
+    return F.expr(
+        f"""
       flatten(transform(ms, (x, i) ->
         filter(transform(ms, (y, j) ->
           CASE WHEN j > i THEN named_struct(
             'vec_a', x.id, 'vec_b', y.id,
             'cos_sim', round(
-              aggregate(zip_with(x.v, y.v,
-                         (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-                        CAST(0 AS DOUBLE), (acc, z) -> acc + z)
-              / (x.n * y.n), 6)) END),
+              try_divide(
+                aggregate(zip_with(x.v, y.v,
+                           (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+                          CAST(0 AS DOUBLE), (acc, z) -> acc + z),
+                x.n * y.n), 6)) END),
           p -> p IS NOT NULL AND p.cos_sim > {float(threshold)})))
     """
-    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
-        "p.vec_a", "p.vec_b", "p.cos_sim"
     )
-    pairs.bucket_overflow = overflow_stats
-    return pairs
 
 
 def _rp_bucket_expr(hyperplanes: list[tuple[int, list[float]]], vec_col: str):
@@ -173,20 +189,8 @@ def rp_lsh_neardup_pairs(
         .filter(F.size("ms") > 1)
     )
     buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
-    pair_expr = f"""
-      flatten(transform(ms, (x, i) ->
-        filter(transform(ms, (y, j) ->
-          CASE WHEN j > i THEN named_struct(
-            'vec_a', x.id, 'vec_b', y.id,
-            'cos_sim', round(
-              aggregate(zip_with(x.v, y.v,
-                         (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-                        CAST(0 AS DOUBLE), (acc, z) -> acc + z)
-              / (x.n * y.n), 6)) END),
-          p -> p IS NOT NULL AND p.cos_sim > {float(threshold)})))
-    """
     pairs = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        buckets.select(F.explode(_cosine_pair_expr(threshold)).alias("p"))
         .select("p.vec_a", "p.vec_b", "p.cos_sim")
         .distinct()
     )
@@ -270,7 +274,13 @@ def _exact_rank(
     exclude_id: int | None,
 ) -> DataFrame:
     """Exact cosine top-k over an (already pruned) frame — codegen dot
-    product, TakeOrderedAndProject, 6dp rounding for determinism."""
+    product, TakeOrderedAndProject, 6dp rounding for determinism.
+
+    A zero-norm corpus vector has undefined cosine: ``try_divide``
+    keeps it NULL instead of ANSI-failing the whole query (the guard
+    whitened/hard-negative already carry — r7 review), and
+    ``desc_nulls_last`` keeps NULLs out of the top-k even when k
+    exceeds the count of scored rows."""
     import math
 
     if exclude_id is not None:
@@ -281,10 +291,14 @@ def _exact_rank(
         df.select(
             id_col,
             F.round(
-                dot(F.col(vec_col), qlit) / (l2_norm(F.col(vec_col)) * F.lit(qnorm)), 6
+                F.try_divide(
+                    dot(F.col(vec_col), qlit),
+                    l2_norm(F.col(vec_col)) * F.lit(qnorm),
+                ),
+                6,
             ).alias("cos_sim"),
         )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .orderBy(F.desc_nulls_last("cos_sim"), F.asc(id_col))
         .limit(k)
     )
 
@@ -478,11 +492,18 @@ def pq_adc_topk(
     df = encoded
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
+    # only properly encoded rows are rankable (r7 review): a NULL or
+    # short pq_codes is not "far", it is UNRANKABLE — and empirically a
+    # NULL code index does NOT null-propagate through element_at on
+    # this Spark build (it returned a bogus in-range lookup), so the
+    # guard must be a filter, not null ordering.  asc_nulls_last stays
+    # as defense in depth for any residual NULL distance.
+    df = df.filter(F.col(codes_col).isNotNull() & (F.size(codes_col) == M))
     # order by the UNROUNDED estimate (round only for output hashing),
     # so the top-k cut agrees with an oracle ordering its own exact sum
     return (
         df.select(F.col(id_col), d.alias("_d"))
-        .orderBy(F.asc("_d"), F.asc(id_col))
+        .orderBy(F.asc_nulls_last("_d"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("_d", 6).alias("adc_dist"))
     )
@@ -779,6 +800,12 @@ def whitened_topk(
     q = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
     if q is None:
         raise ValueError(f"query_id {query_id} not found in {id_col}")
+    if q[0] is None:
+        # a NULL embedding used to surface as a bare TypeError from
+        # zip() with no mention of the query id (r7 review)
+        raise ValueError(
+            f"query_id {query_id} has a NULL {vec_col} — no query vector"
+        )
     qw_vals = [
         (float(x) - float(r.mu)) * (1.0 / float(r.sd) if r.sd and r.sd > 0.0 else 0.0)
         for x, r in zip(q[0], dims)

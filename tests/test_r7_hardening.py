@@ -652,3 +652,72 @@ def test_triangle_stats_empty_graph_zeros(spark):
     r = triangle_stats(e).head()
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (0, 0, 0, 0)
     assert r.clustering_ppm is None
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity hardening (r7 review pass)
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_jaccard_boundary_pair_survives_epsilon(spark):
+    # doc A: 7 distinct grams all contained in doc B's 100: exact
+    # Jaccard = 0.07 == threshold; the unguarded length filter
+    # (100 * 0.07 = 7.000000000000001 <= 7 -> false) used to drop it
+    from real_time_stream_processing_engine_spark.operators.dedup import (
+        ngram_jaccard_pairs_blocked,
+    )
+
+    words = [f"w{i}" for i in range(101)]  # 100 bigrams
+    a_text = " ".join(words[:8])           # 7 bigrams, a prefix of b
+    b_text = " ".join(words)
+    d = spark.createDataFrame(
+        [(1, "x", a_text), (2, "x", b_text)], "doc_id long, lang string, text string"
+    )
+    out = ngram_jaccard_pairs_blocked(d, threshold=0.07).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(1, 2, 0.07)]
+
+
+def test_blocked_jaccard_null_block_excluded(spark):
+    from real_time_stream_processing_engine_spark.operators.dedup import (
+        ngram_jaccard_pairs_blocked,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None, "a b c d"), (2, None, "a b c d")],
+        "doc_id long, lang string, text string",
+    )
+    assert ngram_jaccard_pairs_blocked(d, threshold=0.5).count() == 0
+
+
+def test_exact_rank_zero_norm_vector_excluded(spark):
+    # a zero embedding must neither ANSI-fail the query nor occupy a
+    # top-k slot with a NULL score
+    from real_time_stream_processing_engine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.8, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = brute_force_topk(d, [1.0, 0.0], k=3).collect()
+    ids = [r.vec_id for r in rows]
+    assert ids[:2] == [1, 3] and (len(ids) == 2 or rows[-1].cos_sim is None or ids[-1] == 2)
+    assert all(r.cos_sim is not None for r in rows[:2])
+
+
+def test_pq_adc_null_codes_sort_last(spark):
+    from real_time_stream_processing_engine_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    enc = spark.createDataFrame(
+        [(1, [0, 0]), (2, None), (3, [1, 1])],
+        "vec_id long, pq_codes array<int>",
+    )
+    lut = [[0.1, 0.9], [0.1, 0.9]]
+    rows = pq_adc_topk(enc, lut, k=3).collect()
+    # NULL codes are UNRANKABLE and filtered (a NULL index does not
+    # even null-propagate through element_at on this build — it
+    # produced a bogus in-range lookup, so ordering can't save it)
+    assert [r.vec_id for r in rows] == [1, 3]
