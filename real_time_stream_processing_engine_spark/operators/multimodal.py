@@ -51,8 +51,14 @@ def _payloads(
     probing the current partition count via ``df.rdd.getNumPartitions()``
     forces an RDD conversion + plan analysis per call, which costs more
     than the shuffle it tries to avoid — and before a CPU-bound Python
-    decode the shuffle pays for itself whenever it widens parallelism."""
-    with_payload = docs.select(
+    decode the shuffle pays for itself whenever it widens parallelism.
+
+    Rows with a NULL ``text_col`` carry no payload and are EXCLUDED by
+    declaration (r7 review): a None payload reaching the fake decode
+    stages raised a TypeError that killed the whole stage — the real
+    decode paths quarantine per-row instead, but the fake schemas have
+    no error column, so declared exclusion is the honest contract."""
+    with_payload = docs.filter(F.col(text_col).isNotNull()).select(
         "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
     if min_parallelism:
@@ -60,16 +66,22 @@ def _payloads(
     return with_payload
 
 
+#: THE one PPM/PGM header pattern — decode_ppm and iter_ppm_frames
+#: both match through it (they carried byte-identical copies; a
+#: comment-handling fix to one would have silently diverged the
+#: single-image decoder from the video-container walker — r7 review)
+_PPM_HDR = re.compile(
+    rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+    rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s"
+)
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Decode binary PPM (P6, RGB) / PGM (P5, grayscale) to an
     (h, w, c) uint8 array.  Pure numpy: header is ASCII tokens
     (magic, width, height, maxval) with ``#`` comments, then one raw
     raster separated by a single whitespace byte."""
-    m = re.match(
-        rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
-        rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s",
-        payload,
-    )
+    m = _PPM_HDR.match(payload)
     if not m:
         raise ValueError("not a binary PPM/PGM payload")
     magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
@@ -211,6 +223,11 @@ def make_frame_sampler(n_frames: int = 4):
     DETERMINISTIC FAKE: frames are equal byte-slices of the payload,
     "featurized" as md5 prefixes.  A real sampler swaps the slice+md5
     body for pyav keyframe extraction; schema and batching stay put."""
+    if n_frames < 1:
+        # fail once at the driver: n_frames=0 would silently emit zero
+        # rows per document with a "successful" job (r7 review — the
+        # guard real_audio_frames/sample_video_frames already carry)
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -419,6 +436,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if n_ch < 1 or rate < 1:
+        # a zero channel count escaped as ZeroDivisionError below, and
+        # rate=0 "decoded" only to poison duration_s downstream with a
+        # misleading arithmetic error (r7 review) — malformed headers
+        # get the contract's ValueError like every other reject
+        raise ValueError(f"unsupported WAV: channels={n_ch} rate={rate}")
     samples = np.frombuffer(
         data[: (len(data) // (2 * n_ch)) * 2 * n_ch], dtype="<i2"
     ).reshape(-1, n_ch)
@@ -574,20 +597,20 @@ def real_audio_frames(frame_size: int):
 
 
 def extract_audio_frames(
-    audio: DataFrame, frame_size: int = 2, payload_col: str = "payload"
+    audio: DataFrame, frame_size: int = 2, payload_col: str = "payload",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Per-frame energy extraction over (doc_id, payload) WAV bytes —
     the framing step every audio featurizer (VAD, loudness
     normalization, spectrogram prep) starts from, as the same Arrow
-    mapInPandas shape as the image/audio feature paths."""
+    mapInPandas shape as the image/audio feature paths.
+    ``min_parallelism`` widens the CPU-bound decode like every sibling
+    entry point (this row-exploding stage was the one without the
+    knob; r7 review)."""
     df = audio.select("doc_id", F.col(payload_col).alias("payload"))
+    if min_parallelism:
+        df = df.repartition(min_parallelism)
     return df.mapInPandas(real_audio_frames(frame_size), AUDIO_FRAME_SCHEMA)
-
-
-_PPM_HDR = re.compile(
-    rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
-    rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s"
-)
 
 
 def iter_ppm_frames(payload: bytes):
@@ -595,15 +618,21 @@ def iter_ppm_frames(payload: bytes):
     'video' this environment can decode natively — an MJPEG-style
     stream with PPM/PGM frames) yielding (h, w, c) uint8 arrays.
     Raises on the first malformed frame so a truncated tail cannot
-    silently pass as a short clip."""
+    silently pass as a short clip.
+
+    Matching uses ``_PPM_HDR.match(payload, pos)`` — NOT
+    ``payload[pos:]`` — so the walk never copies the remaining tail
+    per frame (that made container decode O(frames x bytes): hundreds
+    of GB of memcpy on a 100 MB multi-thousand-frame clip; r7
+    review)."""
     pos = 0
     while pos < len(payload):
-        m = _PPM_HDR.match(payload[pos:])
+        m = _PPM_HDR.match(payload, pos)
         if not m:
             raise ValueError(f"bad frame header at offset {pos}")
         w, h = int(m.group(2)), int(m.group(3))
         c = 3 if m.group(1) == b"P6" else 1
-        start = pos + m.end()
+        start = m.end()
         need = w * h * c
         if len(payload) - start < need:
             raise ValueError(f"truncated frame at offset {pos}")
@@ -648,6 +677,14 @@ def sample_video_frames(video: DataFrame, stride: int = 2,
                 "max_px", "decode_error",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                # frames emit DURING iteration, so a mid-stream decode
+                # failure must ROLL BACK the doc's partial rows: without
+                # this a truncated clip's leading frames shipped as a
+                # "valid short clip" — the exact outcome the
+                # raise-on-truncation contract exists to prevent (r7
+                # review; the WAV paths are immune only because they
+                # decode fully before emitting)
+                mark = len(rows["doc_id"])
                 try:
                     for i, frame in enumerate(iter_ppm_frames(bytes(payload))):
                         if i % stride:
@@ -661,6 +698,8 @@ def sample_video_frames(video: DataFrame, stride: int = 2,
                         rows["max_px"].append(int(flat.max()))
                         rows["decode_error"].append(None)
                 except Exception as e:
+                    for k in rows:
+                        del rows[k][mark:]
                     rows["doc_id"].append(int(doc_id))
                     rows["frame_idx"].append(-1)
                     for k in ("n_px", "sum_px", "min_px", "max_px"):

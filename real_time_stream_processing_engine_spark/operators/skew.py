@@ -26,7 +26,15 @@ def _spread_salt(n_salt: int):
     re-concentrate in a single task, silently defeating the mitigation
     (r5 review catch).  Aggregation and the salted join are both
     correct under ANY salt assignment, so retry/repartition
-    nondeterminism of the salt is harmless."""
+    nondeterminism of the salt is harmless.
+
+    ``n_salt`` must be >= 1 — refused here, once, at the driver:
+    pmod(x, 0) yields NULL salts off-ANSI, and in the salted JOIN a
+    NULL salt never equi-matches, silently returning zero rows (inner)
+    or all-NULL small columns (left) with a successful job (r7
+    review)."""
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     return F.pmod(
         F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
         F.lit(n_salt),

@@ -721,3 +721,64 @@ def test_pq_adc_null_codes_sort_last(spark):
     # even null-propagate through element_at on this build — it
     # produced a bogus in-range lookup, so ordering can't save it)
     assert [r.vec_id for r in rows] == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# multimodal / skew hardening (r7 review pass)
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_clip_rolls_back_partial_frames(spark):
+    # 2 valid frames + a truncated third: the doc must emit ONLY the
+    # quarantine row, not "2 valid frames of a short clip"
+    import numpy as np
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        encode_ppm,
+        sample_video_frames,
+    )
+
+    f = encode_ppm(np.full((2, 2, 3), 7, dtype=np.uint8))
+    clip = f + f + f[: len(f) - 4]
+    d = spark.createDataFrame([(1, bytearray(clip))], "doc_id long, payload binary")
+    rows = sample_video_frames(d, stride=1).collect()
+    assert len(rows) == 1 and rows[0].frame_idx == -1
+    assert "truncated" in rows[0].decode_error
+
+
+def test_null_text_rows_excluded_from_fake_decodes(spark):
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in extract_features(d).collect()} == {1}
+    assert {r.doc_id for r in sample_frames(d, n_frames=2).collect()} == {1}
+
+
+def test_frame_sampler_and_salt_guards(spark):
+    import pytest as _pytest
+
+    from real_time_stream_processing_engine_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        make_frame_sampler,
+    )
+    from real_time_stream_processing_engine_spark.operators.skew import (
+        salted_join,
+    )
+    import numpy as np
+
+    with _pytest.raises(ValueError, match="n_frames"):
+        make_frame_sampler(0)
+    with _pytest.raises(ValueError, match="n_salt"):
+        d = spark.createDataFrame([(1, 1)], "k long, v long")
+        salted_join(d, d, "k", n_salt=0)
+    # zero-channel WAV rejects with the contract's ValueError
+    wav = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    wav[22:24] = (0).to_bytes(2, "little")  # n_ch = 0 in the fmt chunk
+    with _pytest.raises(ValueError, match="channels=0"):
+        decode_wav(bytes(wav))
