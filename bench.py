@@ -124,8 +124,14 @@ def main() -> None:
         f = _family(name)
         families[f] = round(families.get(f, 0.0) + max(v, 0.0), 3)
         fam_n[f] = fam_n.get(f, 0) + 1
+    # failures (timed -1) are carried in "failed", never here — with
+    # <10 successes they'd otherwise pad the tail as "-1 s queries"
+    # (r7 advice)
     slowest10 = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        sorted(
+            (kv for kv in timings.items() if kv[1] > 0),
+            key=lambda kv: -kv[1],
+        )[:10]
     )
     print(
         json.dumps(

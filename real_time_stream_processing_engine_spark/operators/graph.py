@@ -416,7 +416,15 @@ def kcore(
     round is one partial-aggregated degree count + two hash semi
     joins — linear in |E|, no global structure — and takes a lineage
     cut via the shared ``_round_persist`` levers (reliable
-    ``checkpoint_dir`` every K rounds for deep peels at scale)."""
+    ``checkpoint_dir`` every K rounds for deep peels at scale).
+
+    SIMPLE-GRAPH CONTRACT (r7 advice): the input is treated as an
+    undirected simple graph — edges are canonicalized to (min, max),
+    DEDUPLICATED, and self-loops dropped before the first degree
+    count.  A weighted/multigraph edge list therefore contributes
+    each neighbor ONCE to degree, regardless of multiplicity; callers
+    needing multiplicity-weighted peeling must pre-aggregate weights
+    into an explicit column and use a weighted-degree variant."""
     if checkpoint_dir is not None:
         # siblings set this too; without it df.checkpoint() raises
         # "Checkpoint directory has not been set" (r5 review catch)

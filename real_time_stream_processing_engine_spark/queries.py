@@ -6025,8 +6025,11 @@ def q140_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q141_basket_similarity",
     """
-    WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    WITH cp0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    pop AS (SELECT p, count(*) AS np FROM cp0 GROUP BY 1),
+    cp AS (SELECT cp0.c, cp0.p FROM cp0 JOIN pop ON cp0.p = pop.p
+           WHERE pop.np <= 1000),
     sz AS (SELECT c, count(*) AS n FROM cp GROUP BY 1),
     inter AS (SELECT a.c AS ca, b.c AS cb, count(*) AS i
               FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
@@ -6051,10 +6054,18 @@ def q141_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     families, with the min-intersection HAVING pruning the pair tail
     before the size join.  Set sizes broadcast back; Jaccard is exact
     integer ppm; the top-50 cut runs as TakeOrdered with full
-    tie-break (jppm, ca, cb), no global sort.  At 100 TB the one added
-    step is a part-popularity cap before pairing (the q15/q16 bucket
-    cap) — the data here has no hot part, so the exact form is the
-    honest one."""
+    tie-break (jppm, ca, cb), no global sort.
+
+    The part-popularity cap (``max_item_popularity=1000``) is DECLARED
+    semantics, mirrored in the oracle (r7 verdict item 3 — the
+    cap-is-semantics pattern every LSH operator uses): a part bought
+    by everyone makes its inverted-index term quadratic in the corpus,
+    so such parts are dropped BEFORE pairing, exactly as
+    ``dedup._cap_buckets`` caps LSH mega-buckets.  No part binds the
+    cap at sf0.01/sf0.1 (~30 customers/part), but at 100x the contract
+    already bounds the hot-part hazard; dropped-item accounting rides
+    on ``popularity_overflow`` (asserted in
+    ``tests/test_bucket_caps.py``)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cp = (
@@ -6067,7 +6078,8 @@ def q141_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import basket_similarity
 
     j = basket_similarity(
-        cp, entity_col="c", item_col="p", min_common=3
+        cp, entity_col="c", item_col="p", min_common=3,
+        max_item_popularity=1000,
     ).select(
         F.col("a").alias("ca"),
         F.col("b").alias("cb"),
@@ -8331,8 +8343,11 @@ def q174_dedup_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q175_knn_classifier_eval",
     """
-    WITH probes AS (SELECT vec_id AS pid, embedding AS pe, label AS plab
-                    FROM embeddings WHERE vec_id % 20 = 0),
+    WITH probes AS (SELECT pid, pe, plab FROM (
+                      SELECT vec_id AS pid, embedding AS pe, label AS plab
+                      FROM embeddings WHERE vec_id % 20 = 0
+                      ORDER BY md5('q175|' || CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 2000)),
     pairs AS (
       SELECT p.pid, p.plab, e.vec_id, e.label,
              SUM(CAST(e.embedding[s.i] AS DOUBLE)
@@ -8366,11 +8381,21 @@ def q174_dedup_survivor_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN CLASSIFIER evaluation in the engine: for a deterministic
-    probe sample (every 20th vector), the majority label among its
-    exact top-10 cosine neighbors versus its true label — the
-    leave-one-out readout that certifies an embedding space carries
-    label signal before anyone trains on it (q111 measures the ANN
-    index's recall; this measures the SPACE).
+    probe sample, the majority label among its exact top-10 cosine
+    neighbors versus its true label — the leave-one-out readout that
+    certifies an embedding space carries label signal before anyone
+    trains on it (q111 measures the ANN index's recall; this measures
+    the SPACE).
+
+    Probe bound is CORPUS-INDEPENDENT (r7 verdict item 2 — this was
+    the inventory's last uncapped quadratic): the every-20th candidate
+    set is cut to the PROBE_CAP=2000 smallest md5('q175|'||vec_id)
+    draws (the retry-stable ``sampling.py`` idiom), so exact scoring
+    is at most 2000 x |corpus| pairs and the broadcast side is <= 2000
+    vectors regardless of corpus size — 100x data means 100x work, not
+    10,000x.  The cut compiles to TakeOrderedAndProject (per-partition
+    top-N, no global sort).  The cap is part of the declared
+    semantics; the oracle selects the identical probe set.
 
     Probes broadcast against the corpus (the |probes| x |corpus|
     score matrix distributes by corpus row, never materializes
@@ -8381,10 +8406,20 @@ def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("pid"),
-        F.col("embedding").alias("pe"),
-        F.col("label").alias("plab"),
+    probes = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("embedding").alias("pe"),
+            F.col("label").alias("plab"),
+        )
+        .orderBy(
+            F.md5(
+                F.concat_ws("|", F.lit("q175"), F.col("pid").cast("string"))
+            ),
+            F.asc("pid"),
+        )
+        .limit(2000)
     )
     pairs = emb.crossJoin(F.broadcast(probes)).filter(
         F.col("vec_id") != F.col("pid")

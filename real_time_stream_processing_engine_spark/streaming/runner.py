@@ -79,13 +79,36 @@ def _as_stream_dir(path: str) -> str:
     """Spark's file stream source requires a directory; the testdata
     tables are single parquet files.  Stage a symlink dir (no copy).
 
-    Directories go through the SAME per-part staging as files (r7
-    review): the file stream source lists non-recursively, so passing
-    a nested drop-zone directory through unstaged would silently
-    stream only its top-level files, and a hive layout would stream
-    rows missing the partition columns — `_expand_links` stages the
-    former one link per part and refuses the latter loudly, exactly
-    as it already did for the five maintained-table paths."""
+    FLAT directories (every part a direct child) pass through
+    UNCHANGED (r7 advice): staging snapshots the part list at stream
+    construction, so a live drop-zone directory would silently never
+    stream files that land after start — the continuous-ingest case
+    the maxFileAge=36500d setting explicitly targets.  Spark's file
+    source polls a raw flat directory for new arrivals on every
+    trigger, which is the semantics an ingest caller expects.
+
+    Single files and NESTED directories still stage one link per part
+    (the file stream source lists non-recursively, so an unstaged
+    nested drop-zone would silently stream only top-level files);
+    staged nested sources are therefore FROZEN at start, and hive
+    layouts are refused loudly by `_expand_links`, exactly as for the
+    five maintained-table paths."""
+    from ..sources.fsmeta import list_part_files
+
+    parts = list_part_files(path)
+    if parts != [path]:
+        entries = [
+            e for e in os.listdir(path) if not e.startswith(("_", "."))
+        ]
+        # flat = every part a direct child AND no stray non-parquet
+        # entries (a .csv in the drop zone would feed the raw parquet
+        # stream reader; staging used to filter it — keep that safety
+        # by falling back to staging for mixed-content dirs)
+        flat = all(
+            os.path.dirname(os.path.relpath(p, path)) == "" for p in parts
+        ) and len(entries) == len(parts)
+        if flat:
+            return path
     return _stage_symlink_dir("streamdir", _expand_links("streamdir", path))
 
 
@@ -868,13 +891,32 @@ def _click_purchase_interval_join(
     return run_to_memory_available_now(joined, output_mode="append")
 
 
+def _norm_ckpt(path: str) -> str:
+    """Canonical spelling of a checkpoint path for ledger identity:
+    strip the file:// scheme, trailing slashes, and (local paths only)
+    resolve symlinks — so `file:///tmp/ck/`, `/tmp/ck`, and a symlinked
+    scratch spelling of the same checkpoint compare equal instead of
+    falsely refusing a legitimate same-checkpoint resume (r7 advice).
+    Non-local URIs (hdfs://, s3a://) only lose trailing slashes —
+    realpath would mangle them."""
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    if "://" in p:
+        return p.rstrip("/")
+    return os.path.realpath(p)
+
+
 def _check_ledger_ckpt(recorded: str | None, ckpt: str, target_path: str) -> None:
     """foreachBatch batch ids are CHECKPOINT-LOCAL: a maintained table
     whose ledger was written from a different checkpoint cannot be
     safely continued (new ids restart at 0 <= the old ledger, so every
     batch silently skips — or double-applies if the old run was
-    shorter).  Refuse loudly instead (r7 review)."""
-    if recorded is not None and recorded != ckpt:
+    shorter).  Refuse loudly instead (r7 review).  Both sides compare
+    NORMALIZED (`_norm_ckpt`) so equivalent spellings of one
+    checkpoint — trailing slash, file:// URI, symlinked scratch — do
+    not refuse a legitimate resume."""
+    if recorded is not None and _norm_ckpt(recorded) != _norm_ckpt(ckpt):
         raise RuntimeError(
             f"maintained table {target_path!r} was last written from "
             f"checkpoint {recorded!r}, but this stream runs from "
@@ -954,7 +996,7 @@ def stream_countmin(
             )
         replace_contents(
             merged.withColumn("last_batch", F.lit(batch_id)).withColumn(
-                "last_ckpt", F.lit(ckpt)
+                "last_ckpt", F.lit(_norm_ckpt(ckpt))
             ),
             target_path,
         )
@@ -1189,7 +1231,7 @@ def stream_binned_counts(
             )
         replace_contents(
             merged.withColumn("last_batch", F.lit(batch_id)).withColumn(
-                "last_ckpt", F.lit(ckpt)
+                "last_ckpt", F.lit(_norm_ckpt(ckpt))
             ),
             target_path,
         )

@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from real_time_stream_processing_engine_spark.operators.dedup import (
+    basket_similarity,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
@@ -225,6 +226,39 @@ def test_simhash_rejects_radius_beyond_banding_guarantee(spark, degenerate_docs)
     must refuse loudly instead of silently under-delivering."""
     with pytest.raises(ValueError, match="banding guarantee"):
         simhash_neardup_pairs(degenerate_docs, max_hamming=4)
+
+
+def test_basket_similarity_popularity_cap_accounts_hot_item(spark):
+    """A hot item (in every basket) is the inverted index's quadratic
+    hazard; ``max_item_popularity`` must drop it BEFORE pairing, with
+    non-silent ``popularity_overflow`` accounting, and the remaining
+    Jaccard must be exact on the CAPPED bipartite graph."""
+    rows = [(e, 0) for e in range(50)]  # item 0: popularity 50 (hot)
+    rows += [(1, 10), (1, 11), (2, 10), (2, 11)]  # rare shared items
+    items = spark.createDataFrame(rows, "entity long, item long")
+    out = basket_similarity(
+        items, entity_col="entity", item_col="item",
+        min_common=2, max_item_popularity=10,
+    )
+    got = out.collect()
+    # only (1,2) survive: 2 shared rare items; capped sets are {10,11}
+    # plus the hot item removed, so |1|=|2|=2 and jaccard = 2/2 = 1.0
+    assert [(r.a, r.b, r.n_common, r.jaccard_ppm) for r in got] == [
+        (1, 2, 2, 1000000)
+    ]
+    stats = out.popularity_overflow.collect()[0]
+    assert stats.items_dropped == 1
+    assert stats.max_popularity == 50
+
+
+def test_basket_similarity_no_cap_has_no_overflow_frame(spark):
+    """Without a cap the accounting frame is None — callers must not
+    read a stale/empty frame as 'nothing dropped'."""
+    items = spark.createDataFrame(
+        [(1, 10), (2, 10)], "entity long, item long"
+    )
+    out = basket_similarity(items, entity_col="entity", item_col="item")
+    assert out.popularity_overflow is None
 
 
 def test_dedup_against_null_text_is_null_safe(spark):

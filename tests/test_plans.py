@@ -613,6 +613,16 @@ def test_basket_similarity_inverted_index_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_knn_eval_probe_cap_is_take_ordered(spark, sf_dir):
+    """q175: the PROBE_CAP=2000 md5 cut compiles to
+    TakeOrderedAndProject (per-partition top-N, no global sort), and
+    the probe side broadcasts — never a cartesian shuffle."""
+    plan = _plan(spark, sf_dir, "q175_knn_classifier_eval")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_bitmap_distinct_two_partial_aggregates(spark, sf_dir):
     """q154: word-level bit_or then day-level popcount sum — both
     partial-aggregated (4 HashAggregate nodes), no Expand (the
