@@ -143,9 +143,35 @@ def _merge_by_key(
     if version_cols:
         t_ver = F.struct(*[target[c] for c in version_cols])
         u_ver = F.struct(*[F.col(f"_u_{c}") for c in version_cols])
+        # never-versioned = FIRST version component NULL: version
+        # columns are seeded NULL together on first materialization
+        # (the documented contract), so the head component is the flag
         never_versioned = target[next(iter(version_cols))].isNull()
+        # a NULL component in the UPDATE's version makes u_ver > t_ver
+        # NULL, so a matched update would silently NEVER apply — the
+        # feed bug would freeze the row forever with no error.  Refuse
+        # loudly instead (r8 review; the version is the exactly-once
+        # ledger, an unversioned update has no place in it).
+        u_ver_null = None
+        for c in version_cols:
+            n = F.col(f"_u_{c}").isNull()
+            u_ver_null = n if u_ver_null is None else (u_ver_null | n)
+        # the raise is gated on `matched` IN the condition: target-only
+        # (keep) rows have every _u_* NULL by full-outer construction,
+        # and CaseWhen only evaluates a branch value when its condition
+        # holds — an ungated raise would fire on every keep row
+        newer = F.when(
+            matched & u_ver_null,
+            F.raise_error(
+                F.lit(
+                    "apply_upsert_versioned: an update row carries a NULL "
+                    "version component — it would silently never apply; "
+                    "fix the feed or filter such rows upstream"
+                )
+            ).cast("boolean"),
+        ).otherwise(never_versioned | (u_ver > t_ver))
         # strict >: a redelivered (equal-version) update must NOT re-apply
-        take_u = (matched & (never_versioned | (u_ver > t_ver))) | insert
+        take_u = (matched & newer) | insert
     else:
         take_u = matched | insert
     setlike = set(set_cols) | set(version_cols)

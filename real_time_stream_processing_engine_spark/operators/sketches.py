@@ -172,6 +172,16 @@ def bloom_prefilter(
             f"(64 * {len(bitmap)} words = {64 * len(bitmap)} bits): a "
             "build/probe modulus mismatch would produce false negatives"
         )
+    clash = [c for c in df.columns if c.startswith("_bp_p")]
+    if clash:
+        # withColumn silently REPLACES a same-named column, so a real
+        # `_bp_p0` would be overwritten by the scratch hash and then
+        # dropped — the caller loses a column without an error (r8
+        # review; same reserved-scratch contract as cdc's _u_*)
+        raise ValueError(
+            f"columns {clash} collide with bloom_prefilter's _bp_p* "
+            "scratch names — rename them first"
+        )
     arr = F.lit(bitmap)
     # each hash computed ONCE into a scratch column and reused for the
     # word index and the bit; the key reference stays in the column API

@@ -96,6 +96,22 @@ def merge(spark: SparkSession, path: str, fmt: str = "parquet", target_files: in
             f"merge({path}): hive-partitioned layout — compacting would "
             "flatten it; rewrite per-partition instead"
         )
+    # NON-hive subdirectories refused too (r8 review): Spark's default
+    # parquet read lists only TOP-LEVEL files under a non-partitioned
+    # dir (verified: nested batch dirs are silently skipped), so
+    # compacting a nested drop-zone would rewrite the table from the
+    # top-level slice and the swap would DELETE every nested batch —
+    # silent data loss, not a flattening.
+    nested = sorted(
+        os.path.basename(e["path"]) for e in entries if e["is_dir"]
+    )
+    if nested:
+        raise ValueError(
+            f"merge({path}): nested layout (subdirectories {nested[:5]}) — "
+            "the default reader sees only top-level files, so compaction "
+            "would silently drop the nested batches; compact each "
+            "subdirectory, or flatten the layout first"
+        )
     df = get(spark, path, fmt)
     # target size from the FILE listing (cheap metadata), not
     # df.rdd.getNumPartitions() — that forces an RDD conversion + plan

@@ -37,3 +37,17 @@ def test_probe_is_codegen_only(spark):
     plan = bloom_prefilter(probe, "k", bitmap)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_prefilter_refuses_scratch_column_clash(spark):
+    """A real `_bp_p0` column would be silently overwritten by the
+    probe's scratch hash and then dropped (r8 review)."""
+    import pytest
+
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    bitmap = bloom_build(keys, "k")
+    probe = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).alias("_bp_p0")
+    )
+    with pytest.raises(ValueError, match="_bp_p"):
+        bloom_prefilter(probe, "k", bitmap)

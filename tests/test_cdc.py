@@ -126,3 +126,44 @@ def test_versioned_insert_then_older_update_ignored(spark, vframes):
     )
     got = _state(_vapply(_vapply(target, new_key), older))
     assert got[7] == (70.0, 3, 0)  # the older change lost
+
+
+def test_versioned_upsert_null_version_update_refused(spark):
+    """A matched update whose version component is NULL would silently
+    never apply (NULL > struct is NULL) — refused loudly instead; keep
+    rows (target-only, whose _u_* are NULL by full-outer construction)
+    must NOT trip the guard (r8 review)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert_versioned,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, ver long"
+    )
+    # keep-only target rows alongside a clean update: no raise
+    ok = apply_upsert_versioned(
+        target,
+        spark.createDataFrame([(1, "a2", 11)], "k long, nv string, nver long"),
+        key_cols=["k"],
+        set_cols={"v": "nv"},
+        version_cols={"ver": "nver"},
+    )
+    assert {(r.k, r.v, r.ver) for r in ok.collect()} == {
+        (1, "a2", 11),
+        (2, "b", 20),
+    }
+    # a NULL-version matched update raises instead of silently freezing
+    bad = apply_upsert_versioned(
+        target,
+        spark.createDataFrame(
+            [(1, "a3", None)], "k long, nv string, nver long"
+        ),
+        key_cols=["k"],
+        set_cols={"v": "nv"},
+        version_cols={"ver": "nver"},
+    )
+    with pytest.raises(Exception, match="NULL version"):
+        bad.collect()

@@ -276,3 +276,25 @@ def test_ts_unit_sniff_rejects_mixed_units_and_walks_partitions(spark, tmp_path)
     pq.write_table(t_us, str(part / "k=a" / "part-00.parquet"))
     assert len(list_part_files(str(part))) == 1
     assert parquet_ts_unit(str(part), "ts") == "us"
+
+
+def test_catalog_merge_refuses_nested_layout(spark, tmp_path):
+    """Spark's default reader sees only top-level files under a
+    non-partitioned dir, so compacting a nested drop-zone would
+    rewrite the table from the top slice and DELETE the nested
+    batches (r8 review) — refused up front."""
+    import pytest
+
+    p = str(tmp_path / "drop")
+    spark.createDataFrame([(1,)], "k int").write.parquet(f"{p}/batch1")
+    spark.createDataFrame([(2,)], "k int").write.parquet(f"{p}/batch2")
+    with pytest.raises(ValueError, match="nested"):
+        catalog.merge(spark, p)
+    # the data is untouched by the refusal
+    got = sorted(
+        r.k
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(p)
+        .collect()
+    )
+    assert got == [1, 2]
