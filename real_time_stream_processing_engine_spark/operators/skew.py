@@ -64,6 +64,18 @@ def salted_agg(
     The salt spreads by physical row position (:func:`_spread_salt`),
     not by content hash.
     """
+    clash = [
+        c for c in df.columns if c == "_salt" or c.startswith("_p_")
+    ]
+    if clash:
+        # withColumn/alias silently REPLACE same-named columns — a real
+        # `_salt` would be overwritten by the spread salt and a `_p_*`
+        # partial would shadow user data (r8 review; same reserved-
+        # scratch contract as cdc's _u_* and bloom_prefilter's _bp_p*)
+        raise ValueError(
+            f"columns {clash} collide with salted_agg's _salt/_p_* "
+            "scratch names — rename them first"
+        )
     supported = {"sum", "count", "min", "max"}
     norm: list[tuple[str, str]] = []
     for c, fns in aggs.items():
@@ -103,6 +115,12 @@ def salted_join(
     """
     if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
+    clash = [c for c in (*big.columns, *small.columns) if c == "_salt"]
+    if clash:
+        raise ValueError(
+            "a real `_salt` column on either side would be silently "
+            "overwritten by the join salt — rename it first"
+        )
     # position-derived salt: join correctness never depends on WHICH
     # salt a big-side row takes (the small side is replicated for every
     # value), so spreading is the only requirement

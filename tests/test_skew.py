@@ -194,3 +194,24 @@ def test_aqe_splits_skewed_shuffle_join(spark, skewed_events):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_ops_refuse_scratch_column_clash(spark):
+    """A real _salt / _p_* column would be silently overwritten by the
+    salting scratch (r8 review) — refused loudly on both operators."""
+    import pytest
+
+    from real_time_stream_processing_engine_spark.operators.skew import (
+        salted_agg,
+        salted_join,
+    )
+
+    d = spark.createDataFrame([(1, 2, 3)], "k long, v long, _salt long")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_agg(d, ["k"], {"v": "sum"})
+    p = spark.createDataFrame([(1, 2, 3)], "k long, v long, _p_v_sum long")
+    with pytest.raises(ValueError, match="_p_"):
+        salted_agg(p, ["k"], {"v": "sum"})
+    ok = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(ok, d.select("k", "_salt"), "k")
