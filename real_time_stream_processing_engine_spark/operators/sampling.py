@@ -109,6 +109,13 @@ def split_assign(
     scan-side projection, no shuffle.  Weights must sum to 1 (to 1e-9).
     Split names are compared in insertion order; the last split takes
     the remainder of the hash space so rounding never drops rows."""
+    if out in df.columns:
+        # withColumn silently REPLACES a same-named column (r8 review;
+        # the reserved-scratch refusal contract used module-wide)
+        raise ValueError(
+            f"output column {out!r} already exists on the input — "
+            "rename it or pass another `out`"
+        )
     bad = {k: v for k, v in splits.items() if v <= 0}
     if bad:
         # negative weights pass the sum check but make the cumulative
@@ -151,6 +158,14 @@ def stratified_fixed_k(
     limit below the exchange (WindowGroupLimit), so the shuffle carries
     at most k rows per stratum per map task; strata with fewer than k
     rows keep them all (the eval-split semantics you want)."""
+    clash = [
+        c for c in ("_sample_rk", out_rank) if c and c in df.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with stratified_fixed_k's rank "
+            "output — rename them or pass another `out_rank` (r8 review)"
+        )
     draw = _hash_hex(seed, id_col)
     w = Window.partitionBy(*strata_cols).orderBy(draw.asc(), F.col(id_col).asc())
     ranked = df.withColumn("_sample_rk", F.row_number().over(w))
@@ -237,6 +252,11 @@ def repeat_rows(
     into one CASE, so the plan is identical for 2 groups or 200."""
     if any(f < 0 for f in factors.values()) or default_factor < 0:
         raise ValueError("repeat factors must be >= 0")
+    if out in df.columns:
+        raise ValueError(
+            f"output column {out!r} already exists on the input — "
+            "rename it or pass another `out` (r8 review)"
+        )
     import math
 
     draw = _hash_hex(seed, id_col)
@@ -389,6 +409,12 @@ def group_uniform_sample(
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    clash = [c for c in ("draw", "sample_rank") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with group_uniform_sample's "
+            "output columns — rename them first (r8 review)"
+        )
     d = df.withColumn("draw", _hash_hex(seed, id_col))
     w = Window.partitionBy(*group_cols).orderBy("draw", id_col)
     return (

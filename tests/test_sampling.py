@@ -202,3 +202,34 @@ def test_weighted_sample_rejects_overflowing_digits(spark):
     df = spark.createDataFrame([(1, 0.5)], "doc_id long, rate double")
     with pytest.raises(ValueError, match="digits"):
         weighted_sample(df, "rate", "doc_id", digits=16)
+
+
+def test_samplers_refuse_output_column_clash(spark):
+    """withColumn silently REPLACES same-named columns — every sampler
+    that adds an output/rank column refuses a collision loudly instead
+    (r8 review; the module-wide reserved-scratch contract)."""
+    import pytest
+
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        group_uniform_sample,
+        repeat_rows,
+        split_assign,
+        stratified_fixed_k,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a", 5)], "id long, g string, split string"
+    ).withColumnRenamed("split", "split")
+    with pytest.raises(ValueError, match="split"):
+        split_assign(d, {"train": 0.5, "test": 0.5}, "id")
+    e = spark.createDataFrame([(1, "a", 2)], "id long, g string, draw long")
+    with pytest.raises(ValueError, match="draw"):
+        group_uniform_sample(e, ["g"], "id", k=1)
+    f = spark.createDataFrame(
+        [(1, "a", 2)], "id long, g string, _sample_rk long"
+    )
+    with pytest.raises(ValueError, match="_sample_rk"):
+        stratified_fixed_k(f, ["g"], 1, "id")
+    h = spark.createDataFrame([(1, "a", 2)], "id long, g string, epoch long")
+    with pytest.raises(ValueError, match="epoch"):
+        repeat_rows(h, {"a": 2.0}, "g", "id")
