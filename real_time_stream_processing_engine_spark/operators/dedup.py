@@ -666,9 +666,14 @@ def basket_similarity(
 
     Output: (a, b, n_common, jaccard_ppm) with a < b, intersections
     >= ``min_common``, similarity as exact integer ppm."""
+    # one lazy lineage cut on the distinct bipartite set: it feeds the
+    # popularity count, the semi-join, the size aggregate, and BOTH
+    # pair legs — without the cut the caller's upstream (q141's
+    # orders x lineitem join + distinct) re-executes up to 4x (the r6
+    # single-upstream-pass rule; r8 review)
     ei = items.select(
         F.col(entity_col).alias("e"), F.col(item_col).alias("i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     stats = None
     if max_item_popularity is not None:
         pop = ei.groupBy("i").agg(F.count("*").alias("np"))
