@@ -12485,7 +12485,13 @@ def q236_neardup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import lsh_candidate_pairs, shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs.select("doc_id", "text")).select("doc_id", "shingle")
+    # one lazy cut: sh feeds the size aggregate and both evidence legs
+    # (3 consumers — the r6 single-upstream-pass rule; r8 review)
+    sh = (
+        shingles(docs.select("doc_id", "text"))
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
+    )
     pairs = lsh_candidate_pairs(docs, on_overflow="error").select(
         "doc_a", "doc_b"
     )
@@ -14523,7 +14529,14 @@ def q266_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(docs, min_bands=1, on_overflow="error")
-    sh = shingles(docs.select("doc_id", "text")).select("doc_id", "shingle")
+    # one lazy cut: the shingle set feeds the size aggregate and BOTH
+    # evidence-join legs — without it the tokenize+gram scan re-executes
+    # 3x (the r6 single-upstream-pass rule; r8 review)
+    sh = (
+        shingles(docs.select("doc_id", "text"))
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
+    )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
