@@ -9134,6 +9134,12 @@ def q186_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_signatures, shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # NO manual lineage cut here (r8 review, measured): both pair legs
+    # reach the shingle set through the SAME shuffle, which Spark
+    # already reuses (ReusedExchange), so a localCheckpoint only added
+    # cache-block overhead — paired-measured 1.13x SLOWER with the cut
+    # (contrast q141/q236/q266, whose consumers take different
+    # downstream topologies and genuinely re-scan)
     sh = shingles(docs)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select("shingle", F.col("doc_id").alias("da"))
