@@ -613,6 +613,36 @@ def test_basket_similarity_inverted_index_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q144_clustering_coefficient",
+        "q128_triangle_parts",
+        "q165_cheapest_two_hop",
+        "q181_label_propagation",
+    ],
+)
+def test_heavy_graph_plans_never_go_cartesian(spark, sf_dir, name):
+    """The wedge/fixpoint/two-hop family: every pair expansion must be
+    an equi-join (inverted index / oriented wedge), never a cartesian
+    or nested-loop fallback — the property that keeps these linear-ish
+    at 100 TB."""
+    plan = _plan(spark, sf_dir, name)
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_grouped_pandas_mad_is_one_exchange_one_arrow_stage(spark, sf_dir):
+    """q172: the grouped-Arrow certification pattern — exactly ONE
+    exchange (the group key) feeding exactly ONE FlatMapGroupsInPandas;
+    any second exchange or a row-at-a-time PythonUDF would break the
+    declared hot-user-bounded contract."""
+    plan = _plan(spark, sf_dir, "q172_grouped_pandas_mad_outliers")
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
 def test_knn_eval_probe_cap_is_take_ordered(spark, sf_dir):
     """q175: the PROBE_CAP=2000 md5 cut compiles to
     TakeOrderedAndProject (per-partition top-N, no global sort), and
