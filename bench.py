@@ -23,6 +23,19 @@ import sys
 import time
 
 
+def slowest_n(timings: dict, n: int = 10) -> dict:
+    """The N costliest successful timings, descending.  Failures
+    (timed -1) are carried in "failed", never here — with < n
+    successes they'd otherwise pad the tail as "-1 s queries"
+    (r7 advice; factored out so tests exercise THIS code, r8 advice)."""
+    return dict(
+        sorted(
+            (kv for kv in timings.items() if kv[1] > 0),
+            key=lambda kv: -kv[1],
+        )[:n]
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from real_time_stream_processing_engine_spark.queries import QUERIES
@@ -124,15 +137,7 @@ def main() -> None:
         f = _family(name)
         families[f] = round(families.get(f, 0.0) + max(v, 0.0), 3)
         fam_n[f] = fam_n.get(f, 0) + 1
-    # failures (timed -1) are carried in "failed", never here — with
-    # <10 successes they'd otherwise pad the tail as "-1 s queries"
-    # (r7 advice)
-    slowest10 = dict(
-        sorted(
-            (kv for kv in timings.items() if kv[1] > 0),
-            key=lambda kv: -kv[1],
-        )[:10]
-    )
+    slowest10 = slowest_n(timings)
     print(
         json.dumps(
             {

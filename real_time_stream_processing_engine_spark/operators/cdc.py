@@ -153,9 +153,13 @@ def _merge_by_key(
         # loudly instead (r8 review; the version is the exactly-once
         # ledger, an unversioned update has no place in it).
         u_ver_null = None
+        u_ver_all_null = None
         for c in version_cols:
             n = F.col(f"_u_{c}").isNull()
             u_ver_null = n if u_ver_null is None else (u_ver_null | n)
+            u_ver_all_null = (
+                n if u_ver_all_null is None else (u_ver_all_null & n)
+            )
         # the raise is gated on `matched` IN the condition: target-only
         # (keep) rows have every _u_* NULL by full-outer construction,
         # and CaseWhen only evaluates a branch value when its condition
@@ -170,8 +174,29 @@ def _merge_by_key(
                 )
             ).cast("boolean"),
         ).otherwise(never_versioned | (u_ver > t_ver))
+        # INSERT rows get the same feed-bug guard, asymmetrically (r8
+        # advice): a FULLY-NULL version is legal on insert — it seeds a
+        # never-versioned row exactly as the seeded-together contract
+        # allows on first materialization — but a PARTIALLY-NULL one is
+        # the same upstream bug as a NULL matched-update version, and
+        # letting it seed a never_versioned row would hand the key to
+        # whatever update arrives next, ordering included (the matched
+        # guard would never see it).  Refuse loudly instead.
+        insert_ok = F.when(
+            insert & u_ver_null & ~u_ver_all_null,
+            F.raise_error(
+                F.lit(
+                    "apply_upsert_versioned: an insert row carries a "
+                    "PARTIALLY-NULL version (some components set, some "
+                    "NULL) — it would seed a never-versioned row that "
+                    "any later update, even an older one, overwrites; "
+                    "fix the feed (all-NULL to seed unversioned, or a "
+                    "complete version)"
+                )
+            ).cast("boolean"),
+        ).otherwise(insert)
         # strict >: a redelivered (equal-version) update must NOT re-apply
-        take_u = (matched & newer) | insert
+        take_u = (matched & newer) | insert_ok
     else:
         take_u = matched | insert
     setlike = set(set_cols) | set(version_cols)

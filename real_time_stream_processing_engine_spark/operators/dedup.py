@@ -662,7 +662,11 @@ def basket_similarity(
     (ubiquitous items are uninformative for similarity anyway), and
     the dropped-item accounting rides on the result as a lazy
     ``popularity_overflow`` 1-row frame (items_dropped,
-    max_popularity) — read it off THIS object.
+    max_popularity) — read it off THIS object, BEFORE any further
+    transformation: it is a plain Python attribute, so every
+    DataFrame method (.select, .filter, ...) returns a NEW frame
+    without it (r8 advice — capture first, e.g.
+    ``sim = basket_similarity(...); audit = sim.popularity_overflow``).
 
     Output: (a, b, n_common, jaccard_ppm) with a < b, intersections
     >= ``min_common``, similarity as exact integer ppm."""

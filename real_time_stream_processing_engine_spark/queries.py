@@ -6077,18 +6077,24 @@ def q141_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.dedup import basket_similarity
 
-    j = basket_similarity(
+    sim = basket_similarity(
         cp, entity_col="c", item_col="p", min_common=3,
         max_item_popularity=1000,
-    ).select(
+    )
+    # capture the accounting BEFORE transforming: it is a plain
+    # attribute on the immediate return value only (r8 advice)
+    audit = sim.popularity_overflow
+    j = sim.select(
         F.col("a").alias("ca"),
         F.col("b").alias("cb"),
         "n_common",
         "jaccard_ppm",
     )
-    return j.orderBy(
+    out = j.orderBy(
         F.desc("jaccard_ppm"), F.asc("ca"), F.asc("cb")
     ).limit(50)
+    out.popularity_overflow = audit
+    return out
 
 
 @register(

@@ -17,6 +17,7 @@ import os
 import shutil
 import tempfile
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,11 +105,31 @@ def _as_stream_dir(path: str) -> str:
         # entries (a .csv in the drop zone would feed the raw parquet
         # stream reader; staging used to filter it — keep that safety
         # by falling back to staging for mixed-content dirs)
-        flat = all(
+        all_direct = all(
             os.path.dirname(os.path.relpath(p, path)) == "" for p in parts
-        ) and len(entries) == len(parts)
-        if flat:
-            return path
+        )
+        if all_direct:
+            if len(entries) == len(parts):
+                return path
+            # Flat layout, but stray non-parquet entries force the
+            # staged (snapshot-at-start) path.  That DEMOTES a live
+            # drop-zone to a frozen file list — files landing after
+            # stream start are silently never streamed — so say so
+            # loudly instead of letting the caller discover a frozen
+            # ingest by absence (r8 advice).
+            strays = sorted(
+                set(entries)
+                - {os.path.relpath(p, path) for p in parts}
+            )
+            warnings.warn(
+                f"stream source directory {path!r} is flat but contains "
+                f"non-parquet entries {strays[:5]!r}; staging a snapshot "
+                "of its current part files instead of polling it live — "
+                "files added after stream start will NOT be streamed. "
+                "Remove the stray entries to get live drop-zone polling.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return _stage_symlink_dir("streamdir", _expand_links("streamdir", path))
 
 
@@ -893,15 +914,19 @@ def _click_purchase_interval_join(
 
 def _norm_ckpt(path: str) -> str:
     """Canonical spelling of a checkpoint path for ledger identity:
-    strip the file:// scheme, trailing slashes, and (local paths only)
-    resolve symlinks — so `file:///tmp/ck/`, `/tmp/ck`, and a symlinked
-    scratch spelling of the same checkpoint compare equal instead of
-    falsely refusing a legitimate same-checkpoint resume (r7 advice).
+    strip the file: scheme (any of Hadoop's spellings — `file:/p`,
+    `file://p`, `file:///p`), trailing slashes, and (local paths only)
+    resolve symlinks — so `file:///tmp/ck/`, `file:/tmp/ck`, `/tmp/ck`,
+    and a symlinked scratch spelling of the same checkpoint compare
+    equal instead of falsely refusing a legitimate same-checkpoint
+    resume (r7+r8 advice: the single-slash `file:/tmp/ck` canonical
+    form has no `://`, so the old `file://`-only strip let it fall
+    through to realpath, which joined it onto the cwd).
     Non-local URIs (hdfs://, s3a://) only lose trailing slashes —
     realpath would mangle them."""
     p = path
-    if p.startswith("file://"):
-        p = p[len("file://"):]
+    if p.startswith("file:"):
+        p = "/" + p[len("file:"):].lstrip("/")
     if "://" in p:
         return p.rstrip("/")
     return os.path.realpath(p)

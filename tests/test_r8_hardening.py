@@ -149,12 +149,11 @@ def test_ledger_ckpt_foreign_checkpoint_still_refused(tmp_path):
 
 
 def test_bench_slowest10_excludes_failures():
-    # mirror bench.py's expression against a <10-success timing dict
+    # exercise bench.py's ACTUAL function (r8 advice: an inline mirror
+    # pinned a copy, not the code) against a <10-success timing dict
+    from bench import slowest_n
+
     timings = {"q1": 2.0, "q2": -1.0, "q3": 0.5, "q4": -1.0}
-    slowest10 = dict(
-        sorted(
-            (kv for kv in timings.items() if kv[1] > 0),
-            key=lambda kv: -kv[1],
-        )[:10]
-    )
-    assert slowest10 == {"q1": 2.0, "q3": 0.5}
+    assert slowest_n(timings) == {"q1": 2.0, "q3": 0.5}
+    # descending order and the n cut
+    assert list(slowest_n({"a": 1.0, "b": 3.0, "c": 2.0}, n=2)) == ["b", "c"]
