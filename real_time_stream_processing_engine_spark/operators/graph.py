@@ -607,6 +607,30 @@ def adamic_adar_links(
     adj = e.select(F.col("x").alias("c"), F.col("y").alias("n")).unionByName(
         e.select(F.col("y").alias("c"), F.col("x").alias("n"))
     )
+    # Pin the WIDTH of everything downstream.  The wedge self-join is
+    # OUTPUT-dominated (Σ deg(center)² pairs from a few-MB adjacency),
+    # which AQE cannot see — it sizes stages and picks broadcast sides
+    # from INPUT stats, and those stats land in racy stage order: the
+    # r8 bench's sporadic ~2x q342 outlier was AQE occasionally
+    # broadcasting the ADJACENCY side of the centers join and
+    # streaming the ~1 MB degree exchange, which then COALESCED to a
+    # single partition — the whole 90 MB wedge expansion ran as ONE
+    # task (per-stage event logs in PAIRED_r09: slow reps 1-task,
+    # fast reps 10-task, same logical plan).  An explicit NUMBERED
+    # repartition is exempt from AQE coalescing (REPARTITION_BY_NUM)
+    # and must sit HERE, on adj itself: a repartition of the joined
+    # frame gets planned away (EnsureRequirements pushes the join's
+    # distribution requirement below the broadcast join and drops the
+    # user shuffle).  Pinned at the source, ONE exchange feeds the
+    # degree count and both wedge legs (ReusedExchange), every
+    # downstream stage inherits the configured shuffle width, and the
+    # expansion parallelism follows cluster config — never input
+    # bytes.  The 100 TB posture, and at small scale it removes the
+    # planner flip.
+    n_wedge = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    adj = adj.repartition(n_wedge, "c")
     deg = adj.groupBy("c").agg(F.count("*").alias("d"))
     centers = deg.filter((F.col("d") >= 2) & (F.col("d") <= deg_cap))
     # wedge legs share one partial frame: center-filtered adjacency
@@ -616,8 +640,12 @@ def adamic_adar_links(
     )
     l1 = ca.select(F.col("c"), F.col("n").alias("u"), F.col("w"))
     l2 = ca.select(F.col("c"), F.col("n").alias("v"))
+    # merge hint: both legs already sit on the pinned exchange, so a
+    # sort-merge join consumes it in place; without the hint AQE may
+    # broadcast one (few-MB) leg, which only buys back the exchange it
+    # already has and costs the build memory
     pairs = (
-        l1.join(l2, "c")
+        l1.join(l2.hint("merge"), "c")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(

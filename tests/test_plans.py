@@ -892,6 +892,13 @@ def test_adamic_adar_no_cartesian_and_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert _count(plan, "Window") == 0
+    # the adjacency exchange is PINNED (user-numbered repartition, which
+    # AQE cannot coalesce): the wedge expansion is output-dominated, so
+    # its stage width must follow configured shuffle width, never the
+    # few-MB input stats — without the pin, AQE sporadically planned
+    # the 90 MB expansion as ONE task (the r8 q342 bench outlier,
+    # diagnosed in PAIRED_r09)
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_group_reservoir_limits_below_exchange(spark, sf_dir):
