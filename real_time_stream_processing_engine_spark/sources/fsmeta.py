@@ -22,6 +22,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def strip_file_scheme(path: str) -> str:
+    """Normalize a ``file:``-scheme URI to the plain local path the
+    ``os.path`` layer understands, accepting all three Hadoop/Spark
+    spellings — ``file:/p``, ``file://p``, ``file:///p`` — and leaving
+    every other string (bare paths, ``hdfs://``/``s3a://`` URIs)
+    untouched.  ONE normalizer for every driver-local consumer: the
+    r8 advice found ``_norm_ckpt`` mishandling the single-slash
+    canonical form, and the r9 review found ``register_tables``
+    silently registering ZERO views for a ``file:``-spelled testdata
+    dir (its ``os.path.exists`` probes were always-False) — the same
+    bug class wherever a user-supplied path meets ``os.path``.
+    A ``file://host/p`` authority collapses to ``/host/p`` — Hadoop
+    local URIs carry an empty authority, and the pre-existing
+    ``_norm_ckpt`` policy is kept rather than adding a parse that
+    nothing produces."""
+    if path.startswith("file:"):
+        return "/" + path[len("file:"):].lstrip("/")
+    return path
+
+
 def list_part_files(path: str) -> list[str]:
     """Sorted data part files of a parquet dataset, RECURSIVE: a
     hive-partitioned layout (key=value subdirectories) is a perfectly

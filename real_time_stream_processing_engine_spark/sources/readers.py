@@ -265,6 +265,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exists to prevent, and it would skip the ts-unit correction
     (a nanos column surfaces as a raw long, silently 1000x-shifted
     when consumers cast it; r5 review catch)."""
+    from .fsmeta import strip_file_scheme
+
+    # a file:-spelled local dir must feed the SAME os.path-based
+    # footer sniff as its bare spelling (r9 review — the sniff's
+    # os.walk saw "no such dataset: file:/..." while Spark itself
+    # reads the URI fine)
+    sf_dir = strip_file_scheme(sf_dir)
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = SCHEMAS.get(name)
     if schema is None:
@@ -294,8 +301,15 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
     a driver-local listing (the ts-unit sniff underneath is os.walk
     anyway), which is always-False for hdfs://s3a:// URIs — silently
     returning zero views there would surface later as
-    TABLE_OR_VIEW_NOT_FOUND with the real cause hidden."""
-    if "://" in sf_dir and not sf_dir.startswith("file://"):
+    TABLE_OR_VIEW_NOT_FOUND with the real cause hidden.  A
+    ``file:``-spelled LOCAL dir is normalized first (r9 review: any of
+    Hadoop's three spellings used to make every ``os.path.exists``
+    probe below always-False — zero views registered, silently, the
+    exact failure this guard exists to refuse)."""
+    from .fsmeta import strip_file_scheme
+
+    sf_dir = strip_file_scheme(sf_dir)
+    if "://" in sf_dir:
         raise ValueError(
             f"register_tables is local-FS only (driver testdata); got "
             f"remote URI {sf_dir!r} — its footer sniff and presence "

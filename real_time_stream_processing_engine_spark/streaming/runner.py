@@ -923,10 +923,12 @@ def _norm_ckpt(path: str) -> str:
     form has no `://`, so the old `file://`-only strip let it fall
     through to realpath, which joined it onto the cwd).
     Non-local URIs (hdfs://, s3a://) only lose trailing slashes —
-    realpath would mangle them."""
-    p = path
-    if p.startswith("file:"):
-        p = "/" + p[len("file:"):].lstrip("/")
+    realpath would mangle them.  The scheme strip is the shared
+    :func:`sources.fsmeta.strip_file_scheme` (r9: one normalizer for
+    every driver-local path consumer)."""
+    from ..sources.fsmeta import strip_file_scheme
+
+    p = strip_file_scheme(path)
     if "://" in p:
         return p.rstrip("/")
     return os.path.realpath(p)

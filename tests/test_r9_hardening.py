@@ -178,3 +178,54 @@ def test_versioned_insert_all_null_version_still_seeds(spark):
     )
     got2 = {r.k: (r.v, r.ver_a, r.ver_b) for r in claimed.collect()}
     assert got2[7] == ("v1", 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# strip_file_scheme: file:-spelled LOCAL dirs reach os.path-based
+# consumers normalized (r9 review: register_tables silently registered
+# ZERO views for any file: spelling — every exists() probe was False)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_file_scheme_spellings():
+    from real_time_stream_processing_engine_spark.sources.fsmeta import (
+        strip_file_scheme,
+    )
+
+    assert strip_file_scheme("file:/tmp/x") == "/tmp/x"
+    assert strip_file_scheme("file:///tmp/x") == "/tmp/x"
+    assert strip_file_scheme("file://tmp/x") == "/tmp/x"
+    # non-file strings untouched, scheme case-sensitive like Hadoop's
+    assert strip_file_scheme("/tmp/x") == "/tmp/x"
+    assert strip_file_scheme("hdfs://nn/x") == "hdfs://nn/x"
+    assert strip_file_scheme("s3a://b/x") == "s3a://b/x"
+
+
+def test_register_tables_accepts_file_scheme_spellings(spark):
+    from real_time_stream_processing_engine_spark.sources.readers import (
+        register_tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bare = sorted(register_tables(spark, sf))
+    assert bare, "bare-path registration must find the testdata tables"
+    for spelled in (f"file:{sf}", f"file://{sf}", f"file://{sf}/"):
+        assert sorted(register_tables(spark, spelled)) == bare, spelled
+    # remote URIs are still refused loudly
+    with pytest.raises(ValueError, match="local-FS only"):
+        register_tables(spark, "hdfs://nn:8020/testdata")
+
+
+def test_load_table_accepts_file_scheme_dir(spark):
+    from real_time_stream_processing_engine_spark.sources.readers import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_bare = load_table(spark, sf, "region").count()
+    # 'events' exercises the ts-unit footer sniff (os.walk underneath),
+    # which used to die on "no such dataset: file:/..." while the bare
+    # spelling worked
+    n_events = load_table(spark, f"file:{sf}", "events").count()
+    assert load_table(spark, f"file://{sf}", "region").count() == n_bare
+    assert n_events == load_table(spark, sf, "events").count()
