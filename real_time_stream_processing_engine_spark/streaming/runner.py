@@ -93,9 +93,14 @@ def _as_stream_dir(path: str) -> str:
     nested drop-zone would silently stream only top-level files);
     staged nested sources are therefore FROZEN at start, and hive
     layouts are refused loudly by `_expand_links`, exactly as for the
-    five maintained-table paths."""
-    from ..sources.fsmeta import list_part_files
+    five maintained-table paths.
 
+    A ``file:``-spelled LOCAL path is normalized first (r9, same
+    policy as every other driver-local consumer): the os-level listing
+    below would otherwise refuse a directory Spark itself reads."""
+    from ..sources.fsmeta import list_part_files, strip_file_scheme
+
+    path = strip_file_scheme(path)
     parts = list_part_files(path)
     if parts != [path]:
         entries = [

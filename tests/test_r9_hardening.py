@@ -229,3 +229,15 @@ def test_load_table_accepts_file_scheme_dir(spark):
     n_events = load_table(spark, f"file:{sf}", "events").count()
     assert load_table(spark, f"file://{sf}", "region").count() == n_bare
     assert n_events == load_table(spark, sf, "events").count()
+
+
+def test_as_stream_dir_accepts_file_scheme(spark, tmp_path):
+    # a file:-spelled flat drop-zone streams exactly like its bare
+    # spelling instead of dying in the os-level listing
+    d = tmp_path / "zone"
+    spark.range(5).coalesce(1).write.parquet(str(d))
+    for f in os.listdir(d):
+        if f.startswith(("_", ".")):
+            os.remove(d / f)
+    assert _as_stream_dir(f"file://{d}") == str(d)
+    assert _as_stream_dir(f"file:{d}") == str(d)
