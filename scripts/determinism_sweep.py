@@ -6,8 +6,9 @@ task order, a float aggregate surfacing reassociation past its
 rounding) — the class of bug an oracle check at one fixed config can
 never see.
 
-Usage: python scripts/determinism_sweep.py [sf_dir]   (default sf0.01)
-Writes DETERMINISM_LOCAL.json {query: {"match": bool, "rows": [n, n]}}.
+Usage: python scripts/determinism_sweep.py [sf_dir] [out_name]
+(defaults sf0.01, DETERMINISM_LOCAL.json)
+Writes {query: {"match": bool, "rows": [n, n]}} to repo-root/out_name.
 Streaming drains re-stage their own sources per run, so they are
 compared too; queries that error under either config record the error.
 """
@@ -41,6 +42,7 @@ def _canon(df):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "DETERMINISM_LOCAL.json"
     import __spark_entry__ as mod
     from real_time_stream_processing_engine_spark.session import get_spark
 
@@ -78,7 +80,7 @@ def main() -> int:
     }
     dest = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "DETERMINISM_LOCAL.json",
+        out_name,
     )
     with open(dest, "w") as f:
         json.dump({"_meta": meta, **out}, f, indent=2)

@@ -2,7 +2,9 @@
 CORRECTNESS_LOCAL.json — the committed artifact covering queries the
 driver's bounded window may not reach.
 
-Usage: python scripts/local_correctness.py [sf_dir]   (default sf0.01)
+Usage: python scripts/local_correctness.py [sf_dir] [out_name]
+(defaults sf0.01, CORRECTNESS_LOCAL.json — pass
+CORRECTNESS_LOCAL_SF01.json for the sf0.1 artifact)
 Same comparison contract as the driver (tests/oracle.py): row count,
 column-name set, order-insensitive value hash with floats rounded to
 6 decimals.  Rows-only queries (no oracle) record spark_rows only.
@@ -20,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_LOCAL.json"
     import __spark_entry__ as mod
     from real_time_stream_processing_engine_spark.session import get_spark
     from tests.oracle import compare, duck_connection
@@ -80,7 +83,7 @@ def main() -> int:
         "n_fail": n_bad,
         "wall_sec": round(time.time() - t0, 1),
     }
-    dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+    dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out_name)
     with open(dest, "w") as f:
         json.dump({"_meta": meta, **out}, f, indent=2)
     print(json.dumps(meta))
