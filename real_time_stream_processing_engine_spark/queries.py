@@ -48,6 +48,27 @@ def register(name: str, sql: str | None):
 
 
 
+def _dataset_key(sf_dir: str) -> str:
+    """12-hex identity key of a dataset dir for scratch/index staging
+    paths (IVF index, partitioned warehouse, bucketed tables, BM25
+    index): ONE key per physical directory regardless of the caller's
+    spelling.  r9 review: ``abspath(sf_dir)`` on a ``file:``-spelled
+    dir cwd-joined it into a bogus string, giving the same dataset a
+    fresh scratch dir per spelling (and per cwd) and silently
+    defeating the manifest-reuse staleness machinery — results stayed
+    correct, every build re-ran.  realpath after the scheme strip so
+    symlinked spellings of one directory share a key too, the same
+    canonicalization policy as the streaming ledger's ``_norm_ckpt``."""
+    import os
+    import uuid
+
+    from .sources.fsmeta import strip_file_scheme
+
+    return uuid.uuid5(
+        uuid.NAMESPACE_URL, os.path.realpath(strip_file_scheme(sf_dir))
+    ).hex[:12]
+
+
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Canonical co-purchase edge list (u < v part pairs sharing an
     order) — the ONE definition q334's census, q342's link prediction
@@ -1184,7 +1205,6 @@ def q46_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     row filter over the full scan)."""
     import os
     import tempfile
-    import uuid as _uuid
 
     from .operators.similarity import build_ivf_index, ivf_topk_indexed
 
@@ -1194,7 +1214,7 @@ def q46_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
     ]
     qvec = next(c for cid, c in cents if cid == 0)
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), f"rs_ivf_index_u{os.getuid()}_{key}"
     )
@@ -1702,12 +1722,11 @@ def q62_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     timings measure the probe — the production shape."""
     import os
     import tempfile
-    import uuid as _uuid
 
     from .operators.text import bm25_topk_indexed, build_bm25_index
 
     docs = load_table(spark, sf_dir, "documents")
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"rs_bm25_index_u{os.getuid()}_{key}")
     build_bm25_index(
         docs, path, source_path=os.path.join(sf_dir, "documents.parquet")
@@ -2193,12 +2212,11 @@ def q73_time_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     is how many bytes a time-bounded query touches at 100 TB."""
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuid
 
     from .sources.catalog import build_time_partitioned
 
     ev = load_table(spark, sf_dir, "events")
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_events_bydate_u{_os.getuid()}_{key}"
     )
@@ -2226,12 +2244,11 @@ def q74_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     new batches (probe the index, never re-read the corpus)."""
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuid
 
     from .operators.text import build_bm25_index, term_frequencies_from_postings
 
     docs = load_table(spark, sf_dir, "documents")
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = _os.path.join(_tempfile.gettempdir(), f"rs_bm25_index_u{_os.getuid()}_{key}")
     build_bm25_index(
         docs, path, source_path=_os.path.join(sf_dir, "documents.parquet")
@@ -2449,7 +2466,6 @@ def q78_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays cell assignment, probe selection, encode, and ADC in SQL."""
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuid
 
     from .operators.similarity import (
         _probe_cells,
@@ -2469,7 +2485,7 @@ def q78_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = [
         [rows[32 + k][m * 8 : (m + 1) * 8] for k in range(16)] for m in range(8)
     ]
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_ivf_index_u{_os.getuid()}_{key}"
     )
@@ -2496,7 +2512,6 @@ def q87_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe set, same ADC => q78's oracle."""
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuid
 
     from .operators.similarity import build_ivfpq_index, ivfpq_topk_indexed
 
@@ -2510,7 +2525,7 @@ def q87_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = [
         [rows[32 + k][m * 8 : (m + 1) * 8] for k in range(16)] for m in range(8)
     ]
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_ivfpq_index_u{_os.getuid()}_{key}"
     )
@@ -3359,12 +3374,11 @@ def q97_zorder_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched at 100 TB."""
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuid
 
     from .operators.layout import build_zordered, read_zordered
 
     orders = load_table(spark, sf_dir, "orders")
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_orders_zorder_u{_os.getuid()}_{key}"
     )
@@ -7420,12 +7434,11 @@ def q161_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     bytes touched."""
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuid
 
     from .sources.catalog import build_time_partitioned
 
     ev = load_table(spark, sf_dir, "events")
-    key = _uuid.uuid5(_uuid.NAMESPACE_URL, _os.path.abspath(sf_dir)).hex[:12]
+    key = _dataset_key(sf_dir)
     path = _os.path.join(
         _tempfile.gettempdir(), f"rs_events_bydate_u{_os.getuid()}_{key}"
     )

@@ -24,22 +24,42 @@ from pyspark.sql import SparkSession
 
 def strip_file_scheme(path: str) -> str:
     """Normalize a ``file:``-scheme URI to the plain local path the
-    ``os.path`` layer understands, accepting all three Hadoop/Spark
-    spellings — ``file:/p``, ``file://p``, ``file:///p`` — and leaving
-    every other string (bare paths, ``hdfs://``/``s3a://`` URIs)
-    untouched.  ONE normalizer for every driver-local consumer: the
-    r8 advice found ``_norm_ckpt`` mishandling the single-slash
+    ``os.path`` layer understands — ``file:/p``, ``file:///p``, and
+    ``file://localhost/p`` all mean ``/p`` (RFC 8089 / Hadoop: an
+    empty or ``localhost`` authority is the local machine) — and
+    leave every other string (bare paths, ``hdfs://``/``s3a://``
+    URIs) untouched.  ONE normalizer for every driver-local consumer:
+    the r8 advice found ``_norm_ckpt`` mishandling the single-slash
     canonical form, and the r9 review found ``register_tables``
     silently registering ZERO views for a ``file:``-spelled testdata
     dir (its ``os.path.exists`` probes were always-False) — the same
     bug class wherever a user-supplied path meets ``os.path``.
-    A ``file://host/p`` authority collapses to ``/host/p`` — Hadoop
-    local URIs carry an empty authority, and the pre-existing
-    ``_norm_ckpt`` policy is kept rather than adding a parse that
-    nothing produces."""
-    if path.startswith("file:"):
-        return "/" + path[len("file:"):].lstrip("/")
-    return path
+
+    Any OTHER non-empty authority is REFUSED loudly (r9 review): the
+    first naive strip turned ``file://localhost/data`` into
+    ``/localhost/data`` — a silently wrong path recreating exactly
+    the zero-views failure this helper exists to close — and a
+    ``file://somehost/p`` remote authority has no local meaning at
+    all.  The refusal names both readings (authority vs. the
+    ``file:///`` the user probably meant) so a sloppy
+    ``file://tmp/x`` spelling gets an actionable error, never a
+    silent guess."""
+    if not path.startswith("file:"):
+        return path
+    rest = path[len("file:"):]
+    if rest.startswith("//"):
+        authority, sep, tail = rest[2:].partition("/")
+        if authority not in ("", "localhost"):
+            raise ValueError(
+                f"ambiguous file: URI {path!r}: {authority!r} parses as "
+                "a URI authority (host), which has no local-filesystem "
+                "meaning — spell a local path as "
+                f"'file:///{authority}{sep}{tail}' (or a bare "
+                f"'/{authority}{sep}{tail}'); only an empty or "
+                "'localhost' authority is accepted"
+            )
+        rest = tail
+    return "/" + rest.lstrip("/")
 
 
 def list_part_files(path: str) -> list[str]:
@@ -55,7 +75,14 @@ def list_part_files(path: str) -> list[str]:
 
     A nonexistent path fails HERE with the real name (r7 review): the
     old fall-through returned it as a single "part", and the error
-    surfaced later as an opaque read failure against a staged symlink."""
+    surfaced later as an opaque read failure against a staged symlink.
+
+    A ``file:``-spelled LOCAL path normalizes HERE (r9 review), so
+    every consumer of this one part-filter — the ts-unit sniff, the
+    five maintained-table stream stagings, ``_as_stream_dir`` — gets
+    the fix at the entry point instead of each growing its own strip
+    call; returned part paths are plain local paths."""
+    path = strip_file_scheme(path)
     if not os.path.exists(path):
         raise FileNotFoundError(f"no such dataset: {path}")
     if not os.path.isdir(path):

@@ -47,7 +47,10 @@ def test_norm_ckpt_remote_uri_still_untouched():
 # ---------------------------------------------------------------------------
 
 
-def _flat_with_stray(spark, tmp_path):
+def _flat_dir(spark, tmp_path, stray: bool):
+    """One flat drop-zone fixture for both the warns and the
+    warning-free test (one copy, so a staging-layout or sidecar-filter
+    change cannot silently diverge them — r9 review)."""
     d = tmp_path / "drop"
     spark.range(10).coalesce(1).write.parquet(str(tmp_path / "a"))
     os.makedirs(d)
@@ -57,15 +60,16 @@ def _flat_with_stray(spark, tmp_path):
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ]
     os.rename(tmp_path / "a" / part, d / part)
-    with open(d / "stray.csv", "w") as fh:
-        fh.write("not,parquet\n")
+    if stray:
+        with open(d / "stray.csv", "w") as fh:
+            fh.write("not,parquet\n")
     return str(d)
 
 
 def test_flat_dir_with_stray_entry_warns_on_demotion(spark, tmp_path):
     # the stray .csv forces the staged (frozen-at-start) path — the
     # caller must hear that the stream will not poll live (r8 advice)
-    d = _flat_with_stray(spark, tmp_path)
+    d = _flat_dir(spark, tmp_path, stray=True)
     with pytest.warns(RuntimeWarning, match="NOT be streamed"):
         staged = _as_stream_dir(d)
     assert staged != d
@@ -75,18 +79,10 @@ def test_flat_dir_with_stray_entry_warns_on_demotion(spark, tmp_path):
 def test_flat_dir_without_strays_does_not_warn(spark, tmp_path):
     import warnings
 
-    d = tmp_path / "drop"
-    spark.range(10).coalesce(1).write.parquet(str(tmp_path / "a"))
-    os.makedirs(d)
-    (part,) = [
-        f
-        for f in os.listdir(tmp_path / "a")
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
-    os.rename(tmp_path / "a" / part, d / part)
+    d = _flat_dir(spark, tmp_path, stray=False)
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        assert _as_stream_dir(str(d)) == str(d)
+        assert _as_stream_dir(d) == d
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +190,14 @@ def test_strip_file_scheme_spellings():
 
     assert strip_file_scheme("file:/tmp/x") == "/tmp/x"
     assert strip_file_scheme("file:///tmp/x") == "/tmp/x"
-    assert strip_file_scheme("file://tmp/x") == "/tmp/x"
+    # RFC 8089 / Hadoop: empty or 'localhost' authority = this machine
+    assert strip_file_scheme("file://localhost/tmp/x") == "/tmp/x"
+    # any OTHER authority is ambiguous (host? sloppy path?) — refuse
+    # loudly with both readings instead of silently guessing either
+    with pytest.raises(ValueError, match="authority"):
+        strip_file_scheme("file://tmp/x")
+    with pytest.raises(ValueError, match="authority"):
+        strip_file_scheme("file://somehost/data/x")
     # non-file strings untouched, scheme case-sensitive like Hadoop's
     assert strip_file_scheme("/tmp/x") == "/tmp/x"
     assert strip_file_scheme("hdfs://nn/x") == "hdfs://nn/x"
@@ -241,3 +244,41 @@ def test_as_stream_dir_accepts_file_scheme(spark, tmp_path):
             os.remove(d / f)
     assert _as_stream_dir(f"file://{d}") == str(d)
     assert _as_stream_dir(f"file:{d}") == str(d)
+
+
+def test_list_part_files_normalizes_file_scheme():
+    from real_time_stream_processing_engine_spark.sources.fsmeta import (
+        list_part_files,
+    )
+
+    bare = list_part_files("/root/testdata/sf0.001/events.parquet")
+    spelled = list_part_files("file:/root/testdata/sf0.001/events.parquet")
+    assert spelled == bare and bare
+
+
+def test_streaming_source_accepts_file_scheme_sf_dir(spark):
+    # the review's crash scenario: SPARK_GRAFT_SF_DIR=file:/... made
+    # every maintained-table stream die in list_part_files while the
+    # batch side worked — the schema sniff and staging now normalize
+    # at the fsmeta entry point
+    from real_time_stream_processing_engine_spark.streaming.runner import (
+        stream_events,
+    )
+
+    src = stream_events(spark, "file:/root/testdata/sf0.001")
+    assert src.isStreaming
+    assert "event_id" in src.columns
+
+
+def test_dataset_key_spelling_invariant():
+    from real_time_stream_processing_engine_spark.queries import _dataset_key
+
+    sf = "/root/testdata/sf0.001"
+    k = _dataset_key(sf)
+    # one key per physical dir: scheme spellings and trailing slashes
+    # collapse; a different dir gets a different key (scratch reuse
+    # depends on both directions)
+    assert _dataset_key(f"file:{sf}") == k
+    assert _dataset_key(f"file://{sf}") == k
+    assert _dataset_key(sf + "/") == k
+    assert _dataset_key("/root/testdata/sf0.01") != k
