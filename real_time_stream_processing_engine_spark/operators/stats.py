@@ -46,12 +46,17 @@ def mann_whitney_u(a: DataFrame, b: DataFrame, value_col: str = "v") -> DataFram
     effect size is (2U+T-nm)·1e6/(nm) — all products in
     DECIMAL(38,0) (nm·1e6 overflows int64 beyond ~3M×3M rows).
     """
-    av = a.groupBy(F.col(value_col).alias("v")).agg(
-        F.count("*").alias("cnt_a")
-    )
-    bv = b.groupBy(F.col(value_col).alias("v")).agg(
-        F.count("*").alias("cnt_b")
-    )
+    # NULLs are MISSING observations, not a rank position: groupBy
+    # would keep a v=NULL histogram row that counts into na/nb while
+    # contributing 0 to U (nulls sort first, below=0), biasing
+    # rank_biserial_ppm toward "a smaller" by exactly the null share
+    # (r9 review) — exclude them, the standard complete-case rule.
+    av = a.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(value_col).alias("v")
+    ).agg(F.count("*").alias("cnt_a"))
+    bv = b.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(value_col).alias("v")
+    ).agg(F.count("*").alias("cnt_b"))
     wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cb = bv.select(
         "v",
@@ -129,14 +134,19 @@ def ks_statistic(a: DataFrame, b: DataFrame, value_col: str = "v") -> DataFrame:
     na·nb ≈ 10¹³ at 3M×3M and d_num·1e6 ≈ 10¹⁹ crosses int64, so
     the sup and the ppm step run in DECIMAL(38,0).
     """
+    # complete-case rule, same as mann_whitney_u (r9 review): a v=NULL
+    # histogram row would be a spurious first CDF step — cuma jumps by
+    # the null count at a point that is not a value, inflating the sup
+    # (identical samples with one-sided nulls read as ks_ppm > 0)
     u = (
-        a.select(
+        a.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(value_col).alias("v"),
             F.lit(1).alias("ca"),
             F.lit(0).alias("cb"),
         )
         .unionByName(
-            b.select(
+            b.filter(F.col(value_col).isNotNull()).select(
                 F.col(value_col).alias("v"),
                 F.lit(0).alias("ca"),
                 F.lit(1).alias("cb"),
@@ -217,7 +227,14 @@ def decile_table(r: DataFrame, n_points: int = 10) -> DataFrame:
     floor(d·n/n_points), so each emitted point is the cumulative share
     at exactly the d/n_points population boundary — a floor bucketing
     would shift every point one bucket late and emit no d=1 boundary
-    at all."""
+    at all.
+
+    The reported cum is ``max_by(cum, rk)`` — the running sum AT the
+    boundary row — never ``max(cum)`` (r9 review): with NEGATIVE
+    values (net-of-refunds entities are in-contract for the generic
+    cumsum path) the running sum dips and recovers, so a bucket's
+    interior maximum can exceed its boundary value and ``max(cum)``
+    would report a share for a rank the docstring does not promise."""
     return (
         r.selectExpr(
             f"CAST(({n_points} * rk + n - 1) DIV n AS BIGINT) AS decile",
@@ -226,9 +243,9 @@ def decile_table(r: DataFrame, n_points: int = 10) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.max("rk").cast("long").alias("n_cum"),
-            F.max("cum").cast("long").alias("cum"),
+            F.expr("max_by(cum, rk)").cast("long").alias("cum"),
             F.expr(
-                "CAST((CAST(max(cum) AS DECIMAL(38,0)) * 1000000)"
+                "CAST((CAST(max_by(cum, rk) AS DECIMAL(38,0)) * 1000000)"
                 " DIV max(tot) AS BIGINT)"
             ).alias("cum_share_ppm"),
         )
@@ -348,6 +365,18 @@ def distributed_cumsum(df: DataFrame, order_cols: list[str],
             f"distributed_cumsum needs an integral value column for an "
             f"exact running sum; {value_col} is {vtype} — cast to long "
             "or a scale-0 decimal (e.g. a fixed-point micro grid) first"
+        )
+    # output/helper collisions corrupt silently (withColumn REPLACES a
+    # same-named column) or die deep inside the helper as an ambiguous
+    # reference after the offsets join — refuse at entry with the real
+    # cause, the same guard class as asof_join/salted_agg (r9 review)
+    reserved = {"rk", "cum", "_pid", "_lrk", "_lcum", "_off_n", "_off_s"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"distributed_cumsum output/helper column(s) {clash} already "
+            "exist on the input frame; rename them first (rk/cum are the "
+            "outputs, _pid/_lrk/_lcum/_off_n/_off_s are scratch)"
         )
     n_parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"

@@ -143,9 +143,21 @@ def asof_join(
     tol = None if tolerance_s is None else int(tolerance_s) * (1 if unit == "s" else 1_000_000)
     # helper/output name collisions silently corrupt the final
     # select(*left.columns) — refuse like regex_redact does (r7 review)
-    reserved = {"_aj_t", "_aj_m", "_aj_is_r", "_aj_match"} | {
-        f"{out_prefix}ts", *[f"{out_prefix}{c}" for c in value_cols]
-    }
+    out_names = [f"{out_prefix}ts"] + [f"{out_prefix}{c}" for c in value_cols]
+    # the output names must be distinct AMONG THEMSELVES too (r9
+    # review): value_cols containing 'ts' (or an internal duplicate)
+    # collapses silently in the reserved SET below, and the final
+    # select then emits two identically-named columns — every
+    # downstream reference hits AMBIGUOUS_REFERENCE
+    dups = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dups:
+        raise ValueError(
+            f"asof_join output column(s) {dups} would be emitted twice "
+            f"(value_cols {value_cols!r} collide with the {out_prefix}ts "
+            "match timestamp or each other); rename or drop the "
+            "duplicate value column"
+        )
+    reserved = {"_aj_t", "_aj_m", "_aj_is_r", "_aj_match"} | set(out_names)
     clash = reserved & set(left.columns)
     if clash:
         raise ValueError(
@@ -302,15 +314,32 @@ def skyline_2d(
         if b in cell_max:
             run = cell_max[b] if run is None else max(run, cell_max[b])
     sentinel = float("-inf")
+    # The prune must be CONSERVATIVE under float rounding (r9 review):
+    # int64/decimal values past 2^53 can alias when cast to double, so
+    # a true-frontier row could compare == (or, past 2^54, a hair
+    # below) a prefix max it actually exceeds and be killed before the
+    # exact phase-2 sweep ever sees it.  Two-sided fix: each prefix
+    # literal steps ONE ULP DOWN (a double is then certainly < any
+    # exact value that exceeds the true max) and the comparison is >=
+    # (double rounding is monotone, so exact-X > literal implies
+    # double(X) >= literal).  Dominated rows this lets through are
+    # removed exactly by phase 2; nothing non-dominated is killed at
+    # any magnitude.
+    import math
+
     pref_arr = F.array(
         *[
-            F.lit(sentinel if prefix[b] is None else float(prefix[b]))
+            F.lit(
+                sentinel
+                if prefix[b] is None
+                else math.nextafter(float(prefix[b]), float("-inf"))
+            )
             for b in range(n_bins)
         ]
     )
     survivors = binned.filter(
         F.col(maximize).cast("double")
-        > F.element_at(pref_arr, F.col("_sk_bin") + 1)
+        >= F.element_at(pref_arr, F.col("_sk_bin") + 1)
     ).drop("_sk_bin")
     pairs = survivors.select(minimize, maximize).distinct()
     w = Window.orderBy(F.asc(minimize), F.desc(maximize)).rowsBetween(
@@ -360,8 +389,16 @@ def interval_concurrency(
     over buckets, which 100x data growth does not grow."""
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
-    deltas = intervals.select(s.alias("t"), F.lit(1).alias("d")).unionAll(
-        intervals.select((e + 1).alias("t"), F.lit(-1).alias("d"))
+    # an interval with a NULL bound has no sweep position — and a
+    # ONE-sided NULL is worse than useless: its lone ±1 lands in a
+    # NULL bucket that the across-window's orderBy sorts FIRST, so the
+    # unmatched delta corrupts the carry of EVERY real bucket and a
+    # spurious bucket_start=NULL row is emitted (r9 review).  Exclude
+    # whole rows up front — the same null-coordinate policy as
+    # sessionize and skyline_2d.
+    iv = intervals.filter(s.isNotNull() & e.isNotNull())
+    deltas = iv.select(s.alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select((e + 1).alias("t"), F.lit(-1).alias("d"))
     )
     net = (
         deltas.withColumn("bucket", F.floor(F.col("t") / bucket_sec) * bucket_sec)
@@ -437,8 +474,14 @@ def asof_join_nearest(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
     bg = F.col("ts_s") - F.col("back")
     fg = F.col("fwd") - F.col("ts_s")
+    # a NULL event timestamp has no as-of position: asc nulls-first
+    # puts it at the partition head, where back is NULL but the
+    # forward carry hands it the user's EARLIEST order — the exact
+    # bogus-match class asof_join masks (r5 catch) that this variant
+    # missed (r9 review).  Mask first, before the back/fwd cases.
     nearest = (
-        F.when(F.col("back").isNull(), F.col("fwd"))
+        F.when(F.col("ts_s").isNull(), F.lit(None).cast("long"))
+        .when(F.col("back").isNull(), F.col("fwd"))
         .when(F.col("fwd").isNull(), F.col("back"))
         .when(fg < bg, F.col("fwd"))
         .otherwise(F.col("back"))

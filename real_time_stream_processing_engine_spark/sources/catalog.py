@@ -185,7 +185,9 @@ def replace_contents(
         raise IOError(f"failed to delete swap leftover {oldp}")
 
 
-def recover_swap(spark: SparkSession, path: str) -> bool:
+def recover_swap(
+    spark: SparkSession, path: str, drop_stale_tmps: bool = False
+) -> bool:
     """Complete (or roll back) an interrupted :func:`replace_contents`.
 
     Returns True iff ``path`` holds a complete table on return.  Scans
@@ -196,11 +198,19 @@ def recover_swap(spark: SparkSession, path: str) -> bool:
       the old rename began, so finish FORWARD — rename tmp to the
       target, drop old (the committed batches in tmp win).
     - target missing + old only: roll back — rename old to the target.
-    - target present: any leftover swap dirs are stale scratch from a
-      crashed write (step 1) or an unfinished delete (step 4); drop
-      them.
+    - target present: leftover ``__swap_old_`` dirs are an unfinished
+      step-4 delete of a COMPLETED swap — drop them.  Leftover
+      ``__swap_tmp_`` dirs are NOT touched by default (r9 review): a
+      tmp is indistinguishably either stale scratch from a crashed
+      step-1 write or a concurrent :func:`replace_contents`' IN-FLIGHT
+      step-1 write, and deleting a live writer's tmp mid-write strands
+      its step-3 rename with the table already moved aside.  Pass
+      ``drop_stale_tmps=True`` — an explicit no-concurrent-writer
+      assertion — to reclaim orphaned tmp scratch.
 
-    Idempotent and safe to call before every read-or-seed decision."""
+    Idempotent and safe to call before every read-or-seed decision
+    while a single writer may be live; concurrent swaps on one target
+    remain unsupported (two paired sets raise)."""
     from .fsmeta import fs_and_path, rename_or_raise
 
     base = path.rstrip("/")
@@ -250,7 +260,10 @@ def recover_swap(spark: SparkSession, path: str) -> bool:
             )
     if not fs.exists(dst):
         return False
-    for p in list(olds.values()) + list(tmps.values()):
+    stale = list(olds.values()) + (
+        list(tmps.values()) if drop_stale_tmps else []
+    )
+    for p in stale:
         fs.delete(p, True)
     return True
 

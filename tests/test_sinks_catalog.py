@@ -132,14 +132,20 @@ def test_recover_swap_completes_interrupted_swap_forward(spark, tmp_path):
 
 
 def test_recover_swap_cleans_stale_scratch(spark, tmp_path):
-    """Target intact + leftover tmp from a crashed write (or old from an
-    unfinished delete): recovery keeps the target and drops the junk."""
+    """Target intact: recovery keeps the target, drops leftover OLDs
+    (unfinished step-4 delete of a completed swap), and — by default —
+    LEAVES tmps alone: a tmp is indistinguishably a crashed write's
+    orphan or a concurrent writer's IN-FLIGHT step-1, and deleting a
+    live writer's tmp strands its step-3 rename (r9 review).
+    drop_stale_tmps=True is the explicit no-concurrent-writer opt-in."""
     p = str(tmp_path / "t")
     catalog.create(spark.createDataFrame([(1,)], "k int"), p)
     spark.createDataFrame([(9,)], "k int").write.parquet(f"{p}__swap_tmp_ab")
     spark.createDataFrame([(8,)], "k int").write.parquet(f"{p}__swap_old_cd")
     assert catalog.recover_swap(spark, p) is True
     assert [r.k for r in catalog.get(spark, p).collect()] == [1]
+    assert _swap_siblings(tmp_path, "t") == ["t__swap_tmp_ab"]
+    assert catalog.recover_swap(spark, p, drop_stale_tmps=True) is True
     assert _swap_siblings(tmp_path, "t") == []
 
 
