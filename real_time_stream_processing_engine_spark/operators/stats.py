@@ -199,7 +199,12 @@ def lorenz_points(keyed_sums: DataFrame, sum_col: str = "s",
     two-pass prefix sum, pinned equal at 2M rows in
     tests/test_scale_smoke.py) and reuse :func:`decile_table` —
     exactly what q331 does.
-    """
+
+    An entity with a NULL ``sum_col`` is a missing observation, not a
+    zero: row_number would rank it (inflating n and shifting every
+    boundary) while sum() skips it — excluded up front, the same
+    complete-case rule as the rest of this module (r9 review)."""
+    keyed_sums = keyed_sums.filter(F.col(sum_col).isNotNull())
     wr = Window.orderBy(sum_col, key_col)
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -260,8 +265,15 @@ def grouped_quantile_crossings(df: DataFrame, group_col: str,
     exact integer permille.  Returns (group, n, p10, p90,
     p90_p10_permille).  The inequality quantile definition matches
     ``ceil(q·n)``-th order statistic with ascending ranks.
-    """
-    h = df.groupBy(
+
+    NULL values are missing observations, excluded up front (the same
+    complete-case rule as :func:`mann_whitney_u`, r9 review): a NULL
+    histogram row sorts first in the cumulative window, inflating cum
+    and n by the null count and shifting every crossing to an earlier
+    real value — min() could never SELECT the null, but it still
+    biased where the thresholds fell.  A NULL GROUP stays a normal
+    group, matching Window.partitionBy semantics."""
+    h = df.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).agg(F.count("*").alias("cnt"))
     wc = (

@@ -192,3 +192,39 @@ def test_distributed_cumsum_refuses_column_collisions(spark):
     df2 = spark.createDataFrame([(1, 2, 3)], "k long, v long, _off_n long")
     with pytest.raises(ValueError, match="_off_n"):
         distributed_cumsum(df2, ["k"], "v")
+
+
+def test_quantile_crossings_ignore_null_values(spark):
+    from real_time_stream_processing_engine_spark.operators.stats import (
+        grouped_quantile_crossings,
+    )
+
+    vals = [("g", v) for v in range(1, 101)]
+    clean = spark.createDataFrame(vals, "grp string, v long")
+    dirty = clean.unionByName(
+        spark.createDataFrame([("g", None)] * 30, "grp string, v long")
+    )
+    want = grouped_quantile_crossings(clean, "grp", "v").head()
+    got = grouped_quantile_crossings(dirty, "grp", "v").head()
+    # 30% nulls used to inflate n and drag both crossings to earlier
+    # real values; complete-case must make the null share invisible
+    assert (got.n, got.p10, got.p90) == (want.n, want.p10, want.p90) == (100, 10, 90)
+
+
+def test_lorenz_ignores_null_entity_sums(spark):
+    from real_time_stream_processing_engine_spark.operators.stats import (
+        lorenz_points,
+    )
+
+    rows = [(k, (k + 1) * 10) for k in range(20)]
+    clean = spark.createDataFrame(rows, "o_custkey long, s long")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(99, None), (98, None)], "o_custkey long, s long")
+    )
+    want = {(r.decile, r.n_cum, r.cum_share_ppm)
+            for r in lorenz_points(clean).collect()}
+    got = {(r.decile, r.n_cum, r.cum_share_ppm)
+           for r in lorenz_points(dirty).collect()}
+    # NULL-sum entities used to be RANKED (shifting every boundary)
+    # while contributing nothing to cum — they must be invisible
+    assert got == want
