@@ -127,6 +127,15 @@ def bpe_encode_words(
     (left, right, count) triples directly — the documented
     train-then-apply composition used to crash unpacking the count
     (r5 review catch)."""
+    clash = [c for c in words.columns if c in ("syms", "n_tokens")]
+    if clash:
+        # withColumn silently REPLACES same-named columns: encoding
+        # bpe_learn's final_vocab (which already carries `syms`) would
+        # destroy the learned symbol table without an error
+        raise ValueError(
+            f"columns {clash} collide with bpe_encode_words' "
+            "syms/n_tokens output names — rename or drop them first"
+        )
     syms = char_symbols(F.col(word_col))
     for m in merges:
         a, b = m[0], m[1]

@@ -47,7 +47,16 @@ def assign_clusters(
     """Nearest-centroid assignment: argmin over k distance expressions
     via ``array_min`` on (rounded distance, cluster) structs — struct
     ordering IS the deterministic tie-break.  ``keep_dist`` adds the
-    winning squared distance (convergence monitoring / SSE)."""
+    winning squared distance (convergence monitoring / SSE).
+
+    A vector with no defined distance — NULL vector, NULL element, or a
+    length mismatch against the centroids (``zip_with`` pads the short
+    side with NULLs, so every centroid distance goes NULL together) —
+    is MASKED to a NULL cluster rather than silently argmin'd: all-NULL
+    distance structs would tie-break purely on cluster id and dump
+    every malformed vector into cluster 0, inflating its member count
+    while contributing nothing to its centroid (same bogus-match class
+    as ``asof_join_nearest``'s NULL-timestamp mask)."""
     pick = F.array_min(
         F.array(
             *[
@@ -59,16 +68,21 @@ def assign_clusters(
             ]
         )
     )
-    out = emb.withColumn("cluster", pick.getField("c"))
+    defined = pick.getField("d").isNotNull()
+    out = emb.withColumn("cluster", F.when(defined, pick.getField("c")))
     if keep_dist:
-        out = out.withColumn("sq_dist", pick.getField("d"))
+        out = out.withColumn("sq_dist", F.when(defined, pick.getField("d")))
     return out
 
 
 def _centroid_rows(assigned: DataFrame, vec_col: str) -> DataFrame:
     """(cluster, dim, v): per-cluster element-wise mean — q94's one
     partial-aggregated exchange, dims are 1-based to match SQL arrays."""
-    pos = assigned.select(
+    # masked rows (NULL cluster) are excluded: a wrong-length vector
+    # still posexplodes real elements, which would otherwise average
+    # into a phantom cluster-NULL centroid and TypeError the driver's
+    # int(cluster) readback
+    pos = assigned.filter(F.col("cluster").isNotNull()).select(
         "cluster", F.posexplode(vec_col).alias("dim0", "x")
     )
     return pos.groupBy(
@@ -90,13 +104,27 @@ def kmeans_lloyd(
     The loop's only driver round-trip is the k x dims centroid matrix
     (bounded, independent of data size); the final round's update is
     returned as a DataFrame, not collected."""
+    # seeds come from WELL-FORMED vectors only: a NULL vector or NULL
+    # element among the k lowest ids would TypeError at float() below,
+    # and a malformed seed would define the dims every other vector is
+    # measured against (malformed DATA rows are masked per-row in
+    # assign_clusters instead)
+    well_formed = F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
     seed_rows = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        emb.filter(well_formed)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
     )
     centroids = [[float(x) for x in r[1]] for r in seed_rows]
     if not centroids:
         raise ValueError(
-            "kmeans_lloyd: input frame has no rows to seed centroids from"
+            "kmeans_lloyd: no well-formed vectors to seed centroids from "
+            "(empty input, or every row's vector is NULL / has NULL "
+            "elements)"
         )
     # fewer rows than k seeds fewer clusters — labels stay 0..n_seeds-1
     # (documented degrade; an empty frame is the only hard error)

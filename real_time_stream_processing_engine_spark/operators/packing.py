@@ -59,11 +59,34 @@ def pack_sequences(
             "group_cols must be non-empty (include a shard column: an "
             "unpartitioned window is a single-task global sort at scale)"
         )
+    if out in df.columns:
+        # withColumn silently REPLACES a same-named column — out ==
+        # token_col would even destroy the very counts being packed
+        # (same reserved-scratch contract as salted_agg's _salt/_p_*)
+        raise ValueError(
+            f"output column {out!r} already exists on the input — "
+            "rename it or pass a different `out`"
+        )
+    # token counts are REFUSED per-row when NULL or negative (loud
+    # posture of sampling's _draw_key): a NULL count silently hands its
+    # doc a NULL pack_id, and a negative count makes the running sum
+    # dip — later documents join EARLIER packs and a "closed" pack can
+    # reopen (the decile_table cumulative-dip class)
+    tok_t = df.schema[token_col].dataType
+    tok = F.when(
+        F.col(token_col).isNull() | (F.col(token_col) < 0),
+        F.raise_error(
+            F.lit(
+                f"null or negative {token_col}: packing needs a "
+                "non-negative token count per document"
+            )
+        ).cast(tok_t),
+    ).otherwise(F.col(token_col))
     order = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pre_cum = F.sum(token_col).over(w) - F.col(token_col)
+    pre_cum = F.sum(tok).over(w) - tok
     return df.withColumn(out, F.floor(pre_cum / F.lit(float(budget))).cast("long"))

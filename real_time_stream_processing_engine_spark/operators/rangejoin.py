@@ -54,6 +54,16 @@ def binned_range_join(
     span = int(upper_s) - int(lower_s)
     if span <= 0:
         raise ValueError("upper_s must be greater than lower_s")
+    if any(c == "_bin" for c in (*left.columns, *right.columns)):
+        # withColumn silently REPLACES a same-named column: a real
+        # `_bin` would be overwritten by the bucket id and then dropped
+        # from the result — the caller loses a column without an error
+        # (same reserved-scratch contract as salted_join's _salt and
+        # bloom_prefilter's _bp_p*)
+        raise ValueError(
+            "a `_bin` column on either side collides with "
+            "binned_range_join's bucket scratch name — rename it first"
+        )
     for df_, c in ((left, left_ts), (right, right_ts)):
         t = df_.schema[c].dataType.typeName()
         if t not in ("timestamp", "timestamp_ntz", "date"):

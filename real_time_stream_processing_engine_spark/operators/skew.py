@@ -83,6 +83,19 @@ def salted_agg(
             if fn not in supported:
                 raise ValueError(f"non-reaggregable function: {fn!r}")
             norm.append((c, fn))
+    out_names = [f"{fn}_{c}" for c, fn in norm]
+    out_clash = sorted(
+        {n for n in out_names if n in keys or out_names.count(n) > 1}
+    )
+    if out_clash:
+        # agg() happily emits duplicate-named columns, so `keys=
+        # ["sum_v"], aggs={"v": "sum"}` (or a repeated fn in a list)
+        # would return two `sum_v` columns — ambiguous on any
+        # downstream reference instead of an error here
+        raise ValueError(
+            f"output names {out_clash} collide with the group keys or "
+            "each other — rename the key or aggregate different columns"
+        )
     salt = _spread_salt(n_salt)
     partial_exprs, final_exprs = [], []
     for c, fn in norm:

@@ -184,7 +184,7 @@ def test_zorder_and_kmeans_reject_empty_input(spark, tmp_path):
     with _pytest.raises(ValueError, match="z-order"):
         build_zordered(empty, str(tmp_path / "z"), "a", "b")
     eempty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    with _pytest.raises(ValueError, match="no rows"):
+    with _pytest.raises(ValueError, match="empty input"):
         kmeans_lloyd(eempty, k=4)
 
 
