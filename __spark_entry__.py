@@ -39,21 +39,26 @@ _RISK_ORDER = [
     # the q236/q266 shared shingle lineage cuts, catalog merge
     # (q73/q164/q161), and sketches/bloom (q101/q105/q127).  Ordered
     # this-round's-changes first, oldest green row next, r8-greens last.
-    "q67", "q69", "q141", "q30", "q10", "q37", "q49", "q58",
+    "q67", "q69", "q141", "q30", "q10", "q37",
+    # session-3 operator hardening (k-means vector masking, packing
+    # token guards, bpe/range-join collision refusals) touched the
+    # code under these four after their last green driver row
+    "q98", "q40", "q131", "q149",
+    "q49", "q58",
     "q63", "q64", "q50", "q57", "q61", "q62", "q65", "q85",
     "q75", "q82", "q56", "q83", "q236", "q266", "q73", "q101",
     "q105", "q342", "q163", "q164", "q161", "q127",
     # ---- everything below here has a green driver row at code that
     # ---- is unchanged or strictly hardened since; relative order kept
-    "q175", "q172", "q144", "q128", "q181", "q186", "q165", "q131",
-    "q149", "q160", "q140", "q152", "q188", "q136", "q162", "q171",
+    "q175", "q172", "q144", "q128", "q181", "q186", "q165", 
+    "q160", "q140", "q152", "q188", "q136", "q162", "q171",
     "q159", "q123", "q124", "q126", "q125", "q129", "q132", "q133",
     "q139", "q142", "q143", "q145", "q146", "q147", "q148", "q150",
     "q151", "q153", "q154", "q155", "q156", "q158", "q166", "q168",
     "q173", "q174", "q182", "q192", "q190", "q340", "q341", "q343",
     "q344", "q345", "q346", "q347", "q348", "q349", "q350", "q351",
     "q352", "q353", "q354", "q355", "q356", "q95", "q108", "q114",
-    "q90", "q91", "q92", "q93", "q94", "q96", "q97", "q98",
+    "q90", "q91", "q92", "q93", "q94", "q96", "q97", 
     "q99", "q100", "q102", "q103", "q104", "q106", "q107", "q109",
     "q110", "q111", "q112", "q113", "q115", "q116", "q117", "q118",
     "q119", "q120", "q121", "q122", "q232", "q244", "q289", "q290",
@@ -81,7 +86,7 @@ _RISK_ORDER = [
     "q55", "q51", "q52", "q59", "q60", "q32", "q44", "q45",
     "q46", "q13", "q14", "q15", "q16", "q17", "q18", "q22",
     "q25", "q28", "q33", "q34", "q35", "q36", "q38", "q39",
-    "q40", "q43", "q47", "q01", "q02", "q03", "q04", "q05",
+    "q43", "q47", "q01", "q02", "q03", "q04", "q05",
     "q06", "q07", "q08", "q09", "q11", "q12", "q19", "q20",
     "q21", "q27",
 ]

@@ -94,6 +94,14 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     text.  Grouping on this column is the 100 TB exact-dedup plan (the
     fingerprint is 32 bytes regardless of doc size, so the shuffle
     carries hashes, not documents)."""
+    if out in df.columns:
+        # withColumn silently REPLACES a same-named column — a caller's
+        # precomputed fingerprint would be clobbered without an error
+        # (reserved-output contract; drop or rename to recompute)
+        raise ValueError(
+            f"output column {out!r} already exists on the input — "
+            "drop it first or pass a different `out`"
+        )
     return df.withColumn(out, F.md5(normalize_ws(text_col)))
 
 
@@ -142,6 +150,15 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE, out: str =
     otherwise run backwards)."""
     from ..functions.textfn import gram_array
 
+    clash = [c for c in df.columns if c in ("_toks", out)]
+    if clash:
+        # withColumn silently REPLACES same-named columns: a real
+        # `_toks` would be destroyed (and dropped), a real `out`
+        # overwritten by the shingle stream (reserved-scratch contract)
+        raise ValueError(
+            f"columns {clash} collide with shingles' _toks scratch / "
+            f"{out!r} output names — rename or drop them first"
+        )
     toks = tokenize(text_col)
     df = df.withColumn("_toks", toks).filter(F.size("_toks") >= k)
     sh = gram_array(F.col("_toks"), k)

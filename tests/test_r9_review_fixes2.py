@@ -176,3 +176,23 @@ def test_salted_agg_refuses_output_name_collisions(spark):
         salted_agg(df, keys=["sum_v"], aggs={"v": "sum"})
     with pytest.raises(ValueError, match="sum_x"):
         salted_agg(df, keys=["v"], aggs={"x": ["sum", "sum"]})
+
+
+# ---------------------------------------------------------------------------
+# dedup fingerprint/shingles: caller columns refused, not clobbered
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_and_shingles_refuse_collisions(spark):
+    from real_time_stream_processing_engine_spark.operators.dedup import (
+        fingerprint,
+        shingles,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="fingerprint"):
+        fingerprint(docs.withColumn("fingerprint", F.lit("precomputed")))
+    with pytest.raises(ValueError, match="_toks"):
+        shingles(docs.withColumn("_toks", F.lit(1)))
+    with pytest.raises(ValueError, match="shingle"):
+        shingles(docs.withColumn("shingle", F.lit("mine")))
