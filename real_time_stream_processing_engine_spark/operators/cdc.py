@@ -164,6 +164,24 @@ def _merge_by_key(
         # (keep) rows have every _u_* NULL by full-outer construction,
         # and CaseWhen only evaluates a branch value when its condition
         # holds — an ungated raise would fire on every keep row
+        #
+        # TARGET-side partial-NULL versions get the symmetric guard (r9
+        # review): the operator itself can no longer create them (the
+        # insert guard below), but an externally-materialized target —
+        # or one written before that guard existed — can carry a row
+        # whose version is half-set, and a matched update against it is
+        # silently wrong EITHER way: head NULL → never_versioned → any
+        # update (older included) overwrites; head set, tail NULL →
+        # u_ver > t_ver is NULL → the row freezes forever.  Refuse
+        # loudly; keep rows never reach a merge decision so they pass.
+        t_ver_null = None
+        t_ver_all_null = None
+        for c in version_cols:
+            n = target[c].isNull()
+            t_ver_null = n if t_ver_null is None else (t_ver_null | n)
+            t_ver_all_null = (
+                n if t_ver_all_null is None else (t_ver_all_null & n)
+            )
         newer = F.when(
             matched & u_ver_null,
             F.raise_error(
@@ -171,6 +189,17 @@ def _merge_by_key(
                     "apply_upsert_versioned: an update row carries a NULL "
                     "version component — it would silently never apply; "
                     "fix the feed or filter such rows upstream"
+                )
+            ).cast("boolean"),
+        ).when(
+            matched & t_ver_null & ~t_ver_all_null,
+            F.raise_error(
+                F.lit(
+                    "apply_upsert_versioned: a TARGET row carries a "
+                    "PARTIALLY-NULL version (some components set, some "
+                    "NULL) — a matched update against it would silently "
+                    "freeze or overwrite out of order; repair the target "
+                    "(all-NULL to mark unversioned, or a complete version)"
                 )
             ).cast("boolean"),
         ).otherwise(never_versioned | (u_ver > t_ver))

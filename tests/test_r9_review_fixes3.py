@@ -1,0 +1,90 @@
+"""Round-9 structured-review fixes, third batch — the session-4 pass
+over readers/fsmeta/sampling/cdc/graph/runner.  One genuine gap: a
+TARGET row carrying a partially-NULL version slipped past both r8
+guards (they cover the update and insert sides) and made a matched
+merge silently wrong either way — head NULL: treated never-versioned,
+any update overwrites; head set, tail NULL: u_ver > t_ver is NULL, the
+row freezes forever.  The test fails on the prior code."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _vapply(target, batch):
+    from real_time_stream_processing_engine_spark.operators.cdc import (
+        apply_upsert_versioned,
+    )
+
+    return apply_upsert_versioned(
+        target,
+        batch,
+        key_cols=["k"],
+        set_cols={"v": "nv"},
+        version_cols={"ver_a": "va", "ver_b": "vb"},
+    )
+
+
+def test_versioned_target_partial_null_version_refused(spark):
+    # head set, tail NULL: the matched compare is NULL -> the row used
+    # to freeze forever with no error (the r8-review class, target side)
+    target = spark.createDataFrame(
+        [(1, "a", 5, None)], "k long, v string, ver_a long, ver_b long"
+    )
+    bad = _vapply(
+        target,
+        spark.createDataFrame(
+            [(1, "a2", 6, 0)], "k long, nv string, va long, vb long"
+        ),
+    )
+    with pytest.raises(Exception, match="TARGET row.*PARTIALLY-NULL"):
+        bad.collect()
+
+
+def test_versioned_target_head_null_partial_version_refused(spark):
+    # head NULL, tail set: used to read as never-versioned, so ANY
+    # update — an arbitrarily old one included — silently overwrote
+    target = spark.createDataFrame(
+        [(1, "a", None, 7)], "k long, v string, ver_a long, ver_b long"
+    )
+    bad = _vapply(
+        target,
+        spark.createDataFrame(
+            [(1, "old", 0, 0)], "k long, nv string, va long, vb long"
+        ),
+    )
+    with pytest.raises(Exception, match="TARGET row.*PARTIALLY-NULL"):
+        bad.collect()
+
+
+def test_versioned_target_partial_null_on_keep_row_passes(spark):
+    # keep rows never reach a merge decision: a corrupt UNMATCHED
+    # target row must pass through unchanged, not trip the guard
+    target = spark.createDataFrame(
+        [(1, "a", 5, None), (2, "b", 3, 3)],
+        "k long, v string, ver_a long, ver_b long",
+    )
+    out = _vapply(
+        target,
+        spark.createDataFrame(
+            [(2, "b2", 4, 0)], "k long, nv string, va long, vb long"
+        ),
+    )
+    got = {r.k: (r.v, r.ver_a, r.ver_b) for r in out.collect()}
+    assert got == {1: ("a", 5, None), 2: ("b2", 4, 0)}
+
+
+def test_versioned_target_all_null_still_never_versioned(spark):
+    # the seeded-together contract is untouched: an all-NULL target
+    # version stays legal and the first versioned update claims it
+    target = spark.createDataFrame(
+        [(1, "a", None, None)], "k long, v string, ver_a long, ver_b long"
+    )
+    out = _vapply(
+        target,
+        spark.createDataFrame(
+            [(1, "v1", 1, 0)], "k long, nv string, va long, vb long"
+        ),
+    )
+    got = {r.k: (r.v, r.ver_a, r.ver_b) for r in out.collect()}
+    assert got == {1: ("v1", 1, 0)}
