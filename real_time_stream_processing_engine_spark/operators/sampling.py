@@ -219,7 +219,12 @@ def mixture_sample(
     growth stable), the plan has zero exchanges, and a row's draw is
     SHARED across seeds only if the seed matches: resampling with a new
     seed draws an independent mixture.  Groups absent from ``rates``
-    keep ``default_rate``."""
+    keep ``default_rate`` — and a NULL group value is "absent" by
+    construction (no CASE arm can equal it), so NULL-group rows keep
+    ``default_rate`` rather than being dropped; unlike
+    :func:`flattening_sample` there is no join here for a NULL to fall
+    out of, so the quiet default is row-safe (r9 review, pinned in
+    ``tests/test_r9_review_fixes3.py``)."""
     expr = F.lit(fraction_threshold_hex(default_rate))
     for g, r in rates.items():
         expr = F.when(F.col(group_col) == g, F.lit(fraction_threshold_hex(r))).otherwise(expr)
@@ -249,7 +254,10 @@ def repeat_rows(
     shuffle needs so repeats land in different batches).  Scan-side
     ``explode(sequence(...))`` — a Generate with no shuffle; rows with
     zero copies vanish at the explode.  Factors are literals compiled
-    into one CASE, so the plan is identical for 2 groups or 200."""
+    into one CASE, so the plan is identical for 2 groups or 200.
+    A NULL group value matches no CASE arm and keeps
+    ``default_factor`` (the :func:`mixture_sample` NULL contract —
+    row-safe, no join to fall out of)."""
     if any(f < 0 for f in factors.values()) or default_factor < 0:
         raise ValueError("repeat factors must be >= 0")
     if out in df.columns:

@@ -88,3 +88,45 @@ def test_versioned_target_all_null_still_never_versioned(spark):
     )
     got = {r.k: (r.v, r.ver_a, r.ver_b) for r in out.collect()}
     assert got == {1: ("v1", 1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# samplers: NULL group values keep the default rate/factor (row-safe)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_null_group_keeps_default_rate(spark):
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else None) for i in range(1, 401)],
+        "id long, grp string",
+    )
+    # default_rate=1.0: every NULL-group row must SURVIVE (the quiet
+    # default is row-safe — no join for a NULL to fall out of)
+    kept = mixture_sample(df, {"a": 0.0}, "grp", "id", default_rate=1.0)
+    got = {r.grp for r in kept.collect()}
+    assert got == {None}
+    assert kept.count() == 200
+    # default_rate=0.0: NULL-group rows follow the default out
+    none_kept = mixture_sample(df, {"a": 1.0}, "grp", "id", default_rate=0.0)
+    assert {r.grp for r in none_kept.collect()} == {"a"}
+
+
+def test_repeat_rows_null_group_keeps_default_factor(spark):
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        repeat_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id long, grp string"
+    )
+    out = repeat_rows(df, {"a": 3.0}, "grp", "id", default_factor=2.0)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r.id, []).append(r.epoch)
+    assert sorted(by_id[1]) == [1, 2, 3]  # named group factor
+    assert sorted(by_id[2]) == [1, 2]     # NULL group -> default factor
+    assert sorted(by_id[3]) == [1, 2]
