@@ -301,7 +301,14 @@ def weighted_sample(
     representable in a double, so an oracle parsing the same digits
     computes the identical fraction and the identical keep set.  Same
     determinism contract as every other sampler here:
-    retry/repartition/growth-stable, zero exchanges."""
+    retry/repartition/growth-stable, zero exchanges.
+
+    NULL-rate rows are EXCLUDED (``draw < NULL`` is NULL, which the
+    filter drops) — the family's convention for NULL weights
+    (:func:`systematic_weighted_sample` and
+    :func:`budget_capped_select` document the same exclusion); a rate
+    above 1 keeps the row always, at or below 0 never (the natural
+    Bernoulli edge).  Pinned in ``tests/test_r9_review_fixes3.py``."""
     if not 1 <= digits <= 15:
         # 16 hex digits can exceed LONG max; conv's decimal string then
         # casts to NULL and the filter silently drops ~half of all rows

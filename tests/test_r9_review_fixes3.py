@@ -130,3 +130,19 @@ def test_repeat_rows_null_group_keeps_default_factor(spark):
     assert sorted(by_id[1]) == [1, 2, 3]  # named group factor
     assert sorted(by_id[2]) == [1, 2]     # NULL group -> default factor
     assert sorted(by_id[3]) == [1, 2]
+
+
+def test_weighted_sample_null_rate_rows_excluded(spark):
+    # the family's NULL-weight convention (systematic PPS and budget
+    # curation document the same exclusion): NULL rate -> excluded;
+    # rate >= 1 -> always kept; rate <= 0 -> never kept
+    from real_time_stream_processing_engine_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 0.0), (4, 1.5), (5, -0.5)],
+        "id long, rate double",
+    )
+    got = {r.id for r in weighted_sample(df, "rate", "id").collect()}
+    assert got == {1, 4}
