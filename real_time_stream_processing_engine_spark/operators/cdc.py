@@ -182,7 +182,25 @@ def _merge_by_key(
             t_ver_all_null = (
                 n if t_ver_all_null is None else (t_ver_all_null & n)
             )
+        # A row can be corrupt on BOTH sides at once (NULL update
+        # component AND partially-NULL target version); a single-sided
+        # error would mask the other defect and the operator would fix
+        # the feed, re-run, and only then hit the target error (r9
+        # advice).  Name both in one message so one repair pass covers
+        # both; the two single-sided branches below stay as-is.
         newer = F.when(
+            matched & u_ver_null & t_ver_null & ~t_ver_all_null,
+            F.raise_error(
+                F.lit(
+                    "apply_upsert_versioned: a matched row is corrupt on "
+                    "BOTH sides — the update carries a NULL version "
+                    "component (fix the feed or filter such rows "
+                    "upstream) AND the TARGET row carries a "
+                    "PARTIALLY-NULL version (repair the target: all-NULL "
+                    "to mark unversioned, or a complete version)"
+                )
+            ).cast("boolean"),
+        ).when(
             matched & u_ver_null,
             F.raise_error(
                 F.lit(
