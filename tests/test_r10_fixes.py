@@ -86,3 +86,46 @@ def test_bench_calibrate_anchor(spark):
     out = bench.calibrate(spark, "/root/testdata/sf0.001", reps=1)
     assert set(out) == {"scan_agg", "string_pass"}
     assert all(isinstance(v, float) and v > 0 for v in out.values())
+
+
+def test_bench_compare_parses_both_formats(tmp_path):
+    # the comparator must read a raw bench line AND a driver archive
+    # ({"tail": truncated stdout}), and only normalize when both sides
+    # carry anchors
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import bench_compare as bc
+
+    raw = tmp_path / "raw.json"
+    raw.write_text(json.dumps({
+        "queries": {"q01_a": 1.0, "q02_b": 2.0, "q99_dead": -1.0},
+        "calib_pre": {"scan_agg": 0.3, "string_pass": 0.2},
+        "calib_post": {"scan_agg": 0.31, "string_pass": 0.21},
+    }))
+    arch = tmp_path / "arch.json"
+    arch.write_text(json.dumps({
+        "tail": '..."q01_a": 1.5, "q02_b": 2.5}, "calib_pre": '
+                '{"scan_agg": 0.6, "string_pass": 0.4}, "calib_post": '
+                '{"scan_agg": 0.62, "string_pass": 0.42}, "value": 4.0}',
+    }))
+    qa, aa = bc.load_queries(str(raw))
+    qb, ab = bc.load_queries(str(arch))
+    assert qa == {"q01_a": 1.0, "q02_b": 2.0}  # failures (-1) dropped
+    assert qb == {"q01_a": 1.5, "q02_b": 2.5}
+    assert aa is not None and ab is not None
+    r_min, r_mean, stable = bc.anchor_ratios(aa, ab)
+    assert stable  # both runs' pre/post within 1.5x
+    assert 1.9 < r_min < 2.1 and 1.9 < r_mean < 2.1
+
+
+def test_bench_compare_flags_unstable_run():
+    import bench_compare as bc
+
+    a = {"calib_pre": {"j": 0.3}, "calib_post": {"j": 0.3}}
+    b = {"calib_pre": {"j": 0.9}, "calib_post": {"j": 0.3}}  # mid-run shift
+    r_min, r_mean, stable = bc.anchor_ratios(a, b)
+    assert not stable
+    assert r_min == 1.0  # best capability equal...
+    assert r_mean == 2.0  # ...but the transient doubled the mean
