@@ -36,6 +36,18 @@ spark.range(n * 4).repartition(n).mapInPandas(_noop, "id long").count()
 spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter("contains(lower(text), 'zzzqqx')").count()
 by_prefix = {name.split("_", 1)[0]: name for name in QUERIES}
 out = {}
+# per-child ambient anchor (r10): min-of-3 of one pinned tiny job,
+# reported alongside the query times so an outlier rep can be
+# classified from the record alone (anchor ~2x baseline = the whole
+# subprocess ran on a degraded box; anchor flat = the query itself)
+best = None
+for _ in range(3):
+    t0 = time.monotonic()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).groupBy(
+        "l_returnflag").agg({"l_extendedprice": "sum"}).collect()
+    dt = time.monotonic() - t0
+    best = dt if best is None else min(best, dt)
+out["_anchor"] = round(best, 3)
 for p in prefixes:
     name = by_prefix[p]
     t0 = time.monotonic()
@@ -66,9 +78,11 @@ def main() -> None:
         repo_a: {p: [] for p in prefixes},
         repo_b: {p: [] for p in prefixes},
     }
+    anchors: dict[str, list[float]] = {repo_a: [], repo_b: []}
     for i in range(reps):
         for repo in ((repo_a, repo_b) if i % 2 == 0 else (repo_b, repo_a)):
             t = run_once(repo, prefixes)
+            anchors[repo].append(t.pop("_anchor", -1.0))
             for p, v in t.items():
                 results[repo][p].append(v)
             print(f"# rep {i} {repo}: {t}", file=sys.stderr)
@@ -81,7 +95,13 @@ def main() -> None:
             "b_over_a": round(mb / ma, 3) if ma else None,
             "a_all": results[repo_a][p], "b_all": results[repo_b][p],
         }
-    print(json.dumps({"a": repo_a, "b": repo_b, "paired": summary}, indent=1))
+    print(json.dumps({
+        "a": repo_a, "b": repo_b, "paired": summary,
+        # per-rep ambient anchors, in rep order per side: a rep whose
+        # anchor doubles ran on a degraded box — classify its query
+        # outliers as ambient from the record alone
+        "anchors_a": anchors[repo_a], "anchors_b": anchors[repo_b],
+    }, indent=1))
 
 
 if __name__ == "__main__":
