@@ -129,3 +129,32 @@ def test_bench_compare_flags_unstable_run():
     assert not stable
     assert r_min == 1.0  # best capability equal...
     assert r_mean == 2.0  # ...but the transient doubled the mean
+
+
+def test_gen_risk_order_reproduces_committed_order():
+    # the r11+ reorder tool must reproduce the committed round-10 order
+    # from the CORRECTNESS artifacts alone (same head), so the next
+    # rotation is a regeneration, not a hand edit
+    import re
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import gen_risk_order as g
+
+    order = g.staleness_order(["q67", "q69", "q307", "q114", "q308", "q148"])
+    src = open("__spark_entry__.py").read()
+    block = src[src.index("_RISK_ORDER") : src.index("\n]", src.index("_RISK_ORDER"))]
+    committed = re.findall(r'"(q\d+)"', block)
+    assert order == committed
+
+
+def test_gen_risk_order_rejects_unknown_head():
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "scripts")
+    import gen_risk_order as g
+
+    with pytest.raises(SystemExit, match="q999"):
+        g.staleness_order(["q999"])
