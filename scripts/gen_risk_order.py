@@ -1,6 +1,7 @@
 """Regenerate __spark_entry__._RISK_ORDER as a freshness order.
 
-Usage: python scripts/gen_risk_order.py [--head q67,q69,...] [--write]
+Usage: python scripts/gen_risk_order.py [--head q67,q69,...]
+           [--rounds 1-10] [--write]
 
 With the cumulative driver ledger closed (356/356 in round 9), the
 window policy is freshness: --head lists the prefixes that must lead
@@ -9,11 +10,20 @@ adjudication); every remaining prefix follows ordered by the round of
 its LAST driver check — computed from the CORRECTNESS_r*.json union —
 oldest first, numeric order within a round.
 
+--rounds pins the inclusive round range the order is computed from
+(default: every artifact present).  The committed order records its
+provenance (`_RISK_ORDER_HEAD` / `_RISK_ORDER_SOURCE_ROUNDS` in
+__spark_entry__.py, kept in sync by --write) so the regeneration pin
+in tests/ replays the SAME inputs: the driver lands a new
+CORRECTNESS_r{N}.json each round, and a pin that globs everything goes
+stale the moment it does (r10 verdict item 1).
+
 Prints the formatted list body; with --write, splices it into
 __spark_entry__.py between the `_RISK_ORDER = [` line and its closing
 `]` (preserving the comment block at the top of the list, i.e. any
-leading lines that start with '#').  Update the comment by hand — it
-explains the round's choice of head, which a script cannot know.
+leading lines that start with '#'), and rewrites the two provenance
+lines.  Update the comment by hand — it explains the round's choice of
+head, which a script cannot know.
 """
 
 from __future__ import annotations
@@ -27,10 +37,22 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def staleness_order(head: list[str]) -> list[str]:
-    last: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+def staleness_order(head: list[str], rounds=None) -> list[str]:
+    """Freshness order from the CORRECTNESS_r*.json artifacts.
+
+    ``rounds`` (iterable of ints, inclusive membership) pins which
+    artifacts count; None means all present.  Artifacts are processed
+    in NUMERIC round order (last write wins) — lexicographic glob
+    order would misattribute once rounds reach three digits ('r100'
+    sorts before 'r99'; r10 advice item 4)."""
+    rounds = None if rounds is None else set(rounds)
+    found: list[tuple[int, str]] = []
+    for f in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if rounds is None or rnd in rounds:
+            found.append((rnd, f))
+    last: dict[str, int] = {}
+    for rnd, f in sorted(found):
         for name in json.load(open(f)):
             if name.startswith("_"):
                 continue
@@ -54,17 +76,37 @@ def format_body(order: list[str]) -> str:
 
 def main() -> int:
     head: list[str] = []
+    rounds_span: tuple[int, int] | None = None
     write = "--write" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--head":
             head = [p.strip() for p in sys.argv[i + 1].split(",") if p.strip()]
-    order = staleness_order(head)
+        if a == "--rounds":
+            lo, hi = sys.argv[i + 1].split("-")
+            rounds_span = (int(lo), int(hi))
+    rounds = None if rounds_span is None else range(rounds_span[0], rounds_span[1] + 1)
+    order = staleness_order(head, rounds=rounds)
     body = format_body(order)
     if not write:
         print(body)
         return 0
+    if rounds_span is None:
+        raise SystemExit("--write requires --rounds lo-hi (the provenance to record)")
     path = os.path.join(ROOT, "__spark_entry__.py")
     src = open(path).read()
+    # keep the provenance lines in sync with the list they describe
+    src = re.sub(
+        r"_RISK_ORDER_HEAD: list\[str\] = \[.*?\]",
+        "_RISK_ORDER_HEAD: list[str] = [" + ", ".join(f'"{p}"' for p in head) + "]",
+        src,
+        count=1,
+    )
+    src = re.sub(
+        r"_RISK_ORDER_SOURCE_ROUNDS = \(\d+, \d+\)",
+        f"_RISK_ORDER_SOURCE_ROUNDS = ({rounds_span[0]}, {rounds_span[1]})",
+        src,
+        count=1,
+    )
     start = src.index("_RISK_ORDER = [")
     end = src.index("\n]", start)
     block = src[start:end]

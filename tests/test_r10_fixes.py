@@ -132,18 +132,24 @@ def test_bench_compare_flags_unstable_run():
 
 
 def test_gen_risk_order_reproduces_committed_order():
-    # the r11+ reorder tool must reproduce the committed round-10 order
-    # from the CORRECTNESS artifacts alone (same head), so the next
-    # rotation is a regeneration, not a hand edit
+    # the reorder tool must reproduce the committed order from the
+    # SAME inputs it was generated from — the head and source-round
+    # range recorded beside the list — so the next rotation is a
+    # regeneration, not a hand edit.  Replaying the provenance (not a
+    # glob of every artifact) keeps the pin true after the driver
+    # lands each round's new CORRECTNESS_r{N}.json (r10 verdict item 1)
     import re
     import sys
 
     sys.path.insert(0, "scripts")
+    import __spark_entry__ as entry
     import gen_risk_order as g
 
-    order = g.staleness_order(["q67", "q69", "q307", "q114", "q308", "q148"])
+    lo, hi = entry._RISK_ORDER_SOURCE_ROUNDS
+    order = g.staleness_order(entry._RISK_ORDER_HEAD, rounds=range(lo, hi + 1))
     src = open("__spark_entry__.py").read()
-    block = src[src.index("_RISK_ORDER") : src.index("\n]", src.index("_RISK_ORDER"))]
+    start = src.index("_RISK_ORDER = [")
+    block = src[start : src.index("\n]", start)]
     committed = re.findall(r'"(q\d+)"', block)
     assert order == committed
 
