@@ -75,6 +75,25 @@ def calibrate(spark, sf_dir: str, reps: int = 3) -> dict:
     return out
 
 
+def _anchor(spark, sf_dir: str, tag: str) -> tuple[dict | None, list | None]:
+    """calibrate() + loadavg, guarded: the anchors are diagnostics and
+    must never abort the bench — a missing table or a platform without
+    getloadavg() yields null anchor fields, and the suite still runs
+    and emits its timings line (r10 advice item 2)."""
+    try:
+        calib = calibrate(spark, sf_dir)
+    except Exception as e:
+        calib = None
+        print(f"# calib_{tag} FAILED {e}", file=sys.stderr)
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError as e:
+        load = None
+        print(f"# loadavg_{tag} FAILED {e}", file=sys.stderr)
+    print(f"# calib_{tag} {calib} loadavg {load}", file=sys.stderr)
+    return calib, load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from real_time_stream_processing_engine_spark.queries import QUERIES
@@ -143,9 +162,7 @@ def main() -> None:
     # future reader normalize cross-round ratios from the artifact
     # alone (r9 verdict item 4 — the last two driver benches were
     # dominated by host state only builder-side notes could explain)
-    calib_pre = calibrate(spark, sf_dir)
-    load_pre = [round(x, 2) for x in os.getloadavg()]
-    print(f"# calib_pre {calib_pre} loadavg {load_pre}", file=sys.stderr)
+    calib_pre, load_pre = _anchor(spark, sf_dir, "pre")
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
@@ -162,9 +179,7 @@ def main() -> None:
     # ambient anchor, post-suite: the box can degrade mid-run (r9 saw
     # same-code suite totals of 559.9/437.9/428.0 s in one session);
     # pre/post divergence localizes WHEN, not just whether
-    calib_post = calibrate(spark, sf_dir)
-    load_post = [round(x, 2) for x in os.getloadavg()]
-    print(f"# calib_post {calib_post} loadavg {load_post}", file=sys.stderr)
+    calib_post, load_post = _anchor(spark, sf_dir, "post")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -47,9 +47,11 @@ def load_queries(path: str) -> tuple[dict[str, float], dict | None]:
             }
         return {k: v for k, v in q.items() if v > 0}, anchors
     q = {k: v for k, v in doc.get("queries", {}).items() if v > 0}
+    # truthiness, not presence: the guarded bench (r11) emits
+    # "calib_pre": null when an anchor job failed — that is no anchor
     anchors = (
         {"calib_pre": doc["calib_pre"], "calib_post": doc["calib_post"]}
-        if "calib_pre" in doc and "calib_post" in doc
+        if doc.get("calib_pre") and doc.get("calib_post")
         else None
     )
     return q, anchors
@@ -64,9 +66,18 @@ def anchor_ratios(a: dict, b: dict) -> tuple[float, float, bool]:
     False when either run's pre and post anchors diverge >1.5x on any
     job (the box changed state mid-run, so no single scalar normalizes
     that run's per-query times — read its fast/slow halves separately,
-    as NOTES_r10 §8 does for the alphabetical split)."""
+    as NOTES_r10 §8 does for the alphabetical split).
+
+    Only jobs present in BOTH runs' pre AND post dicts are compared —
+    an artifact whose pinned-job set changed (or was hand-edited) must
+    degrade to raw-ratio-only, not raise (r10 advice item 3); with an
+    empty intersection the ratios come back None."""
+    jobs = sorted(
+        set(a["calib_pre"]) & set(a["calib_post"])
+        & set(b["calib_pre"]) & set(b["calib_post"])
+    )
     mins, means, stable = [], [], True
-    for job in a["calib_pre"]:
+    for job in jobs:
         ap, apo = a["calib_pre"][job], a["calib_post"][job]
         bp, bpo = b["calib_pre"][job], b["calib_post"][job]
         for hi, lo in ((ap, apo), (bp, bpo)):
@@ -74,6 +85,8 @@ def anchor_ratios(a: dict, b: dict) -> tuple[float, float, bool]:
                 stable = False
         mins.append(min(bp, bpo) / min(ap, apo))
         means.append(((bp + bpo) / 2) / ((ap + apo) / 2))
+    if not mins:
+        return None, None, stable
     n = len(mins)
     return sum(mins) / n, sum(means) / n, stable
 
@@ -103,6 +116,9 @@ def main() -> int:
         for side, x in (("a", aa), ("b", ab)):
             print(f"anchors {side}: pre={x['calib_pre']} post={x['calib_post']}")
         r_min, r_mean, stable = anchor_ratios(aa, ab)
+        if r_min is None:
+            print("anchor job sets share no keys — raw ratio only")
+            return 0
         print(f"anchor ratio (b box vs a box): min-based {r_min:.3f}, "
               f"mean-based {r_mean:.3f}")
         print(f"anchor-normalized common-set b/a: min {sb / sa / r_min:.3f}, "
