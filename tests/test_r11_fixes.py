@@ -89,6 +89,22 @@ def test_committed_provenance_matches_source_rounds():
     assert all(p.startswith("q") for p in entry._RISK_ORDER_HEAD)
 
 
+def test_staleness_order_invariants_on_real_artifacts():
+    # on the repo's real artifacts: the result is a permutation of the
+    # full inventory (no drops, no dups), any head leads verbatim, and
+    # the function is deterministic
+    import __spark_entry__ as entry
+    import gen_risk_order as g
+
+    lo, hi = entry._RISK_ORDER_SOURCE_ROUNDS
+    rounds = range(lo, hi + 1)
+    order = g.staleness_order(["q342", "q01"], rounds=rounds)
+    assert order[:2] == ["q342", "q01"]
+    assert len(order) == len(set(order)) == len(entry._RISK_ORDER)
+    assert set(order) == set(entry._RISK_ORDER)
+    assert order == g.staleness_order(["q342", "q01"], rounds=rounds)
+
+
 class _BoomSpark:
     """SparkSession stand-in whose every read raises."""
 
