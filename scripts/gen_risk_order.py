@@ -74,15 +74,31 @@ def format_body(order: list[str]) -> str:
     return "\n".join(lines)
 
 
+USAGE = "usage: gen_risk_order.py [--head q1,q2,...] [--rounds LO-HI] [--write]"
+
+
+def _flag_value(argv: list[str], i: int, flag: str) -> str:
+    """argv[i+1], or exit with the usage string when the flag is the
+    last argument (r11 advice item 4 — an unhandled IndexError is not
+    a usage message)."""
+    if i + 1 >= len(argv):
+        raise SystemExit(f"{flag} requires a value\n{USAGE}")
+    return argv[i + 1]
+
+
 def main() -> int:
     head: list[str] = []
     rounds_span: tuple[int, int] | None = None
     write = "--write" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--head":
-            head = [p.strip() for p in sys.argv[i + 1].split(",") if p.strip()]
+            head = [
+                p.strip()
+                for p in _flag_value(sys.argv, i, "--head").split(",")
+                if p.strip()
+            ]
         if a == "--rounds":
-            lo, hi = sys.argv[i + 1].split("-")
+            lo, hi = _flag_value(sys.argv, i, "--rounds").split("-")
             rounds_span = (int(lo), int(hi))
     rounds = None if rounds_span is None else range(rounds_span[0], rounds_span[1] + 1)
     order = staleness_order(head, rounds=rounds)
@@ -118,16 +134,20 @@ def main() -> int:
         else:
             break
     new = "\n".join(kept) + "\n" + body
-    open(path, "w").write(src[:start] + new + src[end:])
-    # validate: the rewritten module must still register every query
+    out = src[:start] + new + src[end:]
+    # validate BEFORE touching disk (r11 advice item 2: validating the
+    # already-written file leaves the module mutated when the check
+    # fails): exec the regenerated source in a scratch namespace and
+    # require it to still register every query, then write via a temp
+    # file + atomic rename so a crash mid-write can't truncate it
     sys.path.insert(0, ROOT)
-    import importlib
-
-    import __spark_entry__ as mod
-
-    importlib.reload(mod)
-    q = mod.queries()
+    ns: dict = {"__file__": path, "__name__": "__spark_entry_candidate__"}
+    exec(compile(out, path, "exec"), ns)
+    q = ns["queries"]()
     assert len(q) == len(order), (len(q), len(order))
+    tmp = path + ".tmp"
+    open(tmp, "w").write(out)
+    os.replace(tmp, path)
     print(f"wrote {len(order)} prefixes; head: {order[:max(len(head), 6)]}")
     return 0
 
