@@ -7,7 +7,9 @@ keep only the last ~2 KB of stdout): ``{"metric": ...,
 "queries": {name: sec, ... ascending by cost, failures (-1) last},
 "families": {family: total_sec}, "family_counts": {...},
 "slowest10": {...}, "failed": [names], "calib_pre"/"calib_post":
-{pinned-job min-of-3 anchors}, "loadavg_pre"/"loadavg_post": [...],
+{pinned-job min-of-3 anchors}, "calib_mid": [one anchor per
+ZONE_SIZE queries], "zone_bounds": [last query name of each zone],
+"loadavg_pre"/"loadavg_post": [...],
 "n_queries": N, "n_failed": N, "sf": ..., "unit": "sec",
 "value": total_sec}`` — the roll-up fields, the ambient-calibration
 anchors, and the slowest per-query timings sit at the END of the
@@ -79,19 +81,47 @@ def _anchor(spark, sf_dir: str, tag: str) -> tuple[dict | None, list | None]:
     """calibrate() + loadavg, guarded: the anchors are diagnostics and
     must never abort the bench — a missing table or a platform without
     getloadavg() yields null anchor fields, and the suite still runs
-    and emits its timings line (r10 advice item 2)."""
+    and emits its timings line (r10 advice item 2).  Exactly ONE
+    stderr line per anchor, failures folded into it (r11 advice item
+    3: a separate FAILED line muddied the tail the comparator's docs
+    describe)."""
+    errs = []
     try:
         calib = calibrate(spark, sf_dir)
     except Exception as e:
         calib = None
-        print(f"# calib_{tag} FAILED {e}", file=sys.stderr)
+        errs.append(f"calibrate FAILED: {e}")
     try:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError as e:
         load = None
-        print(f"# loadavg_{tag} FAILED {e}", file=sys.stderr)
-    print(f"# calib_{tag} {calib} loadavg {load}", file=sys.stderr)
+        errs.append(f"loadavg FAILED: {e}")
+    suffix = f" ({'; '.join(errs)})" if errs else ""
+    print(f"# calib_{tag} {calib} loadavg {load}{suffix}", file=sys.stderr)
     return calib, load
+
+
+# Mid-suite anchor cadence (r11 verdict item 2): both the r10 and r11
+# driver benches tripped the comparator's pre/post >1.5x divergence
+# warning — the box changed state MID-run, and a single pre/post pair
+# cannot say WHERE, which defeats scalar normalization exactly when it
+# is needed.  Re-running the two pinned calib jobs every ZONE_SIZE
+# queries costs a few seconds on a ~400 s suite and localizes a state
+# change to one zone; scripts/bench_compare.py normalizes per-zone
+# when both artifacts carry mids.
+ZONE_SIZE = 60
+
+
+def zone_bounds(names: list[str], zone: int = ZONE_SIZE) -> list[str]:
+    """Last query name of each complete zone — the names AFTER which a
+    mid-suite anchor fires.  Queries run in sorted-name order, so these
+    bounds let a reader reassign any query to its zone by lexicographic
+    comparison even though the artifact's "queries" dict is re-sorted
+    by cost.  The final (possibly short) zone has no bound: it is
+    closed by calib_post.  With ≤ one zone of names there are no mids
+    and the pre/post pair already brackets everything."""
+    names = sorted(names)
+    return [names[i] for i in range(zone - 1, len(names) - 1, zone)]
 
 
 def main() -> None:
@@ -165,6 +195,8 @@ def main() -> None:
     calib_pre, load_pre = _anchor(spark, sf_dir, "pre")
 
     timings: dict[str, float] = {}
+    bounds = zone_bounds(sorted(QUERIES))
+    calib_mid: list[dict | None] = []
     for name in sorted(QUERIES):
         t0 = time.monotonic()
         try:
@@ -175,6 +207,11 @@ def main() -> None:
         except Exception as e:  # keep benching; a broken query shows as -1
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
+        if name in bounds:
+            # mid-suite anchor: closes the zone this query ends
+            # (untimed — anchor cost never lands on a query)
+            mid, _ = _anchor(spark, sf_dir, f"mid{len(calib_mid) + 1}")
+            calib_mid.append(mid)
 
     # ambient anchor, post-suite: the box can degrade mid-run (r9 saw
     # same-code suite totals of 559.9/437.9/428.0 s in one session);
@@ -218,6 +255,8 @@ def main() -> None:
                 "failed": sorted(n for n, v in timings.items() if v < 0),
                 "calib_pre": calib_pre,
                 "calib_post": calib_post,
+                "calib_mid": calib_mid,
+                "zone_bounds": bounds,
                 "loadavg_pre": load_pre,
                 "loadavg_post": load_post,
                 "n_queries": len(timings),
