@@ -102,9 +102,18 @@ def bpe_learn(
             break
         a, b, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
         merges.append((a, b, cnt))
-        vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), a, b))
-        # lineage stays shallow (one fold per round); deep merge runs
-        # would checkpoint every K rounds like the graph fixpoints
+        # LAZY lineage cut per round (r12 optimization): without it the
+        # fold chain accumulates — round k's pair-count job replays all
+        # k-1 earlier folds (Σk = O(R²) fold passes over the vocab) and
+        # the nested-lambda plan deepens every round, so analysis +
+        # codegen time grows per round too (profiled at 15.5 s of
+        # driver-side gaps over 8 rounds at sf0.1).  The cut caps every
+        # round at ONE fold and a depth-1 plan; the next round's
+        # argmax collect is the job that materializes it, keeping one
+        # job per round — the same pattern as the graph fixpoints.
+        vocab = vocab.withColumn(
+            "syms", apply_merge(F.col("syms"), a, b)
+        ).localCheckpoint(eager=False)
     return merges, vocab
 
 

@@ -137,18 +137,48 @@ def connected_components(
             .agg(F.min("label").alias("nbr_min"))
         )
         # the changed flag rides the update itself (a label changes iff
-        # a neighbor's min beats it), so convergence costs one narrow
-        # count over the checkpointed frame — not a second join job.
-        # LAZY lineage cut: the convergence count below is the job that
-        # materializes it, so each round runs ONE job, not two.
+        # the round's final label beats the old one), so convergence
+        # costs one narrow count over the checkpointed frame — not a
+        # second join job.  LAZY lineage cut: the convergence count
+        # below is the job that materializes it, so each round runs
+        # ONE job, not two.
+        cand = labels.join(
+            nbr_min, labels["node"] == nbr_min["s"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("_cand"),
+        )
+        # POINTER JUMPING (path compression, r12 optimization): each
+        # node additionally adopts its candidate label's OWN label —
+        # label chains halve per round, so convergence needs
+        # O(log diameter) passes over the (large) edge table instead
+        # of O(diameter).  Sound for the same reason the resume path
+        # is: every label value is a node id inside the component and
+        # labels only move down toward the component minimum, so the
+        # fixpoint (for every edge both endpoints agree, and every
+        # label is self-labelled) is exactly the component-minimum
+        # labelling.  Cost: one extra |V|-sized join per round against
+        # a saved pass over the |E|-sized sym table per round removed.
+        lbl2 = labels.select(
+            F.col("node").alias("_cn"), F.col("label").alias("_cl")
+        )
         new_labels = _round_persist(
-            labels.join(nbr_min, labels["node"] == nbr_min["s"], "left")
+            cand.join(lbl2, cand["_cand"] == lbl2["_cn"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("_cand"), F.coalesce(F.col("_cl"), F.col("_cand"))
                 ).alias("label"),
-                (F.col("nbr_min") < F.col("label")).alias("_changed"),
+                (
+                    F.least(
+                        F.col("_cand"),
+                        F.coalesce(F.col("_cl"), F.col("_cand")),
+                    )
+                    < F.col("_old")
+                ).alias("_changed"),
             ),
             it,
             checkpoint_dir,

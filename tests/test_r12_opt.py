@@ -1,0 +1,97 @@
+"""Pins for the round-12 optimization changes to operator internals.
+
+Two operators changed internals this round (results unchanged, pinned
+by the existing suites + oracle runs):
+
+- ``bpe_learn`` takes a lazy lineage cut per merge round, so round k
+  no longer replays the k-1 earlier folds and the plan stays depth-1.
+- ``connected_components`` adds pointer jumping (path compression):
+  each round a node also adopts its candidate label's own label, so
+  deep chains converge in O(log diameter) rounds instead of
+  O(diameter).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stream_processing_engine_spark.operators.bpe import bpe_learn
+from real_time_stream_processing_engine_spark.operators.graph import (
+    connected_components,
+)
+
+
+def test_cc_pointer_jumping_is_sublinear_on_deep_chain(spark):
+    """A 64-edge chain converged in 64 rounds under plain min-label
+    propagation; pointer jumping must close it in O(log n) — the
+    r12 optimization this pin protects from regressing."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    rows = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, max_iter=15).collect()
+    }
+    assert set(rows.values()) == {0}
+    assert len(rows) == n + 1
+    assert connected_components.rounds <= 10
+
+
+def test_cc_pointer_jumping_exact_on_branchy_graph(spark):
+    """Fixpoint labels must still be the component minimum on a graph
+    mixing chains, stars and singleton-joining bridges."""
+    edges = [
+        # component A: star at 10 + tail
+        (10, 11), (10, 12), (10, 13), (13, 14), (14, 15),
+        # component B: chain with a bridge joining two halves late
+        (20, 21), (21, 22), (23, 24), (24, 25), (22, 23),
+        # component C: single edge
+        (30, 31),
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.cluster_id for r in connected_components(df).collect()
+    }
+    want = {
+        **{v: 10 for v in (10, 11, 12, 13, 14, 15)},
+        **{v: 20 for v in (20, 21, 22, 23, 24, 25)},
+        **{v: 30 for v in (30, 31)},
+    }
+    assert got == want
+
+
+def test_bpe_learn_plan_depth_constant_across_rounds(spark):
+    """The per-round lineage cut must keep the vocab plan flat: after
+    any number of merge rounds the final vocab reads from a
+    checkpointed RDD scan (one fold deep at most), never a chain of
+    k nested folds — the O(R²) replay the r12 optimization removed."""
+    words = spark.createDataFrame(
+        [("lowest", 5), ("newest", 6), ("widest", 3)], "word string, w long"
+    )
+    merges, vocab = bpe_learn(words, n_merges=4)
+    assert len(merges) == 4
+    plan = vocab._jdf.queryExecution().optimizedPlan().toString()
+    # a checkpointed plan surfaces as a LogicalRDD scan; the pre-fix
+    # plan nested one `aggregate(...)` lambda per learned merge
+    assert "LogicalRDD" in plan
+    assert plan.count("aggregate(") == 0
+    # and the learned merges themselves are unchanged by the cut
+    assert [(a, b) for a, b, _ in merges][:2] == [("e", "s"), ("es", "t")]
+
+
+def test_bpe_learn_matches_unbatched_reference(spark):
+    """Classic worked example still learns the same table with the
+    checkpointed loop (end-to-end result identity for the changed
+    internals)."""
+    words = spark.createDataFrame(
+        [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)],
+        "word string, w long",
+    )
+    merges, vocab = bpe_learn(words, n_merges=3)
+    assert [(a, b) for a, b, _ in merges] == [("u", "g"), ("u", "n"), ("h", "ug")]
+    final = {r.word: list(r.syms) for r in vocab.collect()}
+    assert final["hug"] == ["hug"]
+    assert final["hugs"] == ["hug", "s"]
+    assert final["pun"] == ["p", "un"]
