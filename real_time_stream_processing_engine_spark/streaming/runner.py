@@ -384,12 +384,14 @@ def run_to_memory_available_now(
     # Per-micro-batch cost scales with the number of state-store
     # partitions (each one loads, commits, and fsyncs per batch) — for
     # a single-drain harness over local testdata, 32 stores of a few
-    # keys each is pure overhead (~4 s/query -> ~1.5 s at 8).  The
-    # state partition count is fixed by the checkpoint's first batch,
-    # so this only applies to fresh checkpoints; a production job sizes
-    # it to the keyspace via the same knob.
+    # keys each is pure overhead (~4 s/query -> ~1.5 s at 8; the r12
+    # isolated sweep re-measured 8 vs 2 across q42/q136/q30 at
+    # 6.1/3.7/3.2 s -> 3.9/2.9/2.0 s, so the local default is now 2).
+    # The state partition count is fixed by the checkpoint's first
+    # batch, so this only applies to fresh checkpoints; a production
+    # job sizes it to the keyspace via the same knob.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "2")
     # State-store backend: default HDFS-backed (in-heap, fastest for the
     # small-keyspace local drains); SPARK_GRAFT_STATE_STORE=rocksdb
     # switches to RocksDB — the 100 TB posture where state outgrows the

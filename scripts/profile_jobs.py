@@ -133,6 +133,9 @@ def main() -> int:
                 for sid in j["stages"] if sid in stage_task_time
             ]
             print(f"  job {w:6.2f}s  stages[{' '.join(stgs)}]")
+            for sid in j["stages"]:
+                if stage_task_time.get(sid, 0) > 1.0:
+                    print(f"      s{sid}: {stage_names.get(sid,'')[:140]}")
     return 0
 
 
