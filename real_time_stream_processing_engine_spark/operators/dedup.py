@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import fan_out
 from ..functions.textfn import normalize_ws, tokenize
 
 N_MINHASH = 8
@@ -159,6 +160,9 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE, out: str =
             f"columns {clash} collide with shingles' _toks scratch / "
             f"{out!r} output names — rename or drop them first"
         )
+    # single-split sources run the whole tokenize+gram+explode chain on
+    # one core; no-op when the scan is already parallel (r12 opt)
+    df = fan_out(df)
     toks = tokenize(text_col)
     df = df.withColumn("_toks", toks).filter(F.size("_toks") >= k)
     sh = gram_array(F.col("_toks"), k)
@@ -401,6 +405,9 @@ def _gram_arrays(df: DataFrame, cols: list[str], text_col: str, k: int) -> DataF
     from ..functions.textfn import gram_array
 
     toks = tokenize(text_col)
+    # single-split sources run the gram hashing on one core; no-op when
+    # the scan is already parallel (r12 opt)
+    df = fan_out(df)
     return (
         df.select(*cols, toks.alias("_toks"))
         .filter(F.size("_toks") >= k)
@@ -567,24 +574,32 @@ def simhash_signatures(
     sums (map-side combined: the shuffle carries 60 longs per doc, not
     tokens), then a pure projection packs the fingerprint.  At 100 TB
     this is a single exchange keyed on doc_id."""
-    tok = df.select(id_col, F.explode(tokenize(text_col)).alias("_tok"))
+    # single-split sources run the explode + per-token md5/conv on one
+    # core; no-op when the scan is already parallel (r12 opt)
+    tok = fan_out(df.select(id_col, text_col)).select(
+        id_col, F.explode(tokenize(text_col)).alias("_tok")
+    )
     h = F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
     # votes as set-bit counts: vote_i = 2*cnt_i - n, so bit_i = 1 iff
     # 2*cnt_i > n.  Flat sums + one COUNT keep the codegen small (a
-    # 60-deep CASE/Add tree is slow to analyze and compile).
+    # 60-deep CASE/Add tree is slow to analyze and compile).  Each agg
+    # is ONE parsed SQL string: the Column-API form (sum/shiftright/
+    # bitwiseAND/alias per bit) cost ~5 py4j round trips x 60 bits
+    # ~1.5-3 s of driver time PER QUERY BUILD (r12 opt measurement —
+    # the bench times build + execute, and build dominated).
     votes = tok.withColumn("_h", h).groupBy(id_col).agg(
         F.count("*").alias("_n"),
         *[
-            F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_c{i}")
+            F.expr(f"sum(shiftright(_h, {i}) & 1) AS _c{i}")
             for i in range(bits)
         ],
     )
-    # pack MSB-first into a binary string, one flat concat, then conv
-    bitchars = [
-        F.when(2 * F.col(f"_c{i}") > F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
-        for i in reversed(range(bits))
-    ]
-    fp = F.conv(F.concat(*bitchars), 2, 10).cast("long")
+    # pack MSB-first into a binary string, one flat concat, then conv —
+    # a single parsed expression for the same py4j reason
+    bitchars = ", ".join(
+        f"IF(2 * _c{i} > _n, '1', '0')" for i in reversed(range(bits))
+    )
+    fp = F.expr(f"CAST(conv(concat({bitchars}), 2, 10) AS BIGINT)")
     return votes.select(id_col, fp.alias("simhash"))
 
 

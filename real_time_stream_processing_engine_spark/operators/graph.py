@@ -313,27 +313,37 @@ def connected_components_star(
     touched = e.select(F.col("u").alias("node")).unionByName(
         e.select(F.col("v").alias("node"))
     )
-    prev_fp = None
     n_saves = 0
     for it in range(max_iter):
         e = _round_persist(
             _small_star(_large_star(e)), it, checkpoint_dir, checkpoint_every
         )
-        # convergence = equal (count, Σ xxhash64(u,v)) fingerprints of
-        # consecutive edge sets.  DOCUMENTED TRADEOFF (r7 review): two
-        # different sets colliding on both is ~2⁻⁶⁴ per round — traded
-        # against an exact except/anti-join comparison that would cost
-        # an extra |E| shuffle every round; the min-label sibling keeps
-        # the exact changed-count form for callers who want it.
-        fp = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).collect()[0]
-        fp = (fp["n"], int(fp["h"]))
-        if fp == prev_fp:
+        # Convergence = the edge set IS a star set (every leaf points
+        # at exactly one center and no center is itself a leaf; all
+        # edges already satisfy v < u by _small_star's construction) —
+        # star sets are exactly the fixpoints of the alternating
+        # rounds (Kiveris et al. §3), checked on the round's OWN
+        # output.  This replaces the r7 consecutive-set fingerprint
+        # compare (r12 opt): it detects the fixpoint one full
+        # large+small round EARLIER (the fingerprint form needed an
+        # extra round to observe e_k == e_{k-1} — 5 rounds -> 4 on the
+        # sf0.1 LSH graph), and it is EXACT, retiring the documented
+        # ~2⁻⁶⁴ hash-collision caveat.  Cost per round is one
+        # union+groupBy job over the |E| frame, same order as the
+        # fingerprint aggregate, and the job doubles as the lazy
+        # lineage cut's materializing action exactly as before.
+        non_star = (
+            e.select(F.col("u").alias("n"), F.lit(1).alias("l"))
+            .unionByName(e.select(F.col("v").alias("n"), F.lit(0).alias("l")))
+            .groupBy("n")
+            .agg(F.sum("l").alias("nl"), F.min("l").alias("ml"))
+            # a node breaks the star property iff it leafs twice
+            # (nl > 1) or both leafs and centers (nl > 0 with a
+            # center row present, i.e. min l == 0)
+            .filter((F.col("nl") > 1) | ((F.col("nl") > 0) & (F.col("ml") == 0)))
+            .count()
+        )
+        if non_star == 0:
             connected_components_star.rounds = it + 1
             connected_components_star.resumed = resumed
             clear()  # a completed run must not seed a later stale resume
@@ -346,7 +356,6 @@ def connected_components_star(
                 touched, "node", "left_anti"
             ).select("node", F.col("node").alias("cluster_id"))
             return assigned.unionByName(singletons)
-        prev_fp = fp
         if state_dir is not None and it % save_every == 0:
             save(e.select("u", "v"))
             n_saves += 1

@@ -78,10 +78,15 @@ def test_knn_avoids_global_sort(spark, sf_dir):
 
 def test_simhash_single_aggregate_pass(spark, sf_dir):
     """q38: one token explode feeding one partial-aggregated exchange —
-    the shuffle payload is vote counters per doc, not tokens."""
+    the shuffle payload is vote counters per doc, not tokens.  The
+    second exchange is the r12 scan fan-out (round-robin repartition of
+    the raw docs: local single-row-group files scan as ONE split, so
+    without it the explode+md5 chain runs on one core); at scale the
+    fan-out is conditional and absent, leaving the single agg exchange."""
     plan = _plan(spark, sf_dir, "q38_simhash_signatures")
     assert _count(plan, "Generate") == 1
-    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "Exchange") == 2  # fan-out + the aggregate
+    assert "REPARTITION_BY_NUM" in plan
     assert _count(plan, "HashAggregate") == 2
 
 

@@ -95,3 +95,83 @@ def test_bpe_learn_matches_unbatched_reference(spark):
     assert final["hug"] == ["hug"]
     assert final["hugs"] == ["hug", "s"]
     assert final["pun"] == ["p", "un"]
+
+
+def test_fan_out_repartitions_single_file_scan(spark, sf_dir):
+    """A single-row-group local parquet scan yields one split; fan_out
+    must widen it to the session's default parallelism so scan-side
+    CPU work (shingle hashing, simhash md5) uses every core."""
+    from real_time_stream_processing_engine_spark.functions.partitioning import (
+        fan_out,
+    )
+    from real_time_stream_processing_engine_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = fan_out(docs)
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == target
+    # the explicit numbered round-robin repartition (shuffle=true) is
+    # AQE-coalesce-exempt
+    assert (
+        f"Repartition {target}, true"
+        in out._jdf.queryExecution().logical().toString()
+    )
+    # results are placement-independent: same rows either way
+    assert out.count() == docs.count()
+
+
+def test_fan_out_noop_when_already_parallel(spark):
+    """fan_out must not add an exchange when the source already has
+    >= defaultParallelism files (the 100 TB case) or no file index."""
+    from real_time_stream_processing_engine_spark.functions.partitioning import (
+        fan_out,
+    )
+
+    df = spark.range(1000).repartition(64)  # no file source -> inputFiles []
+    assert fan_out(df) is df
+
+
+def test_pandas_parallelism_half_cores_and_env(spark, monkeypatch):
+    from real_time_stream_processing_engine_spark.functions.partitioning import (
+        pandas_parallelism,
+    )
+
+    df = spark.range(10)
+    want = max(1, spark.sparkContext.defaultParallelism // 2)
+    monkeypatch.delenv("SPARK_GRAFT_PANDAS_SHUFFLE", raising=False)
+    assert pandas_parallelism(df) == want
+    monkeypatch.setenv("SPARK_GRAFT_PANDAS_SHUFFLE", "7")
+    assert pandas_parallelism(df) == 7
+
+
+def test_star_cc_converges_without_confirmation_round(spark):
+    """The star-set convergence check must detect the fixpoint on the
+    round that PRODUCES it (the r7 fingerprint compare needed one more
+    round to observe set equality), and the labels stay the component
+    minimum."""
+    from real_time_stream_processing_engine_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # a star is the fixpoint after ONE round here
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert connected_components_star.rounds <= 2
+
+    # deep chain still collapses to the global minimum, logarithmically
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_star(chain, max_iter=12).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 33
