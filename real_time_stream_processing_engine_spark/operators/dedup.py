@@ -225,6 +225,9 @@ def lsh_candidate_pairs(
         .filter(F.size("ds") > 1)
     )
     buckets, overflow_stats = _cap_buckets(buckets, "ds", max_bucket, on_overflow)
+    # spread the |bucket|² expansion: AQE coalesces the byte-light
+    # bucket frame to ~1 partition (no-op at scale — r12 opt)
+    buckets = fan_out(buckets)
     # sorted ids + (i < j) expansion keeps doc_a < doc_b by construction
     pair_expr = """
       flatten(transform(ds, (x, i) ->
@@ -294,6 +297,9 @@ def ngram_jaccard_pairs(
         .filter(F.size("ms") > 1)
     )
     buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
+    # spread the |bucket|² expansion: AQE coalesces the byte-light
+    # bucket frame to ~1 partition (no-op at scale — r12 opt)
+    buckets = fan_out(buckets)
     pair_expr = """
       flatten(transform(ms, (x, i) ->
         filter(transform(ms, (y, j) ->
@@ -655,6 +661,9 @@ def simhash_neardup_pairs(
         .filter(F.size("ms") > 1)
     )
     buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
+    # spread the |bucket|² expansion: AQE coalesces the byte-light
+    # bucket frame to ~1 partition (no-op at scale — r12 opt)
+    buckets = fan_out(buckets)
     pair_expr = f"""
       flatten(transform(ms, (x, i) ->
         filter(transform(ms, (y, j) ->

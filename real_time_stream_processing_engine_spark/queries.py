@@ -8438,12 +8438,24 @@ def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR, so compute them once per side BEFORE the
+    # cross join (|corpus| + |probes| evaluations) instead of once per
+    # PAIR (|corpus| x |probes| — the r12-opt find: the interpreted
+    # HOF norm re-ran 2500x per corpus vector; isolated 2.9 s -> 1.4 s
+    # for the scoring stage, bit-identical cosines).  sqrt is
+    # monotonic-safe here: same double ops, just hoisted.
+    norm = (
+        "sqrt(aggregate({c}, 0D, (acc, x) ->"
+        " acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    emb_n = emb.withColumn("_na", F.expr(norm.format(c="embedding")))
     probes = (
-        emb.filter(F.col("vec_id") % 20 == 0)
+        emb_n.filter(F.col("vec_id") % 20 == 0)
         .select(
             F.col("vec_id").alias("pid"),
             F.col("embedding").alias("pe"),
             F.col("label").alias("plab"),
+            F.col("_na").alias("_nb"),
         )
         .orderBy(
             F.md5(
@@ -8453,27 +8465,19 @@ def q175_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
     )
-    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+    pairs = emb_n.crossJoin(F.broadcast(probes)).filter(
         F.col("vec_id") != F.col("pid")
     )
     dp = F.expr(
         "aggregate(zip_with(embedding, pe, (a, b) ->"
         " CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)"
     )
-    na2 = F.expr(
-        "aggregate(embedding, 0D, (acc, x) ->"
-        " acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    )
-    nb2 = F.expr(
-        "aggregate(pe, 0D, (acc, x) ->"
-        " acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    )
     scored = pairs.select(
         "pid",
         "plab",
         "vec_id",
         "label",
-        F.round(dp / (F.sqrt(na2) * F.sqrt(nb2)), 6).alias("cos"),
+        F.round(dp / (F.col("_na") * F.col("_nb")), 6).alias("cos"),
     )
     w = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("vec_id"))
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(
