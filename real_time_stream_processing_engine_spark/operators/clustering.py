@@ -27,11 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vectors import lit_double_array
+
 
 def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
     """Squared euclidean distance to a broadcast centroid literal —
     codegen-only (aggregate over zip_with), JVM-side."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    lit = lit_double_array(centroid)
     diffs = F.zip_with(
         vec_col, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
     )

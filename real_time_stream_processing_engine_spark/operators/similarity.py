@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import fan_out
-from ..functions.vectors import dot, l2_norm
+from ..functions.vectors import dot, l2_norm, lit_double_array
 from .dedup import MAX_BUCKET, _cap_buckets
 
 
@@ -296,7 +296,7 @@ def _exact_rank(
 
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_double_array(query_vec)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     return (
         df.select(
@@ -492,9 +492,9 @@ def pq_adc_topk(
     estimated distances (ties -> lowest id), rounded to 6dp for
     deterministic hashing; TakeOrdered keeps the top-k map-side."""
     M = len(lut)
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
-    )
+    # one parsed expression: the nested Column-API literal cost
+    # ~1 py4j round trip per LUT cell (r12 opt)
+    lut_lit = F.array(*[lit_double_array(row) for row in lut])
     d = F.lit(0.0)
     for m in range(M):
         d = d + F.element_at(
@@ -625,7 +625,7 @@ def dot_product_topk(
     two runs (:func:`rrf_fuse`) is informative."""
     if exclude_id is not None:
         emb = emb.filter(F.col(id_col) != exclude_id)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = lit_double_array(query_vec)
     return (
         emb.select(
             id_col,
@@ -799,10 +799,10 @@ def whitened_topk(
         .orderBy("i")
         .collect()
     )
-    mu = F.array(*[F.lit(float(r.mu)) for r in dims])
+    mu = lit_double_array([r.mu for r in dims])
     # zero-variance dims contribute nothing: scale 0 on both sides
-    inv = F.array(
-        *[F.lit(1.0 / float(r.sd)) if r.sd and r.sd > 0.0 else F.lit(0.0) for r in dims]
+    inv = lit_double_array(
+        [1.0 / float(r.sd) if r.sd and r.sd > 0.0 else 0.0 for r in dims]
     )
     def _whiten(col):
         centered = F.zip_with(col, mu, lambda x, m: x.cast("double") - m)
@@ -821,7 +821,7 @@ def whitened_topk(
         (float(x) - float(r.mu)) * (1.0 / float(r.sd) if r.sd and r.sd > 0.0 else 0.0)
         for x, r in zip(q[0], dims)
     ]
-    qlit = F.array(*[F.lit(v) for v in qw_vals])
+    qlit = lit_double_array(qw_vals)
     qnorm = sum(v * v for v in qw_vals) ** 0.5
     if qnorm == 0.0:
         raise ValueError(

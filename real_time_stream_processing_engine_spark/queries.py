@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.textfn import tokenize
-from .functions.vectors import cosine_similarity
+from .functions.vectors import cosine_similarity, lit_double_array
 from .operators import core
 from .operators.parser import create_operator
 from .sources.readers import load_table
@@ -346,7 +346,7 @@ def q13_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed variant (similarity module) is the sub-linear one."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qlit = lit_double_array(qvec)
     return (
         emb.filter(F.col("vec_id") != 0)
         .select(
@@ -4178,28 +4178,23 @@ def q110_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     import math
 
-    proj = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.array(
-                            *[
-                                F.lit(float(_jl_sign(i, j)))
-                                for i in range(1, _JL_IN + 1)
-                            ]
-                        ),
-                        lambda a, s: a.cast("double") * s,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / math.sqrt(_JL_OUT),
-                6,
-            )
+    # ONE parsed expression for the whole 16x64 projection: the
+    # Column-API form cost ~1100 py4j round trips (~1.1 s of driver
+    # time per BUILD, and the bench times builds — r12 opt).  Literal
+    # text round-trips bit-identically (repr + Double.parseDouble).
+    def _signs(j: int) -> str:
+        return "array(" + ",".join(
+            repr(float(_jl_sign(i, j))) + "D" for i in range(1, _JL_IN + 1)
+        ) + ")"
+
+    proj = F.expr(
+        "array(" + ",".join(
+            "round(aggregate(zip_with(embedding, "
+            f"{_signs(j)}, (a, s) -> CAST(a AS DOUBLE) * s), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / "
+            f"{repr(math.sqrt(_JL_OUT))}D, 6)"
             for j in range(1, _JL_OUT + 1)
-        ]
+        ) + ")"
     )
     return emb.select(
         "vec_id", F.posexplode(proj).alias("dim0", "v")

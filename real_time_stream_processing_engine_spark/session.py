@@ -98,6 +98,23 @@ def get_spark(
     conf = dict(_DEFAULTS)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Environment passthrough for deployment-specific conf (the same
+    # code must run local[N] and cluster without edits): semicolon-
+    # separated k=v pairs, applied between the defaults and the
+    # caller's explicit extra_conf (caller wins).  E.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.cleaner.periodicGC.interval=60s".
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        for pair in env_conf.split(";"):
+            pair = pair.strip()
+            if not pair:
+                continue
+            if "=" not in pair:
+                raise ValueError(
+                    f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not k=v"
+                )
+            k, v = pair.split("=", 1)
+            conf[k.strip()] = v.strip()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -175,3 +175,44 @@ def test_star_cc_converges_without_confirmation_round(spark):
         for r in connected_components_star(chain, max_iter=12).collect()
     }
     assert set(got.values()) == {0} and len(got) == 33
+
+
+def test_lit_double_array_bit_identical(spark):
+    """lit_double_array (one parsed expression, r12 opt: the Column-API
+    comprehension cost 1+ py4j round trips PER ELEMENT) must produce
+    bit-identical doubles to F.lit(float(v)) for every value class,
+    including the ones repr() spells specially."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from real_time_stream_processing_engine_spark.functions.vectors import (
+        lit_double_array,
+    )
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.1, 1 / 3, 1e-300, 5e-324, 1.7976931348623157e308,
+        123456789.123456789, -2.5e-10, math.pi, float("inf"), float("-inf"),
+        float("nan"),
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("got"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("want"),
+        )
+        .head()
+    )
+    import struct
+
+    for g, w, v in zip(row.got, row.want, vals):
+        gb, wb = struct.pack("<d", g), struct.pack("<d", w)
+        assert gb == wb, f"{v}: {g!r} != {w!r} (bits differ)"
+
+    # empty list keeps the array<double> type the Column form produced
+    t = (
+        spark.range(1)
+        .select(lit_double_array([]).alias("e"))
+        .schema["e"].dataType.simpleString()
+    )
+    assert t == "array<double>"
