@@ -567,6 +567,13 @@ def unigram_logprob(
     scores for the WHOLE corpus purely from the index)."""
     toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
     if freq_table is None:
+        # self-derived distribution: toks feeds the frequency table,
+        # its total AND the probe join, each shuffled by a different
+        # key, so exchange reuse cannot share the tokenize pass — one
+        # lazy lineage cut makes it run once instead of 3x (r12 opt,
+        # the r6 single-upstream-pass rule; the frozen-freq_table
+        # deployment path has a single consumer and needs no cut)
+        toks = toks.localCheckpoint(eager=False)
         freq_table = toks.groupBy("term").agg(F.count("*").alias("ctf"))
     tot = freq_table.agg(F.sum("ctf").alias("n"))
     if oov_ctf is None:

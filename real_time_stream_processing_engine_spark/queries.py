@@ -3241,6 +3241,12 @@ def q95_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        # one lazy lineage cut: big feeds c1, c12 AND the probability
+        # join, and the three consumers shuffle by DIFFERENT keys, so
+        # exchange reuse cannot share the scan — without the cut the
+        # tokenize+transform+explode pass ran 3x (isolated noop 1.51 s
+        # -> 0.87 s; r12 opt, the r6 single-upstream-pass rule)
+        .localCheckpoint(eager=False)
     )
     c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
     c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n12"))

@@ -773,9 +773,13 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         ts, tp = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
         for pdf in pdfs:
-            for t, y in zip(pdf["ts"], pdf["event_type"]):
-                ts.append(int(t.value))  # pandas Timestamp -> ns epoch
-                tp.append(str(y))
+            # vectorized batch ingestion (r12 opt): ts arrives as an
+            # int64 epoch-micros column (projected below), so the whole
+            # batch lands via two tolist() calls instead of a per-row
+            # pandas-Timestamp .value + str() loop.  Stage logic only
+            # compares timestamps, and micros preserve ns order.
+            ts.extend(pdf["ts"].tolist())
+            tp.extend(pdf["event_type"].tolist())
         state.update((ts, tp))
         views = [t for t, y in zip(ts, tp) if y == "view"]
         stage = 0
@@ -793,7 +797,7 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = stream_events(spark, sf_dir).filter(
         F.col("event_type").isin("view", "click", "purchase")
-    ).select("user_id", "ts", "event_type")
+    ).select("user_id", F.unix_micros("ts").alias("ts"), "event_type")
     out = src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, stage int",

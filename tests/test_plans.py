@@ -387,12 +387,18 @@ def test_label_centroids_single_exchange_no_vector_shuffle(spark, sf_dir):
 
 
 def test_bigram_logprob_scan_side_build_no_self_join(spark, sf_dir):
-    """q95: bigrams come from a codegen transform over the token array
-    (Generate), NOT an ordinality self-join; count joins broadcast."""
+    """q95: bigrams come from a codegen transform over the token array,
+    NOT an ordinality self-join; count joins broadcast.  Since the r12
+    lineage cut the transform+explode lives ABOVE the plan barrier: the
+    final plan reads the materialized bigram RDD (ExistingRDD) and must
+    scan the documents parquet ZERO times — the single-upstream-pass
+    property the cut exists for (the pre-cut plan re-ran the
+    tokenize+explode once per count consumer)."""
     plan = _plan(spark, sf_dir, "q95_bigram_logprob")
     assert _count(plan, "SortMergeJoin") == 0
     assert _count(plan, "BroadcastHashJoin") == 2
-    assert _count(plan, "Generate") >= 1
+    assert _count(plan, "Scan ExistingRDD") >= 1
+    assert "documents.parquet" not in plan
 
 
 def test_zorder_probe_pushes_both_range_predicates(spark, sf_dir):
