@@ -860,11 +860,17 @@ def edit_distance_pairs(
         .select(
             F.col("a._id").alias("doc_a"),
             F.col("b._id").alias("doc_b"),
-            F.levenshtein(F.col("a._pfx"), F.col("b._pfx"))
+            # thresholded levenshtein computes the BANDED DP — O(n*k)
+            # instead of O(n²) per pair (10x fewer cells at
+            # max_dist=12 over 120-char prefixes; r12 opt) — and
+            # returns -1 for pairs beyond the bound, which the
+            # >= 0 filter drops exactly as the old <= max_dist filter
+            # did; surviving distances are the exact values.
+            F.levenshtein(F.col("a._pfx"), F.col("b._pfx"), max_dist)
             .cast("long")
             .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
 
 

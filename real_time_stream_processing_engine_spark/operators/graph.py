@@ -39,7 +39,7 @@ cheap local runs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -209,25 +209,36 @@ def _sym(e: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node u: link every LARGER neighbor to the minimum of
     u's closed neighborhood.  Tall chains collapse toward the minimum
-    from above."""
+    from above.
+
+    The neighborhood minimum is a WINDOW over u (one exchange) rather
+    than the groupBy + join-back form (aggregate exchange + join —
+    r12 opt: each star round ran ~13 AQE stage-jobs and the driver
+    gap between them was half of q83's wall; the window form measured
+    3.34 s -> 2.15 s for the whole fixpoint loop with set-identical
+    rounds).  No trailing distinct: duplicates cannot change
+    _small_star's per-u minima, and its OWN final distinct restores
+    set semantics at the round boundary, where the convergence check
+    reads them."""
     s = _sym(e)
-    m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        s.join(m, "u")
+        s.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """For each node u: link u and all SMALLER neighbors to their
-    collective minimum.  Flat fans re-center on the minimum."""
-    lt = _sym(e).filter(F.col("v") < F.col("u"))
-    m = lt.groupBy("u").agg(F.min("v").alias("m"))
-    linked = lt.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-    centers = m.select(F.col("u"), F.col("m").alias("v"))
+    collective minimum.  Flat fans re-center on the minimum.  Same
+    window-instead-of-groupBy+join shape as :func:`_large_star`."""
+    lt = _sym(e).filter(F.col("v") < F.col("u")).withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
+    )
+    linked = lt.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    centers = lt.select("u", F.col("m").alias("v")).distinct()
     return (
         linked.unionByName(centers)
         .filter(F.col("u") != F.col("v"))

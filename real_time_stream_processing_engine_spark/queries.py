@@ -5125,11 +5125,14 @@ def q125_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_size",
     )
-    dist = F.levenshtein("a_name", "b_name")
+    # thresholded levenshtein = banded DP, O(n*k) per pair instead of
+    # O(n²); -1 marks beyond-bound pairs, dropped by the >= 0 filter
+    # exactly as the old <= 3 filter did (r12 opt, same as q333)
+    dist = F.levenshtein("a_name", "b_name", 3)
     return (
         a.join(b, ["p_brand", "p_size"])
         .filter(F.col("a_key") < F.col("b_key"))
-        .filter(dist <= 3)
+        .filter((dist >= 0) & (dist <= 3))
         .select(
             "a_key", "b_key", "a_name", "b_name",
             dist.cast("long").alias("dist"),
