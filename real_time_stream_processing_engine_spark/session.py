@@ -43,6 +43,19 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # G1 heap regions sized so multi-MB task buffers (broadcasts,
+    # Arrow batches, collect_list arrays) are NOT humongous
+    # allocations: at the 4 MB default region (8 g heap) every >2 MB
+    # object triggered a concurrent mark cycle (66 cycles per bench
+    # suite, mostly "G1 Humongous Allocation"-initiated), whose
+    # concurrent phases steal CPU from the worker threads.  32 m
+    # regions cut the cycles to 20 and measured a 5.6% min-per-query
+    # whole-suite win (r12 opt, A/B pairs in OPTIMIZATION_r12.md).
+    # Applies when this factory launches the JVM (plain python
+    # drivers); under spark-submit the driver JVM pre-exists and the
+    # deployment sets the same flag on driver/executors itself.
+    # Override via SPARK_GRAFT_EXTRA_CONF.
+    "spark.driver.extraJavaOptions": "-XX:G1HeapRegionSize=32m",
 }
 
 
