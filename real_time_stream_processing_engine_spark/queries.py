@@ -671,10 +671,14 @@ def q27_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: utf-8 payload -> Arrow-batched
     mapInPandas feature extraction (deterministic fake decoder; real
     codecs slot into the same schema/batch contract)."""
+    from .functions.partitioning import pandas_parallelism
     from .operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(docs, min_parallelism=spark.sparkContext.defaultParallelism)
+    # cores/2, not cores: a mapInPandas task runs a JVM thread AND a
+    # Python worker (the q172 finding) — measured 0.69 s at 32 parts
+    # vs 0.43 s at 16 on the decode stage (r12 opt)
+    return extract_features(docs, min_parallelism=pandas_parallelism(docs))
 
 
 @register(
