@@ -216,3 +216,26 @@ def test_lit_double_array_bit_identical(spark):
         .schema["e"].dataType.simpleString()
     )
     assert t == "array<double>"
+
+
+def test_extra_conf_env_passthrough_parsing(spark, monkeypatch):
+    """SPARK_GRAFT_EXTRA_CONF: malformed entries fail loudly BEFORE any
+    conf is applied; well-formed pairs reach the builder (observable on
+    the live session via a run-time-settable key)."""
+    import pytest
+
+    from real_time_stream_processing_engine_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_EXTRA_CONF", "not-a-pair")
+    with pytest.raises(ValueError, match="not k=v"):
+        get_spark(app_name="extra-conf-test")
+
+    # a run-time-settable SQL conf proves the pair flows through
+    # (getOrCreate returns the existing session and applies SQL confs)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF",
+        " spark.sql.cbo.enabled = true ;",  # whitespace + trailing ;
+    )
+    s = get_spark(app_name="extra-conf-test")
+    assert s.conf.get("spark.sql.cbo.enabled") == "true"
+    s.conf.unset("spark.sql.cbo.enabled")
