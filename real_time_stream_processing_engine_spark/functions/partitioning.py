@@ -54,6 +54,27 @@ def pandas_parallelism(df: DataFrame) -> int:
     return max(1, df.sparkSession.sparkContext.defaultParallelism // 2)
 
 
+def fan_out_buckets(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Unconditional round-robin spread for capped-BUCKET expansion
+    frames (the collect_list |bucket|² pair fabrications in dedup/
+    similarity).
+
+    :func:`fan_out` decides from the SOURCE's file layout, which is
+    the wrong signal for a post-aggregate bucket frame (r12 advice):
+    AQE coalesces that exchange by the aggregate's output BYTES —
+    tiny for capped buckets — while the downstream |bucket|² CPU work
+    is not tiny, and an upstream ``localCheckpoint`` empties
+    ``inputFiles()`` so the conditional form silently no-ops.  The
+    bucket frame itself is always byte-light (bucket caps are the
+    operators' declared semantics), so one explicit exchange — exempt
+    from AQE coalescing — is cheap at any scale, exactly like
+    ``edit_distance_pairs``' unconditional probe-side repartition."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if target <= 1:
+        return df
+    return df.repartition(target)
+
+
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism * multiple`` ways if
     (and only if) its file source provides fewer files than that and is

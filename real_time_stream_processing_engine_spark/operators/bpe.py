@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.lineage import lineage_cut
 
 
 def char_symbols(word: Column) -> Column:
@@ -111,9 +112,14 @@ def bpe_learn(
         # round at ONE fold and a depth-1 plan; the next round's
         # argmax collect is the job that materializes it, keeping one
         # job per round — the same pattern as the graph fixpoints.
-        vocab = vocab.withColumn(
-            "syms", apply_merge(F.col("syms"), a, b)
-        ).localCheckpoint(eager=False)
+        # Fault-tolerance posture: executor-local by default (the
+        # vocab frame is a bounded aggregate; a lost executor costs a
+        # from-scratch retry), reliable when
+        # $SPARK_GRAFT_CHECKPOINT_DIR is set (functions.lineage —
+        # r12 verdict item 7).
+        vocab = lineage_cut(
+            vocab.withColumn("syms", apply_merge(F.col("syms"), a, b))
+        )
     return merges, vocab
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.partitioning import fan_out
+from ..functions.partitioning import fan_out, fan_out_buckets
 from ..functions.textfn import normalize_ws, tokenize
 
 N_MINHASH = 8
@@ -227,7 +227,7 @@ def lsh_candidate_pairs(
     buckets, overflow_stats = _cap_buckets(buckets, "ds", max_bucket, on_overflow)
     # spread the |bucket|² expansion: AQE coalesces the byte-light
     # bucket frame to ~1 partition (no-op at scale — r12 opt)
-    buckets = fan_out(buckets)
+    buckets = fan_out_buckets(buckets)
     # sorted ids + (i < j) expansion keeps doc_a < doc_b by construction
     pair_expr = """
       flatten(transform(ds, (x, i) ->
@@ -299,7 +299,7 @@ def ngram_jaccard_pairs(
     buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
     # spread the |bucket|² expansion: AQE coalesces the byte-light
     # bucket frame to ~1 partition (no-op at scale — r12 opt)
-    buckets = fan_out(buckets)
+    buckets = fan_out_buckets(buckets)
     pair_expr = """
       flatten(transform(ms, (x, i) ->
         filter(transform(ms, (y, j) ->
@@ -663,7 +663,7 @@ def simhash_neardup_pairs(
     buckets, overflow_stats = _cap_buckets(buckets, "ms", max_bucket, on_overflow)
     # spread the |bucket|² expansion: AQE coalesces the byte-light
     # bucket frame to ~1 partition (no-op at scale — r12 opt)
-    buckets = fan_out(buckets)
+    buckets = fan_out_buckets(buckets)
     pair_expr = f"""
       flatten(transform(ms, (x, i) ->
         filter(transform(ms, (y, j) ->

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.partitioning import fan_out
+from ..functions.partitioning import fan_out, fan_out_buckets
 from ..functions.vectors import dot, l2_norm, lit_double_array
 from .dedup import MAX_BUCKET, _cap_buckets
 
@@ -79,7 +79,7 @@ def blocked_neardup_pairs(
     # dot products run serial; spread the bucket rows when the source
     # is an under-split local file (no-op at scale — r12 opt, same
     # rationale as the dedup fan-out sites)
-    buckets = fan_out(buckets)
+    buckets = fan_out_buckets(buckets)
     pairs = buckets.select(
         F.explode(_cosine_pair_expr(threshold)).alias("p")
     ).select("p.vec_a", "p.vec_b", "p.cos_sim")
@@ -199,7 +199,7 @@ def rp_lsh_neardup_pairs(
     # spread the CPU-heavy |bucket|² cosine expansion (measured on q47:
     # AQE coalesced the 48-bucket frame to ~1 partition; 4.4 s -> 1.9 s
     # isolated with fan-out, identical pairs — r12 opt)
-    buckets = fan_out(buckets)
+    buckets = fan_out_buckets(buckets)
     pairs = (
         buckets.select(F.explode(_cosine_pair_expr(threshold)).alias("p"))
         .select("p.vec_a", "p.vec_b", "p.cos_sim")

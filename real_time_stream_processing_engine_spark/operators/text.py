@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textfn import normalize_ws, tokenize
+from ..functions.lineage import lineage_cut
 
 # Tiny per-language function-word lexicons (public knowledge).  'zh' is
 # charset-detected rather than lexicon-detected, so it has no entry.
@@ -572,8 +573,10 @@ def unigram_logprob(
         # key, so exchange reuse cannot share the tokenize pass — one
         # lazy lineage cut makes it run once instead of 3x (r12 opt,
         # the r6 single-upstream-pass rule; the frozen-freq_table
-        # deployment path has a single consumer and needs no cut)
-        toks = toks.localCheckpoint(eager=False)
+        # deployment path has a single consumer and needs no cut).
+        # local by default, reliable under
+        # $SPARK_GRAFT_CHECKPOINT_DIR (functions.lineage)
+        toks = lineage_cut(toks)
         freq_table = toks.groupBy("term").agg(F.count("*").alias("ctf"))
     tot = freq_table.agg(F.sum("ctf").alias("n"))
     if oov_ctf is None:
@@ -632,9 +635,10 @@ def tfidf_cosine_pairs(
         # the (doc, term, tf) frame feeds N, df, weights, norms AND both
         # pair-join legs: one lazy lineage cut instead of re-running the
         # scan + explode + aggregate per consumer (the r6 single-
-        # upstream-pass rule)
-        .localCheckpoint(eager=False)
+        # upstream-pass rule); local by default, reliable under
+        # $SPARK_GRAFT_CHECKPOINT_DIR (functions.lineage)
     )
+    tf = lineage_cut(tf)
     n = tf.agg(F.countDistinct("_id").cast("double").alias("_n"))
     dfreq = tf.groupBy("_w").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= max_df

@@ -12122,31 +12122,53 @@ def q230_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sq")
     )
-    pat = seq.sparkSession.createDataFrame(
-        [
-            ("view_click_purchase", "v.*c.*p"),
-            ("error_entry", "^e"),
-            ("error_loop", "e.*e.*e"),
-        ],
-        "pattern string, re string",
+    # One aggregate, one pass: the former pattern-table crossJoin ran
+    # every session string through `sq RLIKE re` with a NON-LITERAL
+    # pattern column, which compiles the regex per ROW (Spark's RLIKE
+    # only caches foldable patterns) and triples the rows carrying the
+    # session strings through the aggregate.  Three literal-pattern
+    # match sums compile each regex ONCE at codegen and read the
+    # session frame once; the 3-row (pattern, n_match) shape is then
+    # restored from the 1-row aggregate with an inline array explode
+    # (guide §1.2 per-task work / §2.3 shuffle fewer bytes — r13 opt).
+    # Same rows as the crossJoin form: n_sessions is the total session
+    # count for every pattern, n_match the per-pattern RLIKE sum.
+    agg = seq.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("sq").rlike("v.*c.*p"), 1).otherwise(0))
+        .cast("long")
+        .alias("m_funnel"),
+        F.sum(F.when(F.col("sq").rlike("^e"), 1).otherwise(0))
+        .cast("long")
+        .alias("m_entry"),
+        F.sum(F.when(F.col("sq").rlike("e.*e.*e"), 1).otherwise(0))
+        .cast("long")
+        .alias("m_loop"),
     )
-    hits = (
-        seq.crossJoin(F.broadcast(pat))
-        .groupBy("pattern")
-        .agg(
-            F.count("*").cast("long").alias("n_sessions"),
-            F.sum(
-                F.when(F.expr("sq RLIKE re"), 1).otherwise(0)
+    hits = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view_click_purchase").alias("pattern"),
+                    F.col("m_funnel").alias("n_match"),
+                ),
+                F.struct(
+                    F.lit("error_entry").alias("pattern"),
+                    F.col("m_entry").alias("n_match"),
+                ),
+                F.struct(
+                    F.lit("error_loop").alias("pattern"),
+                    F.col("m_loop").alias("n_match"),
+                ),
             )
-            .cast("long")
-            .alias("n_match"),
-        )
+        ).alias("h"),
+        "n_sessions",
     )
     return hits.select(
-        "pattern",
+        F.col("h.pattern").alias("pattern"),
         "n_sessions",
-        "n_match",
-        F.expr("CAST((n_match * 1000) DIV n_sessions AS BIGINT)").alias(
+        F.col("h.n_match").alias("n_match"),
+        F.expr("CAST((h.n_match * 1000) DIV n_sessions AS BIGINT)").alias(
             "match_permille"
         ),
     )

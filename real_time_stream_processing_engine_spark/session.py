@@ -116,6 +116,9 @@ def get_spark(
     # separated k=v pairs, applied between the defaults and the
     # caller's explicit extra_conf (caller wins).  E.g.
     # SPARK_GRAFT_EXTRA_CONF="spark.cleaner.periodicGC.interval=60s".
+    # Limitation (r12 advice): entries split on ';' BEFORE '=', so a
+    # conf VALUE containing a semicolon is unrepresentable here — pass
+    # such values via get_spark(extra_conf=...) instead.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
     if env_conf:
         for pair in env_conf.split(";"):
@@ -124,10 +127,20 @@ def get_spark(
                 continue
             if "=" not in pair:
                 raise ValueError(
-                    f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not k=v"
+                    f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not k=v "
+                    "(note: ';' separates entries, so values containing "
+                    "';' cannot be passed through this env var)"
                 )
             k, v = pair.split("=", 1)
-            conf[k.strip()] = v.strip()
+            k, v = k.strip(), v.strip()
+            # JavaOptions MERGE with the tuned defaults instead of
+            # silently dropping them (r12 advice: overriding
+            # extraJavaOptions used to lose -XX:G1HeapRegionSize=32m).
+            # Defaults come first so an env flag naming the same option
+            # wins (the JVM takes the LAST occurrence).
+            if k.endswith("extraJavaOptions") and k in conf:
+                v = f"{conf[k]} {v}"
+            conf[k] = v
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -766,7 +766,16 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer is bounded by watermark eviction after stage-3 or horizon
     expiry; the drain-end state here equals the batch funnel (q79's
     oracle).  Returns (user_id, stage) — one row per user with their
-    final stage 1-3 (users with no view emit nothing)."""
+    final stage 1-3 (users with no view emit nothing).
+
+    STATE-FORMAT NOTE (r12 advice): the persisted ``ts`` array changed
+    unit in r12 from epoch-NANOS to epoch-MICROS (the vectorized
+    ingestion projects ``unix_micros``).  Every caller here drains
+    availableNow with a FRESH checkpoint, so no old-format state can
+    be resumed; a deployment that ever resumes long-lived checkpoints
+    across code versions must version the checkpoint location (or the
+    state schema) when the unit changes — mixing units in one buffer
+    would silently corrupt stage ordering."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
