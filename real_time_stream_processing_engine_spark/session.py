@@ -54,9 +54,60 @@ _DEFAULTS = {
     # Applies when this factory launches the JVM (plain python
     # drivers); under spark-submit the driver JVM pre-exists and the
     # deployment sets the same flag on driver/executors itself.
-    # Override via SPARK_GRAFT_EXTRA_CONF.
-    "spark.driver.extraJavaOptions": "-XX:G1HeapRegionSize=32m",
+    # Override via SPARK_GRAFT_EXTRA_CONF (extraJavaOptions MERGE with
+    # these defaults; the env flag wins on conflict).
+    #
+    # Aux-thread caps (r13 opt, verdict item 2): JVM ergonomics size
+    # concurrent-GC and JIT threads to the HOST's CPU count
+    # (ConcGCThreads=6, CICompilerCount=15 on this 32-CPU box) — but a
+    # JVM whose every core runs a busy task thread has no headroom for
+    # them, so concurrent marking + the continuous codegen-class JIT
+    # compilation ran at the workers' expense and produced the
+    # migrating 2-4x per-query excursions (suite was FASTER at 8 cores,
+    # where aux threads ride idle cores).  Capping both: interleaved
+    # full-bench pairs read 371.1->333.8 and 330.5->306.6 s, the
+    # excursion cluster (q342/q262/q332/q341/q343/q352) recovered
+    # wholesale, min-per-query sum -7.9%, and 32 cores finally beats
+    # 8 (306.6 vs 326.9 s).  Same class of fix as the 32m regions:
+    # any fully-subscribed executor JVM on a big host (no cgroup CPU
+    # cap) gets the same host-sized ergonomics and the same theft;
+    # deployments with spare cores can raise both via the env knob.
+    "spark.driver.extraJavaOptions": (
+        "-XX:G1HeapRegionSize=32m -XX:ConcGCThreads=2 -XX:CICompilerCount=4"
+    ),
 }
+
+
+def apply_env_conf(conf: dict[str, str], env_conf: str | None) -> None:
+    """Apply ``SPARK_GRAFT_EXTRA_CONF``'s semicolon-separated k=v pairs
+    onto ``conf`` in place (pure; unit-testable without a JVM).
+
+    Limitation (r12 advice): entries split on ';' BEFORE '=', so a
+    conf VALUE containing a semicolon is unrepresentable here — pass
+    such values via ``get_spark(extra_conf=...)`` instead.
+
+    ``*.extraJavaOptions`` values MERGE with the tuned defaults instead
+    of silently dropping them (r12 advice: overriding extraJavaOptions
+    used to lose -XX:G1HeapRegionSize=32m).  Defaults come first so an
+    env flag naming the same option wins (the JVM takes the LAST
+    occurrence of a repeated flag)."""
+    if not env_conf:
+        return
+    for pair in env_conf.split(";"):
+        pair = pair.strip()
+        if not pair:
+            continue
+        if "=" not in pair:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not k=v "
+                "(note: ';' separates entries, so values containing "
+                "';' cannot be passed through this env var)"
+            )
+        k, v = pair.split("=", 1)
+        k, v = k.strip(), v.strip()
+        if k.endswith("extraJavaOptions") and k in conf:
+            v = f"{conf[k]} {v}"
+        conf[k] = v
 
 
 def resolve_master(master: str | None, env=None) -> str | None:
@@ -116,31 +167,7 @@ def get_spark(
     # separated k=v pairs, applied between the defaults and the
     # caller's explicit extra_conf (caller wins).  E.g.
     # SPARK_GRAFT_EXTRA_CONF="spark.cleaner.periodicGC.interval=60s".
-    # Limitation (r12 advice): entries split on ';' BEFORE '=', so a
-    # conf VALUE containing a semicolon is unrepresentable here — pass
-    # such values via get_spark(extra_conf=...) instead.
-    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
-    if env_conf:
-        for pair in env_conf.split(";"):
-            pair = pair.strip()
-            if not pair:
-                continue
-            if "=" not in pair:
-                raise ValueError(
-                    f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} is not k=v "
-                    "(note: ';' separates entries, so values containing "
-                    "';' cannot be passed through this env var)"
-                )
-            k, v = pair.split("=", 1)
-            k, v = k.strip(), v.strip()
-            # JavaOptions MERGE with the tuned defaults instead of
-            # silently dropping them (r12 advice: overriding
-            # extraJavaOptions used to lose -XX:G1HeapRegionSize=32m).
-            # Defaults come first so an env flag naming the same option
-            # wins (the JVM takes the LAST occurrence).
-            if k.endswith("extraJavaOptions") and k in conf:
-                v = f"{conf[k]} {v}"
-            conf[k] = v
+    apply_env_conf(conf, os.environ.get("SPARK_GRAFT_EXTRA_CONF"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -98,3 +98,35 @@ def test_q230_literal_rewrite_matches_crossjoin_form(spark):
     assert sorted(map(tuple, old.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_extra_conf_java_options_merge_with_defaults():
+    """*.extraJavaOptions from the env MERGE with the tuned defaults
+    (defaults first, env flags last so they win in the JVM); other
+    keys still overwrite; ';' in values stays unrepresentable and
+    fails loudly (r12 advice)."""
+    import pytest
+
+    from real_time_stream_processing_engine_spark.session import (
+        apply_env_conf,
+    )
+
+    conf = {
+        "spark.driver.extraJavaOptions": "-XX:G1HeapRegionSize=32m",
+        "spark.sql.shuffle.partitions": "32",
+    }
+    apply_env_conf(
+        conf,
+        "spark.driver.extraJavaOptions=-XX:ConcGCThreads=4;"
+        "spark.sql.shuffle.partitions=64",
+    )
+    assert conf["spark.driver.extraJavaOptions"] == (
+        "-XX:G1HeapRegionSize=32m -XX:ConcGCThreads=4"
+    )
+    assert conf["spark.sql.shuffle.partitions"] == "64"
+    # executor variant merges too, but only when a default exists
+    conf2 = {}
+    apply_env_conf(conf2, "spark.executor.extraJavaOptions=-Xss4m")
+    assert conf2["spark.executor.extraJavaOptions"] == "-Xss4m"
+    with pytest.raises(ValueError, match="not k=v"):
+        apply_env_conf({}, "oops-no-equals")
